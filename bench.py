@@ -1,0 +1,69 @@
+"""Benchmark harness: headline engine queries at a given scale factor.
+
+Runs each headline catalog query on ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is executed with the no-op sink (``format("noop")``) so timing
+covers scan → shuffle → compute without driver-side result materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark import (
+    build_session,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.plans import (
+    catalog,
+)
+
+# Headline set: one per operator family — grows with the catalog.
+HEADLINE = [
+    "q02_flagship_join",
+    "q05_topk",
+    "q06_latest_per_key",
+    "q07_sql_transformer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = build_session(app_name="engine-bench")
+    qmap = catalog.queries()
+
+    names = [n for n in HEADLINE if n in qmap]
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once with the cheapest query.
+    qmap[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for name in names:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
