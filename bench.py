@@ -32,6 +32,9 @@ HEADLINE = [
     "q05_topk",
     "q06_latest_per_key",
     "q07_sql_transformer",
+    "table_upsert_snapshot",
+    "table_incremental_read",
+    "incremental_pipeline_gold",
 ]
 
 

@@ -14,5 +14,6 @@ reference analysis that defines the semantics.
 """
 
 from .session import build_session
+from .table import Table, TableServices
 
-__all__ = ["build_session"]
+__all__ = ["build_session", "Table", "TableServices"]

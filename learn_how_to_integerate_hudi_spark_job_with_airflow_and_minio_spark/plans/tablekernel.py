@@ -1,0 +1,181 @@
+"""Driver-gated correctness queries for the Table kernel (SURVEY §2.2).
+
+Each query materializes an engine table in a scratch dir from the
+*driver's own deterministic testdata*, exercises a write-path operator
+(upsert K1/K2, delete, compaction K7, checkpointed incremental pull
+S5/S6), and returns a DataFrame whose expected content is exactly
+SQL-expressible over the raw parquet — so DuckDB can oracle the kernel
+itself, not just read-side queries.
+
+Update batches are derived from the data (keys ≡ 0 mod 5 get
+``o_totalprice * 2`` — exact in binary floating point — and status
+``'U'``), keeping both sides bit-deterministic.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..checkpoint import CheckpointStore
+from ..session import load_tables
+from ..table import META_COL, Table, TableServices
+from .catalog import register
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+_UPSERTED_SQL = """
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+    FROM orders
+"""
+
+
+def _update_batch(orders: DataFrame) -> DataFrame:
+    return (
+        orders.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .select(*_COLS)
+    )
+
+
+def _build_orders_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[Table, str, str, DataFrame]:
+    """Scratch table with two commits: full orders, then the mod-5 update."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate", table_name="orders"
+    )
+    c1 = t.upsert(orders)
+    c2 = t.upsert(_update_batch(orders))
+    return t, c1, c2, orders
+
+
+@register(
+    "table_upsert_snapshot",
+    oracle=_UPSERTED_SQL,
+    doc="K1/K2 upsert kernel: full load + keyed update batch, then snapshot "
+    "— existing keys replaced, others byte-preserved (COW)",
+)
+def table_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _, _, _ = _build_orders_table(spark, sf_dir)
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_incremental_read",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+    """,
+    doc="S5 incremental query: only rows committed after the checkpoint "
+    "(begin = first commit) — Hudi incremental-view semantics",
+)
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, c1, _, _ = _build_orders_table(spark, sf_dir)
+    return t.incremental(begin=c1).drop(META_COL)
+
+
+@register(
+    "table_delete_snapshot",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+    """,
+    doc="Hudi 'delete' op analog: COW anti-join rewrite of affected files",
+)
+def table_delete_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate", table_name="orders"
+    )
+    t.upsert(orders)
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_compaction_snapshot",
+    oracle=_UPSERTED_SQL,
+    doc="K7 clustering/compaction: sort-and-size rewrite preserves the row "
+    "multiset (snapshot identical before/after)",
+)
+def table_compaction_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _, _, _ = _build_orders_table(spark, sf_dir)
+    TableServices(t).compact(sort_cols=["o_orderkey"], target_records_per_file=4096)
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "incremental_pipeline_gold",
+    oracle="""
+        SELECT c.c_custkey    AS customer_id,
+               c.c_name       AS customer_name,
+               c.c_mktsegment AS segment,
+               o.o_orderkey   AS order_id,
+               'U'            AS order_status,
+               o.o_totalprice * 2 AS order_value
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey % 5 = 0
+    """,
+    doc="The reference's whole Lab2 pipeline as one checked query "
+    "(incremental_etl_orders.py:27-496): silver upserts → checkpointed "
+    "INC pull of orders + FULL customers → SQL join → gold upsert → "
+    "gold snapshot; checkpoint advances only after the gold write "
+    "(SURVEY §2.6 ordering fix)",
+)
+def incremental_pipeline_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.loaders import Loaders
+
+    scratch = tempfile.mkdtemp(prefix="engine_pipe_")
+    t, c1, _, _ = _build_orders_table(spark, sf_dir)
+    store = CheckpointStore(f"{scratch}/ckpt")
+    # simulate a consumer that already processed the first commit
+    store.put(
+        "orders",
+        {"last_processed_commit": c1, "table_name": "orders", "path": t.path,
+         "inserted_time": "bootstrap"},
+    )
+    payload = [
+        {"source_type": "ENGINE", "table_name": "orders",
+         "spark_table_name": "orders_inc", "path": t.path, "type": "INC"},
+        {"source_type": "PARQUET", "table_name": "customer",
+         "spark_table_name": "customers_full", "path": f"{sf_dir}/customer.parquet",
+         "type": "FULL"},
+    ]
+    loaders = Loaders(payload, spark, checkpoint_store=store)
+    loaders.load()
+    gold_df = spark.sql(
+        """
+        SELECT c.c_custkey    AS customer_id,
+               c.c_name       AS customer_name,
+               c.c_mktsegment AS segment,
+               o.o_orderkey   AS order_id,
+               o.o_orderstatus AS order_status,
+               o.o_totalprice AS order_value
+        FROM customers_full c
+        JOIN orders_inc o ON c.c_custkey = o.o_custkey
+        """
+    ).drop(META_COL)
+    gold = Table.create(
+        spark, f"{scratch}/gold", key="order_id", precombine="order_id",
+        table_name="gold_orders_with_customers",
+    )
+    gold.upsert(gold_df)
+    loaders.commit_checkpoints()  # after the gold write commits (§2.6 fix)
+    return gold.snapshot().drop(META_COL)

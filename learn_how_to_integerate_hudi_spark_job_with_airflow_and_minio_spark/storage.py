@@ -1,0 +1,119 @@
+"""Tiny filesystem abstraction for manifest/checkpoint I/O.
+
+The engine's data files are read/written by Spark (any Hadoop-supported
+scheme); the small JSON control plane (commit manifests, checkpoints) is
+read/written driver-side through this layer. Local paths use ``os``;
+``s3://``/``s3a://`` paths use boto3 when available (reference parity:
+the ``AWSS3`` utility class, ``incremental_etl_orders.py:66-166`` — only
+its load-bearing surface: put/get/exists/delete/list).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from urllib.parse import urlparse
+
+
+class LocalFS:
+    def read_text(self, path: str) -> str:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+
+    def write_text(self, path: str, data: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(data)
+        # atomic publish: manifest-last commit protocol relies on this
+        os.replace(tmp, path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list(self, prefix: str) -> list[str]:
+        """All file paths under a directory prefix (recursive)."""
+        if not os.path.isdir(prefix):
+            return []
+        out = []
+        for root, _dirs, files in os.walk(prefix):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+
+    def glob(self, pattern: str) -> list[str]:
+        return sorted(_glob.glob(pattern))
+
+    def delete(self, path: str) -> None:
+        if os.path.exists(path):
+            os.remove(path)
+
+
+class S3FS:
+    """boto3-backed control-plane I/O for s3:// and s3a:// paths.
+
+    Mirrors the reference's AWSS3 helper surface
+    (``incremental_etl_orders.py:66-166``): put_files → write_text,
+    get_item → read_text, item_exists → exists, delete_object → delete,
+    find_files_in_bucket → list.
+    """
+
+    def __init__(self, endpoint_url: str | None = None):
+        import boto3  # gated: not baked into every image
+
+        self.client = boto3.client("s3", endpoint_url=endpoint_url)
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        u = urlparse(path)
+        return u.netloc, u.path.lstrip("/")
+
+    def read_text(self, path: str) -> str:
+        b, k = self._split(path)
+        return self.client.get_object(Bucket=b, Key=k)["Body"].read().decode()
+
+    def write_text(self, path: str, data: str) -> None:
+        b, k = self._split(path)
+        self.client.put_object(Bucket=b, Key=k, Body=data.encode())
+
+    def exists(self, path: str) -> bool:
+        b, k = self._split(path)
+        try:
+            self.client.head_object(Bucket=b, Key=k)
+            return True
+        except Exception:
+            return False
+
+    def list(self, prefix: str) -> list[str]:
+        b, k = self._split(prefix)
+        out = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=b, Prefix=k):
+            for obj in page.get("Contents", []):
+                out.append(f"s3a://{b}/{obj['Key']}")
+        return sorted(out)
+
+    def delete(self, path: str) -> None:
+        b, k = self._split(path)
+        self.client.delete_object(Bucket=b, Key=k)
+
+
+def fs_for(path: str):
+    if path.startswith(("s3://", "s3a://")):
+        return S3FS()
+    return LocalFS()
+
+
+def read_json(path: str):
+    raw = fs_for(path).read_text(path)
+    val = json.loads(raw)
+    if isinstance(val, str):
+        # Compat shim for the reference's double-encoded checkpoints
+        # (json.dumps of an already-dumped string,
+        # incremental_etl_orders.py:197-201) — SURVEY §2.6.
+        val = json.loads(val)
+    return val
+
+
+def write_json(path: str, obj) -> None:
+    fs_for(path).write_text(path, json.dumps(obj, indent=2, sort_keys=True))

@@ -1,0 +1,543 @@
+"""Keyed, versioned table over Parquet + a JSON commit manifest.
+
+This is the engine's rebuild of the reference's Hudi table semantics
+(SURVEY §1.1, §2.2) in plain PySpark — no table-format jar:
+
+- **Record key + precombine** (``create_hudi_tables.py:121-127``): every
+  table declares a key; writes are upserts — latest record per key wins;
+  within-batch conflicts resolved by max(precombine); on key collision
+  with stored data the incoming record wins (Hudi's default
+  OverwriteWithLatestAvroPayload behavior).
+- **Commit timeline** (``incremental_etl_orders.py:209-215``): each write
+  is a monotonically increasing commit; every row carries its commit id
+  in the ``_commit_time`` meta column (mirror of
+  ``_hoodie_commit_time``).
+- **Copy-on-write**: an upsert rewrites only the data files that contain
+  updated keys; untouched files — and the original ``_commit_time`` of
+  unchanged rows — are preserved. Snapshot reads are therefore plain
+  Parquet scans of the current file set: no merge cost at read time.
+- **Snapshot vs incremental** (``incremental_etl_orders.py:217-227``):
+  snapshot = current file set; incremental = files added by commits in
+  ``(begin, end]``, filtered on ``_commit_time``.
+- **File-level stats pruning** (Hudi BLOOM/column-stats analog,
+  ``create_hudi_tables.py:166-183``): the manifest records per-file
+  min/max for the key, precombine, and partition columns; upserts and
+  filtered reads prune files before Spark ever lists them.
+
+Scale design (100 TB): the merge is a single shuffle-free candidate scan
++ one shuffled anti-join bounded by the affected files, not the table;
+inserts of non-overlapping key ranges touch zero existing files; AQE
+handles skewed keys in the join; ``maxRecordsPerFile`` + the compaction
+service keep file sizes in the reference's 100 MB–1 GB band.
+
+Layout::
+
+    <path>/_table.json                    table metadata (key, precombine, ...)
+    <path>/_commits/<%020d>.json          one manifest per commit (write-last = atomic publish)
+    <path>/data/<commit>/part-*.parquet   data files written by that commit
+
+Single-writer per table is assumed (v1), as in the reference's
+InProcessLockProvider setup (``create_hudi_tables.py:181-182``).
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .storage import fs_for, read_json, write_json
+
+META_COL = "_commit_time"
+
+
+def _utcnow() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _norm_file_path(col):
+    """Normalize Spark's _metadata.file_path URI to a plain path."""
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+class Table:
+    """A keyed upsert table. Create with :meth:`create`, open with :meth:`load`."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict[str, Any]):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.meta = meta
+        self.fs = fs_for(self.path)
+
+    # -- lifecycle -----------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        precombine: str,
+        partition_fields: list[str] | None = None,
+        table_name: str | None = None,
+        max_records_per_file: int = 0,
+        exists_ok: bool = False,
+    ) -> "Table":
+        meta_path = posixpath.join(path.rstrip("/"), "_table.json")
+        fs = fs_for(path)
+        if fs.exists(meta_path):
+            if not exists_ok:
+                raise ValueError(f"table already exists at {path}")
+            return cls.load(spark, path)
+        meta = {
+            "table_name": table_name or posixpath.basename(path.rstrip("/")),
+            "record_key": key,
+            "precombine": precombine,
+            "partition_fields": partition_fields or [],
+            "max_records_per_file": max_records_per_file,
+            "created_at": _utcnow(),
+        }
+        write_json(meta_path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Table":
+        meta = read_json(posixpath.join(path.rstrip("/"), "_table.json"))
+        return cls(spark, path, meta)
+
+    @property
+    def key(self) -> str:
+        return self.meta["record_key"]
+
+    @property
+    def precombine(self) -> str:
+        return self.meta["precombine"]
+
+    # -- timeline ------------------------------------------------------
+
+    def _commits_dir(self) -> str:
+        return posixpath.join(self.path, "_commits")
+
+    def commits(self) -> list[str]:
+        """Commit ids, ascending (zero-padded strings; lexical == numeric)."""
+        out = []
+        for p in self.fs.list(self._commits_dir()):
+            name = posixpath.basename(p)
+            if name.endswith(".json"):
+                out.append(name[: -len(".json")])
+        return sorted(out)
+
+    def latest_commit(self) -> str | None:
+        c = self.commits()
+        return c[-1] if c else None
+
+    def _next_commit(self) -> str:
+        last = self.latest_commit()
+        return f"{(int(last) + 1) if last else 1:020d}"
+
+    def _manifest(self, commit: str) -> dict:
+        return read_json(posixpath.join(self._commits_dir(), f"{commit}.json"))
+
+    def current_files(self, as_of: str | None = None) -> list[dict]:
+        """Replay manifests → live file entries (path rel to table root)."""
+        live: dict[str, dict] = {}
+        for c in self.commits():
+            if as_of is not None and c > as_of:
+                break
+            m = self._manifest(c)
+            for rel in m.get("files_removed", []):
+                live.pop(rel, None)
+            for entry in m.get("files_added", []):
+                live[entry["path"]] = entry
+        return [live[k] for k in sorted(live)]
+
+    def _abs(self, rel: str) -> str:
+        return posixpath.join(self.path, rel)
+
+    def _schema(self) -> StructType | None:
+        for c in reversed(self.commits()):
+            m = self._manifest(c)
+            if m.get("schema"):
+                return StructType.fromJson(m["schema"])
+        return None
+
+    # -- reads ---------------------------------------------------------
+
+    def snapshot(self, filters: dict[str, Any] | None = None) -> DataFrame:
+        """Latest version of every key (S4). ``filters`` ({col: value} or
+        {col: (lo, hi)}) prunes files via manifest stats before the scan —
+        the engine's column-stats-index analog (SURVEY §4)."""
+        entries = self.current_files()
+        if filters:
+            entries = [e for e in entries if _stats_match(e, filters)]
+        return self._read_entries(entries)
+
+    def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
+        """Latest version of every key changed in ``(begin, end]`` (S5) —
+        Hudi incremental-query semantics on COW: scan the file set as of
+        ``end`` and keep rows with ``_commit_time > begin`` (COW rewrites
+        preserve untouched rows' stamps, so old rows fall out of the
+        filter). ``begin=None`` reads from the start of the timeline
+        (reference bootstrap: ``first_commit - 1``,
+        incremental_etl_orders.py:207-215)."""
+        entries = self.current_files(as_of=end)
+        if begin is not None:
+            # file skipping: a file whose max(_commit_time) <= begin holds
+            # no rows in the window (column-stats-index analog)
+            entries = [
+                e
+                for e in entries
+                if META_COL not in e.get("stats", {})
+                or e["stats"][META_COL][1] > begin
+            ]
+        df = self._read_entries(entries)
+        if begin is not None:
+            df = df.where(F.col(META_COL) > F.lit(begin))
+        return df
+
+    def read(self, query_type: str = "snapshot", **kw) -> DataFrame:
+        """Reference-shaped entry: ``hoodie.datasource.query.type`` analog."""
+        if query_type == "snapshot":
+            return self.snapshot(filters=kw.get("filters"))
+        if query_type == "incremental":
+            return self.incremental(kw.get("begin"), kw.get("end"))
+        raise ValueError(f"unknown query type: {query_type}")
+
+    def _read_entries(self, entries: list[dict]) -> DataFrame:
+        paths = [self._abs(e["path"]) for e in entries]
+        schema = self._schema()
+        if not paths:
+            if schema is None:
+                raise ValueError(f"table at {self.path} has no commits yet")
+            return self.spark.createDataFrame([], schema)
+        if schema is not None:
+            # manifest schema = latest committed schema; files written
+            # before a column was added surface it as null (Hudi-style
+            # evolution-on-append) without a mergeSchema footer sweep
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.parquet(*paths)
+
+    def is_empty(self) -> bool:
+        return not self.current_files()
+
+    # -- writes ----------------------------------------------------------
+
+    def upsert(self, df: DataFrame) -> str:
+        """Merge a batch: new keys inserted, existing keys replaced (K1/K2).
+
+        COW merge plan (all Spark-side, bounded by affected files):
+        1. within-batch dedup: max(precombine) per key wins (Q10 kernel);
+        2. manifest-stats prune current files to key-range candidates;
+        3. semi-join candidates × batch keys → affected files;
+        4. survivors = affected-file rows ∖ batch keys (anti-join),
+           keeping their original ``_commit_time``;
+        5. write survivors ∪ batch as the new commit's files; manifest
+           removes affected files, adds the new ones (manifest-last =
+           atomic publish).
+        """
+        return self._merge_write(df, action="upsert")
+
+    def insert(self, df: DataFrame, dedup_batch: bool = True) -> str:
+        """Append without merging into existing keys (Hudi 'insert' op)."""
+        commit = self._next_commit()
+        batch = self._dedup_batch(df) if dedup_batch else df
+        stamped = batch.withColumn(META_COL, F.lit(commit))
+        added = self._write_files(stamped, commit)
+        self._publish(commit, "insert", added, [], stamped.schema)
+        return commit
+
+    def bulk_insert(self, df: DataFrame) -> str:
+        """Sorted bulk load (Hudi 'bulk_insert'): key-sorted files →
+        tight key-range stats → better pruning on later upserts."""
+        commit = self._next_commit()
+        stamped = df.withColumn(META_COL, F.lit(commit)).sortWithinPartitions(
+            self.key
+        )
+        added = self._write_files(stamped, commit)
+        self._publish(commit, "bulk_insert", added, [], stamped.schema)
+        return commit
+
+    def delete(self, keys_df: DataFrame) -> str:
+        """Delete by key (Hudi 'delete' op): COW rewrite of affected files
+        minus the keys (anti-join)."""
+        commit = self._next_commit()
+        keys = keys_df.select(self.key).distinct()
+        entries = self.current_files()
+        candidates = self._prune_by_keys(entries, keys)
+        if not candidates:
+            self._publish(commit, "delete", [], [], None)
+            return commit
+        existing = self._with_file(candidates)
+        affected = self._affected_files(existing, keys)
+        if not affected:
+            self._publish(commit, "delete", [], [], None)
+            return commit
+        survivors = (
+            existing.where(F.col("_file").isin(affected))
+            .drop("_file")
+            .join(keys, self.key, "left_anti")
+        )
+        added = self._write_files(survivors, commit)
+        removed = self._to_rel(affected)
+        self._publish(commit, "delete", added, removed, survivors.schema)
+        return commit
+
+    # -- write internals -------------------------------------------------
+
+    def _dedup_batch(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        # max(precombine) per key wins; equal precombine → last row in
+        # batch order wins (deterministic within a run, like Hudi's
+        # reduce-by-key over shuffled pairs).
+        w = Window.partitionBy(self.key).orderBy(
+            F.desc(self.precombine), F.desc("_seq")
+        )
+        return (
+            df.withColumn("_seq", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+
+    def _merge_write(self, df: DataFrame, action: str) -> str:
+        commit = self._next_commit()
+        batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
+        entries = self.current_files()
+        out = batch
+        removed: list[str] = []
+        if entries:
+            keys = batch.select(self.key).distinct()
+            candidates = self._prune_by_keys(entries, keys)
+            if candidates:
+                existing = self._with_file(candidates)
+                affected = self._affected_files(existing, keys)
+                if affected:
+                    survivors = (
+                        existing.where(F.col("_file").isin(affected))
+                        .drop("_file")
+                        .join(keys, self.key, "left_anti")
+                    )
+                    out = survivors.unionByName(batch, allowMissingColumns=True)
+                    removed = self._to_rel(affected)
+        added = self._write_files(out, commit)
+        self._publish(commit, action, added, removed, out.schema)
+        return commit
+
+    def _with_file(self, entries: list[dict]) -> DataFrame:
+        df = self._read_entries(entries)
+        return df.withColumn("_file", _norm_file_path(F.col("_metadata.file_path")))
+
+    def _affected_files(self, existing: DataFrame, keys: DataFrame) -> list[str]:
+        rows = (
+            existing.join(keys, self.key, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        return [r["_file"] for r in rows]
+
+    def _to_rel(self, abs_paths: list[str]) -> list[str]:
+        base = self.path.rstrip("/") + "/"
+        out = []
+        for p in abs_paths:
+            norm = p
+            if norm.startswith("file:"):
+                norm = "/" + norm.split(":", 1)[1].lstrip("/")
+            if not norm.startswith(base):
+                raise ValueError(f"file {p} outside table root {base}")
+            out.append(norm[len(base):])
+        return out
+
+    def _prune_by_keys(self, entries: list[dict], keys: DataFrame) -> list[dict]:
+        """Key-range file pruning (BLOOM-index analog, K8): skip files whose
+        [min,max] key stats can't contain any batch key."""
+        stats_entries = [e for e in entries if self.key in e.get("stats", {})]
+        if len(stats_entries) != len(entries):
+            return entries  # some files lack stats → can't prune safely
+        row = keys.agg(
+            F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:
+            return []
+        out = []
+        for e in entries:
+            fmin, fmax = e["stats"][self.key]
+            if fmin is None or fmax is None or not (hi < fmin or lo > fmax):
+                out.append(e)
+        return out
+
+    def _write_files(self, df: DataFrame, commit: str) -> list[dict]:
+        rel_dir = f"data/{commit}"
+        out_dir = self._abs(rel_dir)
+        writer = df
+        parts = self.meta.get("partition_fields") or []
+        if parts:
+            # co-locate partition values per file → tight stats → pruning
+            writer = df.repartition(*[F.col(c) for c in parts])
+        w = writer.write.mode("overwrite")
+        mrpf = int(self.meta.get("max_records_per_file") or 0)
+        if mrpf:
+            w = w.option("maxRecordsPerFile", mrpf)
+        w.parquet(out_dir)
+        files = [
+            p
+            for p in self.fs.list(out_dir)
+            if p.endswith(".parquet") and "/_" not in p[len(out_dir):]
+        ]
+        stats_cols = [self.key, self.precombine, *parts, META_COL]
+        return [
+            {
+                "path": posixpath.join(rel_dir, posixpath.basename(p)),
+                **_file_stats(p, stats_cols),
+            }
+            for p in files
+        ]
+
+    def _publish(
+        self,
+        commit: str,
+        action: str,
+        added: list[dict],
+        removed: list[str],
+        schema: StructType | None,
+    ) -> None:
+        manifest = {
+            "commit": commit,
+            "action": action,
+            "ts": _utcnow(),
+            "files_added": added,
+            "files_removed": removed,
+            "schema": schema.jsonValue() if schema is not None else None,
+        }
+        write_json(posixpath.join(self._commits_dir(), f"{commit}.json"), manifest)
+
+
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file row count + min/max column stats from the Parquet footer.
+
+    Driver-side footer read (cheap: metadata only). At cluster scale this
+    would come back from the write tasks; footer reads stay O(files) and
+    never touch data pages.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {"rows": None, "stats": {}}
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in cols:
+        i = name_to_idx.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(i).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if ok and lo is not None:
+            stats[col] = [_jsonable(lo), _jsonable(hi)]
+    return {"rows": md.num_rows, "stats": stats}
+
+
+def _jsonable(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _stats_match(entry: dict, filters: dict[str, Any]) -> bool:
+    stats = entry.get("stats", {})
+    for col, cond in filters.items():
+        if col not in stats:
+            continue  # no stats → can't prune this file
+        lo, hi = stats[col]
+        if isinstance(cond, tuple):
+            flo, fhi = cond
+            if flo is not None and hi is not None and hi < flo:
+                return False
+            if fhi is not None and lo is not None and lo > fhi:
+                return False
+        else:
+            if lo is not None and hi is not None and not (lo <= cond <= hi):
+                return False
+    return True
+
+
+class TableServices:
+    """Table maintenance jobs (SURVEY §2.2 K6/K7/K10).
+
+    - :meth:`clean` — the Hudi cleaner analog
+      (``create_hudi_tables.py:141-148``): physically delete data files
+      that are no longer live and were retired more than
+      ``retain_commits`` commits ago.
+    - :meth:`compact` — clustering/sort-and-size rewrite
+      (``create_hudi_tables.py:157-163``): rewrite the current file set
+      sorted by the given columns into target-size files; row multiset
+      and per-row ``_commit_time`` are preserved.
+    """
+
+    def __init__(self, table: Table):
+        self.t = table
+
+    def clean(self, retain_commits: int = 5) -> list[str]:
+        t = self.t
+        commits = t.commits()
+        if len(commits) <= retain_commits:
+            return []
+        cutoff = commits[-(retain_commits + 1)]
+        live = {e["path"] for e in t.current_files()}
+        deleted = []
+        for c in commits:
+            if c > cutoff:
+                break
+            for e in t._manifest(c).get("files_added", []):
+                if e["path"] not in live:
+                    t.fs.delete(t._abs(e["path"]))
+                    deleted.append(e["path"])
+        return deleted
+
+    def compact(
+        self,
+        sort_cols: list[str] | None = None,
+        target_records_per_file: int | None = None,
+    ) -> str:
+        t = self.t
+        entries = t.current_files()
+        commit = t._next_commit()
+        df = t._read_entries(entries)
+        sort_cols = sort_cols or [t.key]
+        # range-partition on the sort key then sort within: globally
+        # clustered layout → tight min/max stats per file (the point of
+        # the reference's SparkSortAndSizeExecutionStrategy)
+        total = sum(e.get("rows") or 0 for e in entries)
+        if target_records_per_file:
+            nparts = max(1, -(-total // target_records_per_file))
+            df = df.repartitionByRange(nparts, *sort_cols)
+        else:
+            df = df.repartitionByRange(*sort_cols)
+        df = df.sortWithinPartitions(*sort_cols)
+        old_mrpf = t.meta.get("max_records_per_file")
+        if target_records_per_file:
+            t.meta["max_records_per_file"] = target_records_per_file
+        try:
+            added = t._write_files(df, commit)
+        finally:
+            t.meta["max_records_per_file"] = old_mrpf
+        removed = [e["path"] for e in entries]
+        t._publish(commit, "replace", added, removed, df.schema)
+        return commit

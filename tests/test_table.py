@@ -1,0 +1,193 @@
+"""Table kernel unit tests (SURVEY §5 strategy item 2).
+
+Covers: insert/update upsert semantics, within-batch precombine
+tie-break, COW preservation of untouched rows' _commit_time, incremental
+windows, delete, compaction invariants, cleaner GC, checkpointed reader
+state machine (cold start / warm resume / empty batch / post-write
+commit ordering).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.checkpoint import (
+    CheckpointStore,
+    IncrementalReader,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+    Table,
+    TableServices,
+)
+
+
+def rows_of(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture()
+def tpath(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def make_table(spark, path, **kw):
+    return Table.create(
+        spark, path, key="id", precombine="ver", table_name="t", **kw
+    )
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, "id long, ver long, val string")
+
+
+def test_upsert_insert_then_update(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    c2 = t.upsert(df_of(spark, [(2, 2, "b2"), (3, 1, "c")]))
+    assert c2 > c1
+    snap = t.snapshot()
+    assert rows_of(snap, "id", "ver", "val") == [(1, 1, "a"), (2, 2, "b2"), (3, 1, "c")]
+    # COW: unchanged row keeps its original commit time
+    by_id = {r["id"]: r["_commit_time"] for r in snap.collect()}
+    assert by_id[1] == c1 and by_id[2] == c2 and by_id[3] == c2
+
+
+def test_within_batch_precombine(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 5, "high"), (1, 3, "low"), (2, 1, "x")]))
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "high"), (2, "x")]
+
+
+def test_incoming_wins_on_equal_or_lower_precombine(spark, tpath):
+    # Hudi default payload: incoming record replaces stored on upsert,
+    # regardless of stored precombine.
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 9, "old")]))
+    t.upsert(df_of(spark, [(1, 1, "new")]))
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 1, "new")]
+
+
+def test_upsert_idempotent_rerun(spark, tpath):
+    t = make_table(spark, tpath)
+    batch = df_of(spark, [(1, 1, "a"), (2, 1, "b")])
+    t.upsert(batch)
+    t.upsert(batch)  # re-run same batch
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_incremental_windows(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    c2 = t.upsert(df_of(spark, [(2, 2, "b2"), (3, 1, "c")]))
+    c3 = t.upsert(df_of(spark, [(4, 1, "d")]))
+    assert rows_of(t.incremental(None), "id", "val") == [
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d")]
+    assert rows_of(t.incremental(c1), "id", "val") == [(2, "b2"), (3, "c"), (4, "d")]
+    assert rows_of(t.incremental(c1, c2), "id", "val") == [(2, "b2"), (3, "c")]
+    assert rows_of(t.incremental(c3), "id", "val") == []
+
+
+def test_delete(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]))
+    t.delete(spark.createDataFrame([(2,)], "id long"))
+    assert rows_of(t.snapshot(), "id") == [(1,), (3,)]
+    # deleting a missing key is a no-op commit
+    t.delete(spark.createDataFrame([(99,)], "id long"))
+    assert rows_of(t.snapshot(), "id") == [(1,), (3,)]
+
+
+def test_insert_appends_without_merge(spark, tpath):
+    t = make_table(spark, tpath)
+    t.insert(df_of(spark, [(1, 1, "a")]))
+    t.insert(df_of(spark, [(1, 2, "dup")]))
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a"), (1, "dup")]
+
+
+def test_compaction_preserves_rows_and_commit_times(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(i, 1, f"v{i}") for i in range(20)]))
+    t.upsert(df_of(spark, [(i, 2, f"u{i}") for i in range(0, 20, 4)]))
+    before = rows_of(t.snapshot(), "id", "ver", "val", "_commit_time")
+    TableServices(t).compact(sort_cols=["id"], target_records_per_file=7)
+    after = rows_of(t.snapshot(), "id", "ver", "val", "_commit_time")
+    assert before == after
+    # clustering produced key-sorted, bounded files
+    for e in t.current_files():
+        assert (e["rows"] or 0) <= 7
+
+
+def test_cleaner_gc(spark, tpath):
+    t = make_table(spark, tpath)
+    for i in range(6):
+        t.upsert(df_of(spark, [(1, i, f"v{i}")]))
+    all_files_before = {e["path"] for e in t.current_files()}
+    deleted = TableServices(t).clean(retain_commits=2)
+    assert deleted  # old retired versions physically removed
+    # live files untouched, snapshot unaffected
+    assert {e["path"] for e in t.current_files()} == all_files_before
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "v5")]
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(t.path, rel))
+
+
+def test_stats_pruning_snapshot_filter(spark, tpath):
+    t = make_table(spark, tpath, partition_fields=["id"])
+    t.bulk_insert(df_of(spark, [(i, 1, f"v{i}") for i in range(100)]))
+    snap = t.snapshot(filters={"id": 5})
+    assert (5, "v5") in rows_of(snap, "id", "val")
+
+
+def test_checkpointed_reader_state_machine(spark, tpath, tmp_path):
+    t = make_table(spark, tpath)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    reader = IncrementalReader(t, store)
+
+    # empty timeline guard (reference IndexError case, SURVEY §2.6)
+    df, hwm = reader.read()
+    assert df is None and hwm is None
+
+    c1 = t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    df, hwm = reader.read()
+    assert hwm == c1 and rows_of(df, "id") == [(1,), (2,)]
+    # crash before commit → re-read sees the same batch (at-least-once)
+    df2, hwm2 = reader.read()
+    assert hwm2 == c1 and rows_of(df2, "id") == [(1,), (2,)]
+    reader.commit(hwm)
+
+    # no new commits → empty batch, no watermark
+    df3, hwm3 = reader.read()
+    assert hwm3 is None and df3.count() == 0
+
+    c2 = t.upsert(df_of(spark, [(2, 2, "b2")]))
+    df4, hwm4 = reader.read()
+    assert hwm4 == c2 and rows_of(df4, "id", "val") == [(2, "b2")]
+    reader.commit(hwm4)
+    assert reader.last_processed() == c2
+
+
+def test_checkpoint_double_encoded_compat(tmp_path):
+    # reference writes json.dumps(json.dumps({...})) — storage shim reads it
+    import json
+
+    p = tmp_path / "ckpt" / "metadata" / "orders.json"
+    p.parent.mkdir(parents=True)
+    inner = json.dumps({"last_processed_commit": "00000000000000000003"})
+    p.write_text(json.dumps(inner))
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    assert store.get("orders")["last_processed_commit"] == "00000000000000000003"
+
+
+def test_schema_evolution_on_upsert(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    wider = spark.createDataFrame(
+        [(2, 1, "b", "extra")], "id long, ver long, val string, note string"
+    )
+    t.upsert(wider)
+    snap = t.snapshot()
+    assert "note" in snap.columns
+    got = {r["id"]: r["note"] for r in snap.collect()}
+    assert got == {1: None, 2: "extra"}
