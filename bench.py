@@ -35,6 +35,12 @@ HEADLINE = [
     "table_upsert_snapshot",
     "table_incremental_read",
     "incremental_pipeline_gold",
+    "agg_tpch_q1",
+    "join_tpch_q3",
+    "join_tpch_q5",
+    "win_topk_per_group",
+    "join_asof",
+    "win_sessionize",
 ]
 
 

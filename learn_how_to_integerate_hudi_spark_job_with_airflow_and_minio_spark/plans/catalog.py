@@ -68,6 +68,13 @@ def _load_all() -> None:
         return
     # Explicit, fail-loud imports: a broken plan module must fail the whole
     # registry, not silently shrink it. Extend this list as modules land.
-    from . import relational, tablekernel  # noqa: F401
+    from . import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        scalar,
+        tablekernel,
+        windows,
+    )
 
     _LOADED = True

@@ -1,0 +1,418 @@
+"""Join matrix + subqueries (extension mandate — SURVEY §2.5/§7 item 6).
+
+The reference's only join is the inner equi-join Q2; a complete engine
+owes the full matrix: outer/semi/anti, multiway star joins, non-equi
+range joins, as-of temporal joins, and scalar/correlated subqueries.
+
+Scale notes per shape: dim sides are broadcast (map-side join, no fact
+shuffle); the multiway TPC-H plans rely on Catalyst join reordering +
+AQE; the range join is a broadcast nested-loop against a tiny literal
+band table (never a cartesian on the fact side); the as-of join is a
+single shuffle + window pass (operators/asof.py), not a per-key loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..session import load_tables
+from .catalog import register
+from .common import as_double, dsum
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey) AS n_orders,
+               COALESCE(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE), 0.0) AS spend
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    doc="LEFT OUTER join + aggregate: customers with zero orders kept "
+    "(count of null = 0, null sum coalesced)",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice", 2), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    doc="LEFT SEMI join (EXISTS): no right-side columns, no row "
+    "multiplication — one lookup per left row",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers with no orders",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        ), s AS (
+            SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(c.n_customers, 0) AS n_customers,
+               COALESCE(s.n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="FULL OUTER join of two aggregates with COALESCE null handling",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_tpch_q3",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way star join + filter + grouped revenue + "
+    "top-10. customer dim broadcast; orders⋈lineitem shuffles on orderkey",
+)
+def join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = "1998-03-15"
+    building = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        t["orders"]
+        .where(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(building), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].where(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_tpch_q5",
+    oracle="""
+        SELECT n.n_name,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join across the whole star schema with a "
+    "local-supplier condition; region/nation/supplier broadcast, "
+    "AQE + join reordering pick the fact-side plan",
+)
+def join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+    )
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+        SELECT b.band,
+               COUNT(l.l_quantity) AS n,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS value
+        FROM (VALUES ('00-10', 0.0, 10.0), ('10-20', 10.0, 20.0),
+                     ('20-30', 20.0, 30.0), ('30-40', 30.0, 40.0),
+                     ('40-99', 40.0, 99.0)) AS b(band, lo, hi)
+        JOIN lineitem l ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.band
+    """,
+    doc="non-equi range join against a literal band table: broadcast "
+    "nested-loop on the tiny side — the fact scan stays map-only",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    bands = spark.createDataFrame(
+        [("00-10", 0.0, 10.0), ("10-20", 10.0, 20.0), ("20-30", 20.0, 30.0),
+         ("30-40", 30.0, 40.0), ("40-99", 40.0, 99.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("l_quantity").alias("n"),
+            dsum("l_extendedprice").alias("value"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               p.ts        AS purchase_ts,
+               v.event_id  AS matched_event_id,
+               v.ts        AS matched_ts,
+               v.value     AS matched_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts > v.ts
+    """,
+    doc="as-of temporal join (operators/asof.py): each purchase matched to "
+    "the user's most recent strictly-prior view; DuckDB's native ASOF "
+    "JOIN is the oracle — an independent implementation of the semantics",
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        allow_exact_matches=False,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("matched_event_id"),
+        F.col("matched_view_ts").alias("matched_ts"),
+        F.col("matched_value"),
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*)
+            FROM orders
+        )
+    """,
+    doc="scalar subquery: orders above 1.5× the (decimal-exact) mean price",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders", views=True)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*)
+            FROM orders
+        )
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+        )
+        AND c_acctbal < 0
+    """,
+    doc="correlated EXISTS subquery (decorrelated by Catalyst into a "
+    "semi-join — no per-row re-execution)",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer", "orders", views=True)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+        )
+        AND c_acctbal < 0
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        AND o_orderpriority = '1-URGENT'
+    """,
+    doc="IN subquery → semi-join",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer", "orders", views=True)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        AND o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+@register(
+    "setop_union_intersect_except",
+    oracle="""
+        WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM rich)
+        UNION ALL
+        SELECT 'intersect', COUNT(*) FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+        UNION ALL
+        SELECT 'except', COUNT(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    """,
+    doc="set operations: UNION (distinct), INTERSECT, EXCEPT",
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    u = building.union(rich).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = building.intersect(rich).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = building.subtract(rich).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return u.unionByName(i).unionByName(e)

@@ -195,7 +195,7 @@ def q06_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus AS status,
                count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_value
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -213,7 +213,7 @@ def q07_sql_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus AS status,
                count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_value
         FROM temp
         GROUP BY o_orderstatus
         """,

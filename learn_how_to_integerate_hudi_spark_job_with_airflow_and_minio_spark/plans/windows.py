@@ -1,0 +1,216 @@
+"""Window-function operators (extension mandate — SURVEY §2.5/§7 item 6).
+
+The reference never calls a window function (its precombine dedup is
+Hudi config); the engine's upsert kernel already IS a window
+(q06_latest_per_key), and this module adds the general surface: ranking,
+running aggregates, lag/lead, range frames, and sessionization.
+
+All are one shuffle on the partition keys + in-partition sort — the
+canonical Spark window plan. Running float sums are decimal-cast so the
+segment-tree evaluation DuckDB uses and Spark's running evaluation agree
+bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_tables
+from .catalog import register
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    doc="top-K per group via row_number — the scalable 'greatest N per "
+    "key' pattern (no per-group sort spill at 100 TB: partial top-K "
+    "within partitions)",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ) AS order_seq
+        FROM orders
+    """,
+    doc="running (cumulative) aggregate per key, deterministic full "
+    "ordering; decimal-exact so evaluation strategy doesn't matter",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("string")
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               value - lag(value) OVER w AS delta,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0 AS secs_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="lag/lead navigation: per-user deltas between consecutive events",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "win_rank_percent",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               rank()        OVER w AS bal_rank,
+               dense_rank()  OVER w AS bal_dense_rank,
+               ntile(4)      OVER w AS bal_quartile,
+               percent_rank() OVER w AS bal_pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc="ranking family: rank / dense_rank / ntile / percent_rank",
+)
+def win_rank_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+               ) AS events_last_10min
+        FROM events
+    """,
+    doc="RANGE frame over event time: events within the trailing 10 "
+    "minutes per user (epoch-µs framed so both engines share the frame "
+    "arithmetic)",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_last_10min"),
+    )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc="sessionization: 30-min-gap lag/cumsum pattern (the batch analog "
+    "of streaming session windows) — one shuffle, two window passes",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

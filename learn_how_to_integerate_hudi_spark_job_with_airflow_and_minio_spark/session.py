@@ -86,9 +86,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str, views: bool = Fal
     Temp-view registration mirrors the reference's universal
     ``createOrReplaceTempView`` catalog pattern (SURVEY §1.1).
     """
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            # events.parquet stores timestamp[ns], which Spark's parquet
+            # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+            # truncate to µs — exactly what DuckDB does natively, so both
+            # engines see identical timestamps.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if views:
             df.createOrReplaceTempView(name)
         out[name] = df
