@@ -41,6 +41,11 @@ HEADLINE = [
     "win_topk_per_group",
     "join_asof",
     "win_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "multimodal_features",
 ]
 
 

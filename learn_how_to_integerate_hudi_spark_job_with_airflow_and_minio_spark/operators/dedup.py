@@ -1,0 +1,253 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension mandate — SURVEY §2.5/§7 item 6).
+
+Five flavors, all pure DataFrame compositions (no Python UDFs anywhere):
+
+- **exact**: hash-groupBy on the raw text (or any column set).
+- **n-gram Jaccard**: shingle → explode → self-join on shingle →
+  per-pair intersection counts → Jaccard ≥ τ. Exact, O(Σ pairs sharing
+  a shingle); a document-frequency cap drops stop-shingles so the join
+  fan-out stays bounded at 100 TB.
+- **MinHash + LSH**: k hash functions (xxhash64 with per-function seed)
+  → signature → banded buckets → candidate pairs only within a bucket →
+  exact-Jaccard verify. The candidate join replaces the O(n²) pair space
+  with O(collisions); this is THE scale path.
+- **SimHash**: 64-bit signature via per-bit ±1 vote aggregation over
+  token hashes; near-dup = Hamming distance ≤ d, candidates via 16-bit
+  chunk equality (pigeonhole: d ≤ 3 ⇒ one of four chunks equal).
+- **Embedding cosine**: see operators/similarity.py for the pair path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups over ``cols``: keeper = min(id), group size.
+
+    One hash-shuffle on the (hashed) dedup key — at scale, group by
+    md5/xxhash of the content instead of the content itself so the
+    shuffle carries 16 bytes per row, not the document.
+    """
+    key = F.md5(F.concat_ws("\u001f", *[F.col(c) for c in cols]))
+    return (
+        df.select(F.col(id_col), key.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: float | None
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_df is not None:
+        n_docs = df.count()
+        cap = int(n_docs * max_df)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle")
+        )
+        # stop-shingle cap: drop shingles shared by > max_df of the corpus
+        # (they generate quadratic join fan-out and carry no signal)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_1, id_2, jaccard ≥ τ)."""
+    sh = _shingle_table(df, id_col, text_col, n, max_df)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_1"), F.col("n_sh").alias("n_1"))
+    sb = sizes.select(F.col("_id").alias("id_2"), F.col("n_sh").alias("n_2"))
+    return (
+        inter.join(sa, "id_1")
+        .join(sb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per document (array<long>)."""
+    sh = _shingle_table(df, id_col, text_col, n, None)
+    mins = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    return mins.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs.
+
+    signature → ``bands`` buckets of ``k/bands`` rows → docs colliding in
+    any bucket become candidates → (optionally) exact-Jaccard verify.
+    P(candidate) = 1-(1-j^r)^b — with k=64, b=16, r=4 a j=0.8 pair is
+    caught with p≈0.9996 while j=0.3 pairs stay below 0.13.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    buckets = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", band * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    # verify ONLY the candidates: join each pair to its two (already
+    # distinct) shingle arrays and compute Jaccard with array_intersect —
+    # O(candidates), never the full pair space
+    arrays = df.select(
+        F.col(id_col).alias("_aid"), word_shingles(F.col(text_col), n).alias("_s")
+    )
+    return (
+        candidates.join(
+            arrays.select(F.col("_aid").alias("id_1"), F.col("_s").alias("_s1")),
+            "id_1",
+        )
+        .join(
+            arrays.select(F.col("_aid").alias("id_2"), F.col("_s").alias("_s2")),
+            "id_2",
+        )
+        .withColumn("_n_inter", F.size(F.array_intersect("_s1", "_s2")))
+        .withColumn(
+            "jaccard",
+            F.col("_n_inter")
+            / (F.size("_s1") + F.size("_s2") - F.col("_n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes (pure aggregation:
+    64 per-bit ±1 vote sums in a single pass)."""
+    from .text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{bit}")
+            for bit in range(64)
+        ]
+    )
+    sim = None
+    for bit in range(64):
+        term = F.when(F.col(f"b{bit}") >= 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ d. Candidates via 16-bit
+    chunk equality (pigeonhole for d ≤ 3), then exact popcount check —
+    four narrow equi-joins instead of an O(n²) XOR sweep."""
+    sig = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    pairs = None
+    for c in range(4):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a._id") < F.col("b._id")),
+        ).select(
+            F.col("a._id").alias("id_1"),
+            F.col("b._id").alias("id_2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

@@ -1,0 +1,101 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension
+mandate — SURVEY §2.5).
+
+Design: media payloads are opaque ``binary`` columns with a typed
+metadata struct alongside (mime, byte length, checksum). Decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages — the Spark-side contract (schema, batch shape,
+partitioning) is real and tested; the actual codec calls are STUBBED
+because image/audio libraries are not in this container:
+
+- ``decode_stub``      — deterministic fake decoder (bytes → fixed-dim
+                         feature vector) so pipelines are testable
+                         end-to-end;
+- ``decode_unavailable`` — the honest production hook: raises
+                         NotImplementedError mentioning the missing
+                         codec dependency.
+
+Swapping in a real decoder is a one-argument change to
+``extract_features`` — the plumbing does not move.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, mime string, byte_len long, checksum string"
+)
+
+
+def to_media_table(
+    df: DataFrame, id_col: str, payload_col: str, mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Wrap any binary-able column as a media table with typed metadata."""
+    payload = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.lit(mime).alias("mime"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_stub(payload: bytes) -> list[float]:
+    """Deterministic fake decode: FEATURE_DIM floats from byte content.
+
+    Stands in for image-decode→CNN-embed / audio-decode→fbank etc.; keeps
+    the Arrow batch path and schema identical to a real decoder.
+    """
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    acc = [0] * FEATURE_DIM
+    for i, byte in enumerate(payload):
+        acc[i % FEATURE_DIM] = (acc[i % FEATURE_DIM] + byte) % 997
+    return [v / 997.0 for v in acc]
+
+
+def decode_unavailable(payload: bytes) -> list[float]:
+    raise NotImplementedError(
+        "media decoding requires an image/audio codec library (e.g. Pillow/"
+        "torchaudio), which is not installed in this environment; inject a "
+        "real decoder via extract_features(decoder=...)"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] = decode_stub,
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas``: each task receives an iterator of pandas batches —
+    the decoder runs vectorized per batch, never per-row over Py4J. At
+    100 TB this is the only Python stage in the pipeline, and it scales
+    with executors × cores, bounded by Arrow batch size
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+    """
+
+    out_schema = (
+        "media_id long, byte_len long, feature array<double>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["byte_len"],
+                    "feature": pdf["payload"].map(lambda p: decoder(p)),
+                }
+            )
+
+    return media.mapInPandas(op, schema=out_schema)

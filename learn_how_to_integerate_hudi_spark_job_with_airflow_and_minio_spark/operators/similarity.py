@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (north-star extension
+mandate — SURVEY §2.5/§7 item 6).
+
+Embeddings are plain ``array<float>`` columns; all vector math is
+built-in higher-order functions (``zip_with`` + ``aggregate``) — JVM
+expressions, no Python boundary, codegen-friendly.
+
+Two search paths:
+
+- **brute-force top-k** — the exactness baseline: broadcast the (small)
+  query set against the corpus, score every pair, per-query window
+  top-k. The corpus scan is map-only; cost O(|Q|·N) — right up to a few
+  thousand queries at any corpus size.
+- **LSH-bucketed ANN** (random hyperplanes) — the scale path: b-bit
+  signatures from fixed seeded hyperplanes, candidates = signature
+  (prefix) collisions, exact re-score within candidates. Probing
+  neighboring buckets trades recall for cost. An IVF-style layout falls
+  out of the same signature: partition/cluster the corpus by signature
+  so a probe touches a bounded number of cells (see ``ivf_cells``).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double (left-fold — deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (self-matches excluded).
+
+    ``round_digits`` rounds the score before ranking so rank order is
+    reproducible across engines/runs; ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    score = cosine(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Fixed seeded random hyperplanes (driver-side constants, broadcast
+    into the plan as literals — no state to ship)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def _table_signatures(
+    df: DataFrame, id_alias: str, id_col: str, vec_col: str,
+    dim: int, bits: int, tables: int, seed: int, keep_vec: str,
+) -> DataFrame:
+    """(id, vec, table, sig) — one row per (vector, hash table)."""
+    out = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(keep_vec),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_signature(
+                            F.col(vec_col), hyperplanes(dim, bits, seed + 1000 * t)
+                        ).alias("sig"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("ts"),
+    )
+    return out.select(id_alias, keep_vec, "ts.table", "ts.sig")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Multi-table ANN top-k: ``tables`` independent b-bit signatures;
+    candidates = vectors colliding with the query in ANY table (the
+    standard L-table LSH recall lever); exact cosine re-score + window
+    top-k over the candidate set only.
+
+    Expected candidate fraction ≈ 1-(1-2^-bits)^tables of the corpus —
+    bits and tables tune the recall/cost point; recall vs brute force is
+    measured in pytest.
+    """
+    q = _table_signatures(
+        queries, "query_id", query_id, vec_col, dim, bits, tables, seed, "_qv"
+    )
+    c = _table_signatures(
+        corpus, "neighbor_id", corpus_id, vec_col, dim, bits, tables, seed, "_cv"
+    )
+    score = cosine(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = (
+        c.join(F.broadcast(q), ["table", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .distinct()  # collide in ≥1 table → single candidate row
+        .select("query_id", "neighbor_id", score.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style coarse partitioning: cell id = LSH signature. Writing
+    the corpus partitioned by ``cell`` gives probe-time partition pruning
+    (scan 1/2^bits of the data per probe, more with multi-probe)."""
+    planes = hyperplanes(dim, bits, seed)
+    return corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        lsh_signature(F.col(vec_col), planes).alias("cell"),
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs: all (id_1 < id_2) with cosine ≥ τ.
+
+    Brute self-join here (exact baseline/oracle); the scale path routes
+    through ``lsh_topk``-style bucketing first.
+    """
+    a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("_v1"))
+    b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("_v2"))
+    score = cosine(F.col("_v1"), F.col("_v2"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", score.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

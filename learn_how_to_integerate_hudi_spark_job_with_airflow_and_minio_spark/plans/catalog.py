@@ -70,10 +70,14 @@ def _load_all() -> None:
     # registry, not silently shrink it. Extend this list as modules land.
     from . import (  # noqa: F401
         aggregates,
+        dedup_plans,
         joins,
+        multimodal_plans,
         relational,
         scalar,
+        similarity_plans,
         tablekernel,
+        text_plans,
         windows,
     )
 

@@ -1,0 +1,125 @@
+"""Driver-gated deduplication queries (operators/dedup.py +
+operators/similarity.py) over ``documents`` / ``embeddings``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators.similarity import cosine_pairs
+from ..session import load_tables
+from .catalog import register
+
+# DuckDB shingle expression shared by the jaccard oracles (word 3-grams,
+# distinct, 1-based list comprehension).
+_SHINGLES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) s
+    FROM toks
+)
+"""
+
+_JACCARD_SQL = (
+    _SHINGLES
+    + """
+SELECT a.doc_id AS id_1,
+       b.doc_id AS id_2,
+       len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a
+JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+"""
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS dedup_key,
+               min(doc_id) AS keeper_id,
+               count(*) AS group_size
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    doc="exact dedup: hash-groupBy on content hash, keeper = min id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.exact_dedup(d, cols=["text"], id_col="doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_SQL,
+    doc="exact n-gram (word 3-shingle) Jaccard near-dup pairs at τ=0.8 — "
+    "explode→self-join-on-shingle→per-pair counts; the stop-shingle "
+    "df-cap bounds join fan-out at scale",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_SQL,
+    doc="MinHash(k=64)+LSH(16 bands × 4 rows) near-dup pairs, exact-"
+    "Jaccard verified at τ=0.8. Oracle = the exact pair set: at the "
+    "corpus's planted-pair similarity (j≈0.98) LSH miss probability is "
+    "(1-j⁴)¹⁶ ≈ 1e-18, so ANN equals exact here by construction",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # signature values are hash-function-specific — rows-only
+    doc="SimHash(64-bit) near-dup pairs at Hamming ≤ 3; candidates via "
+    "16-bit chunk equality (pigeonhole), verified by popcount. Recall "
+    "vs exact Jaccard asserted in pytest",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT a.vec_id AS id_1,
+               b.vec_id AS id_2,
+               round(
+                 (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y))
+                 / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                          FROM (SELECT unnest(a.embedding) x)))
+                    * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                            FROM (SELECT unnest(b.embedding) y)))),
+                 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                 (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y))
+                 / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                          FROM (SELECT unnest(a.embedding) x)))
+                    * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                            FROM (SELECT unnest(b.embedding) y)))),
+                 6) >= 0.45
+    """,
+    doc="embedding-cosine near-dup pairs at τ=0.45 (rounded to 6 digits "
+    "for cross-engine rank stability); brute pair scan as exactness "
+    "baseline — the scale path buckets via LSH first",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.45, round_digits=6)

@@ -1,0 +1,83 @@
+"""Driver-gated similarity-search queries (operators/similarity.py)
+over ``embeddings``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..session import load_tables
+from .catalog import register
+
+_COS = """
+round(
+  (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+   FROM (SELECT unnest(q.embedding) x, unnest(c.embedding) y))
+  / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+           FROM (SELECT unnest(q.embedding) x)))
+     * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+             FROM (SELECT unnest(c.embedding) y)))),
+  6)
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS neighbor_id,
+                   {_COS}   AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS} DESC, c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        )
+        WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-5 for 10 query vectors: broadcast queries "
+    "× map-only corpus scan × per-query window top-k — the exactness "
+    "baseline for ANN",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, round_digits=6
+    )
+
+
+@register(
+    "sim_lsh_ann",
+    oracle=None,  # recall < 1 by design; recall vs brute asserted in pytest
+    doc="multi-table LSH ANN (8 tables x 4-bit random-hyperplane "
+    "signatures): exact re-score only within signature collisions — "
+    "the 100 TB path; rows-only here, recall measured in tests",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.where(F.col("vec_id") < 10)
+    return S.lsh_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, dim=64, bits=4, tables=8
+    )
+
+
+@register(
+    "sim_ivf_cells",
+    oracle=None,  # cell assignment is signature-specific — rows-only
+    doc="IVF-style coarse partitioning: LSH signature as cell id; "
+    "partition-by-cell layout gives probe-time partition pruning",
+)
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cells = S.ivf_cells(e, "vec_id", "embedding", dim=64, bits=4)
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )

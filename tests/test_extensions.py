@@ -1,0 +1,92 @@
+"""Quality checks for the non-oracled extension operators: ANN recall vs
+brute force, SimHash recall on the corpus's planted near-dups, and the
+multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+    dedup as D,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+    multimodal as M,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+    similarity as S,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.session import (
+    load_tables,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_tables(spark, SF_DIR, "documents")["documents"]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+
+
+def _pairs(df):
+    return {(r["id_1"], r["id_2"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_equals_exact_here(spark, documents):
+    exact = _pairs(D.ngram_jaccard_pairs(documents, "doc_id", "text", threshold=0.8))
+    lsh = _pairs(D.minhash_lsh_pairs(documents, "doc_id", "text", threshold=0.8))
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert lsh == exact  # j≈0.98 pairs: miss probability ~1e-18
+
+
+def test_simhash_finds_planted_pairs(spark, documents):
+    exact = _pairs(D.ngram_jaccard_pairs(documents, "doc_id", "text", threshold=0.9))
+    sim = _pairs(D.simhash_pairs(documents, "doc_id", "text", max_hamming=10))
+    # simhash is token-multiset-based (order-blind), so it should catch
+    # the vast majority of the j≥0.9 shingle pairs
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall:.2f} on planted pairs"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, embeddings):
+    import pyspark.sql.functions as F
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    brute = S.brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=5)
+    ann = S.lsh_topk(queries, embeddings, "vec_id", "vec_id", k=5, dim=64, bits=4, tables=8)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    # 8 tables x 4 bits: ~40% of the corpus as candidates → ~0.7 recall
+    # on these near-random vectors (clustered real embeddings do better)
+    assert recall >= 0.5, f"ANN recall {recall:.2f}"
+    # every ANN hit must carry the exact (re-scored) cosine ranking fields
+    assert set(ann.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_ivf_cells_partition_all_vectors(spark, embeddings):
+    cells = S.ivf_cells(embeddings, "vec_id", bits=4)
+    assert cells.count() == embeddings.count()
+    n_cells = cells.select("cell").distinct().count()
+    assert 2 <= n_cells <= 16
+
+
+def test_multimodal_stub_features_deterministic(spark, documents):
+    media = M.to_media_table(documents.limit(20), "doc_id", "text", mime="text/plain")
+    f1 = {r["media_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
+    # features reflect content (not all identical)
+    assert len({tuple(v) for v in f1.values()}) > 1
+
+
+def test_multimodal_unavailable_decoder_raises(spark, documents):
+    media = M.to_media_table(documents.limit(2), "doc_id", "text")
+    df = M.extract_features(media, decoder=M.decode_unavailable)
+    with pytest.raises(Exception, match="NotImplementedError|codec|decoder"):
+        df.collect()
