@@ -46,6 +46,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_quality",
     "multimodal_features",
+    "stream_tumbling_window",
+    "stream_table_feed",
 ]
 
 

@@ -76,6 +76,7 @@ def _load_all() -> None:
         relational,
         scalar,
         similarity_plans,
+        streaming_plans,
         tablekernel,
         text_plans,
         windows,

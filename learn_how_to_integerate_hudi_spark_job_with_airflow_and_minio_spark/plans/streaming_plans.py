@@ -1,0 +1,141 @@
+"""Driver-gated streaming queries (streaming/windows.py).
+
+Each query runs a REAL Structured Streaming job synchronously (memory
+sink, ``processAllAvailable``) and returns the materialized result; the
+oracle is the batch recomputation in DuckDB — the streaming-oracle
+strategy from SURVEY §7 ("use batch re-computation as oracle").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import (
+    events_stream,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from .catalog import register
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="streaming tumbling-window aggregate (1h windows, watermarked), "
+    "driven to completion through the memory sink; oracle = batch "
+    "recomputation (epoch-aligned hour buckets)",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_counts(events_stream(spark, sf_dir))
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+        WITH starts AS (
+            SELECT unnest([
+                       time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                   ]) AS window_start
+            FROM events
+        )
+        SELECT window_start, COUNT(*) AS n_events
+        FROM starts
+        GROUP BY window_start
+    """,
+    doc="streaming sliding windows (1h size / 30min slide — every event "
+    "in exactly two windows); oracle enumerates both window starts per "
+    "event in batch",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_counts(events_stream(spark, sf_dir))
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM gaps
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               COUNT(*) AS n_events,
+               min(ts) AS first_event,
+               max(ts) AS last_event
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    doc="session windows (30min gap, per user) via session_window — "
+    "identical semantics in batch and streaming plans; oracle = the "
+    "lag/cumsum sessionization (session closes when gap >= the "
+    "threshold, matching session_window's half-open [start, last+gap))",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_tables
+
+    # batch plan of the same session_window operator — streaming flavor
+    # (two-phase state merge) is exercised in tests/test_streaming.py
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return session_counts(ev)
+
+
+@register(
+    "stream_table_feed",
+    oracle="""
+        SELECT o_orderstatus AS status, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderstatus
+    """,
+    doc="Structured-Streaming incremental consumption of an engine table "
+    "(Table.read_stream over the commit-partitioned layout): two "
+    "append-only commits land, the stream discovers both commits' files "
+    "and aggregates — the streaming twin of S5/S6",
+)
+def stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..session import load_tables
+    from ..table import Table
+
+    orders = (
+        load_tables(spark, sf_dir, "orders")["orders"]
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    path = tempfile.mkdtemp(prefix="engine_stream_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderkey", table_name="orders_feed"
+    )
+    t.insert(orders.where(F.col("o_orderkey") % 4 == 0))
+    t.insert(orders.where(F.col("o_orderkey") % 4 != 0))
+    agg = (
+        t.read_stream()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_stream_to_memory(agg, output_mode="complete")

@@ -1,0 +1,112 @@
+"""Structured Streaming operators (SURVEY §7 item 6; no reference analog
+— the reference's incremental-ness is batch pull with explicit
+checkpoints, SURVEY §2.5).
+
+The engine's streaming flavor of incremental consumption
+(``Table.read_stream``) plus event-time windowing: tumbling, sliding,
+and session windows with watermarks. For tests and driver-gated oracle
+queries, streams run synchronously to completion against the memory sink
+(``run_stream_to_memory``) — the parquet batch drives the stream, and
+the result is comparable to a batch recomputation (the oracle strategy
+SURVEY §7 prescribes for streaming: DuckDB can't run a stream, but it
+can run the batch equivalent).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ns timestamps normalized to
+    µs exactly like the batch loader)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource needs a directory; the testdata is a bare (read-
+    # only) file — expose it through a symlink dir.
+    src_dir = tempfile.mkdtemp(prefix="engine_events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion via the memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window aggregate with a watermark bounding
+    state (late rows beyond the watermark are dropped in append mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in size/slide windows."""
+    return (
+        events.groupBy(F.window("ts", size, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (gap-based, per user). ``session_window`` works in
+    both batch and streaming plans — identical semantics."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_event"),
+            F.max("ts").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )

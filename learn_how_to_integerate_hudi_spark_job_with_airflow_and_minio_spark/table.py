@@ -225,6 +225,25 @@ class Table:
     def is_empty(self) -> bool:
         return not self.current_files()
 
+    def read_stream(self) -> DataFrame:
+        """Structured-Streaming flavor of the incremental scan (SURVEY
+        §3.3): a file-source stream over the commit-partitioned data
+        layout — each new commit's files are discovered as they land, and
+        the stream's own ``checkpointLocation`` replaces the explicit
+        JSON checkpoint of the batch reader.
+
+        Exact for append-only tables (insert/bulk_insert). For upsert
+        (COW) tables the feed is CDC-like: rewrites re-emit surviving
+        rows; consumers dedup downstream on (key, max ``_commit_time``) —
+        the same window kernel as Q10.
+        """
+        schema = self._schema()
+        if schema is None:
+            raise ValueError(f"table at {self.path} has no commits yet")
+        return self.spark.readStream.schema(schema).parquet(
+            posixpath.join(self.path, "data", "*")
+        )
+
     # -- writes ----------------------------------------------------------
 
     def upsert(self, df: DataFrame) -> str:
