@@ -1,0 +1,134 @@
+"""Property-based tests for the upsert kernel (SURVEY §5 item 4).
+
+Hypothesis generates small keyed batches; properties assert the kernel's
+algebra: within-batch precombine resolution, sequential incoming-wins
+semantics, incremental-window composition, and delete/reinstate.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+    Table,
+)
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=7),   # key
+    st.integers(min_value=0, max_value=5),   # ver (precombine)
+    st.sampled_from(["a", "b", "c", "d"]),   # val
+)
+BATCH = st.lists(ROW, min_size=1, max_size=12)
+
+_SEQ = 0
+
+
+def _mk(spark, tmp_base):
+    global _SEQ
+    _SEQ += 1
+    return Table.create(
+        spark, f"{tmp_base}/t{_SEQ}", key="id", precombine="ver", table_name="t"
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, f"{val}{k}:{v}") for k, v, val in rows],
+        "id long, ver long, val string",
+    )
+
+
+def _snap(t):
+    return {
+        r["id"]: (r["ver"], r["val"]) for r in t.snapshot().collect()
+    }
+
+
+def expected_single_batch(rows):
+    """max(precombine) per key wins; ties → later row in batch order."""
+    out = {}
+    for k, v, val in rows:
+        tagged = f"{val}{k}:{v}"
+        if k not in out or v >= out[k][0]:
+            out[k] = (v, tagged)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=BATCH)
+def test_single_upsert_is_precombine_dedup(spark, tmp_path_factory, rows):
+    t = _mk(spark, tmp_path_factory.mktemp("prop"))
+    t.upsert(_df(spark, rows))
+    assert _snap(t) == expected_single_batch(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(b1=BATCH, b2=BATCH)
+def test_sequential_upserts_incoming_wins(spark, tmp_path_factory, b1, b2):
+    t = _mk(spark, tmp_path_factory.mktemp("prop"))
+    t.upsert(_df(spark, b1))
+    t.upsert(_df(spark, b2))
+    want = expected_single_batch(b1)
+    want.update(expected_single_batch(b2))  # incoming batch replaces stored
+    assert _snap(t) == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(b1=BATCH, b2=BATCH, b3=BATCH)
+def test_incremental_windows_compose(spark, tmp_path_factory, b1, b2, b3):
+    t = _mk(spark, tmp_path_factory.mktemp("prop"))
+    c1 = t.upsert(_df(spark, b1))
+    c2 = t.upsert(_df(spark, b2))
+    c3 = t.upsert(_df(spark, b3))
+
+    def keys(df):
+        return {r["id"] for r in df.collect()}
+
+    # changed-key sets compose across adjacent windows
+    assert keys(t.incremental(c1, c3)) == keys(t.incremental(c1, c2)) | keys(
+        t.incremental(c2, c3)
+    )
+    # full-timeline incremental == snapshot (latest version of every key)
+    snap_rows = {(r["id"], r["ver"], r["val"]) for r in t.snapshot().collect()}
+    inc_rows = {
+        (r["id"], r["ver"], r["val"]) for r in t.incremental(None).collect()
+    }
+    assert snap_rows == inc_rows
+    # the last window's rows agree with the snapshot on those keys
+    snap = _snap(t)
+    for r in t.incremental(c2, c3).collect():
+        assert snap[r["id"]] == (r["ver"], r["val"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=BATCH, del_keys=st.sets(st.integers(0, 7), max_size=4))
+def test_delete_then_reinstate(spark, tmp_path_factory, rows, del_keys):
+    t = _mk(spark, tmp_path_factory.mktemp("prop"))
+    t.upsert(_df(spark, rows))
+    t.delete(spark.createDataFrame([(k,) for k in del_keys] or [(99,)], "id long"))
+    want = {
+        k: v for k, v in expected_single_batch(rows).items() if k not in del_keys
+    }
+    assert _snap(t) == want
+    # reinstating a deleted key via upsert works
+    if del_keys:
+        k = sorted(del_keys)[0]
+        t.upsert(_df(spark, [(k, 0, "z")]))
+        assert _snap(t)[k] == (0, f"z{k}:0")
