@@ -139,3 +139,56 @@ def stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 = 0
+    """,
+    doc="streaming ETL into a lakehouse table: foreachBatch routes every "
+    "micro-batch through the engine's keyed upsert (exactly-once per "
+    "batch via the commit manifest) — the streaming version of the "
+    "reference's silver→gold pipeline",
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..session import load_tables
+    from ..table import META_COL, Table
+
+    orders = (
+        load_tables(spark, sf_dir, "orders")["orders"]
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    scratch = tempfile.mkdtemp(prefix="engine_febatch_")
+    src = Table.create(
+        spark, f"{scratch}/src", key="o_orderkey", precombine="o_orderkey",
+        table_name="src",
+    )
+    src.insert(orders.where(F.col("o_orderkey") % 2 == 0))
+    src.insert(orders.where(F.col("o_orderkey") % 2 != 0))
+
+    gold = Table.create(
+        spark, f"{scratch}/gold", key="o_orderkey", precombine="o_orderkey",
+        table_name="gold",
+    )
+
+    def sink(batch_df, epoch_id):
+        if not batch_df.isEmpty():
+            gold.upsert(batch_df.drop(META_COL))
+
+    q = (
+        src.read_stream()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return gold.snapshot().drop(META_COL)

@@ -179,3 +179,78 @@ def incremental_pipeline_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold.upsert(gold_df)
     loaders.commit_checkpoints()  # after the gold write commits (§2.6 fix)
     return gold.snapshot().drop(META_COL)
+
+
+@register(
+    "table_time_travel",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    doc="MVCC time travel: snapshot(as_of=first commit) after a later "
+    "update commit returns the original table state (manifest replay)",
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, c1, _, _ = _build_orders_table(spark, sf_dir)
+    return t.snapshot(as_of=c1).drop(META_COL)
+
+
+@register(
+    "table_partition_pruning",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+    doc="K3 partitioned table + stats-based partition pruning: files are "
+    "co-located by partition value at write, the manifest's min/max "
+    "stats prune non-matching files before the scan (hive-style "
+    "partition-pruning analog)",
+)
+def table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        partition_fields=["o_orderstatus"], table_name="orders_part",
+    )
+    t.bulk_insert(orders)
+    return (
+        t.snapshot(filters={"o_orderstatus": "F"})
+        .where(F.col("o_orderstatus") == "F")  # stats pruning is file-level; exact filter on top
+        .drop(META_COL)
+    )
+
+
+@register(
+    "table_clean_snapshot",
+    oracle=_UPSERTED_SQL,
+    doc="K6 cleaner: physically GC files retired beyond the retention "
+    "window; live snapshot is byte-identical before and after",
+)
+def table_clean_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _, _, orders = _build_orders_table(spark, sf_dir)
+    t.upsert(_update_batch(orders))  # third commit so something is GC-able
+    TableServices(t).clean(retain_commits=1)
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "q00_inmemory_ingest",
+    oracle="""
+        SELECT *
+        FROM (VALUES (1, 'john', 100000), (2, 'jane', 120000))
+             AS t(customer_id, name, salary)
+    """,
+    doc="S1 in-memory row ingest (the reference's createDataFrame path: "
+    "list-of-rows with schema from keys, hudi_spark_minio.py:38-65)",
+)
+def q00_inmemory_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        {"customer_id": 1, "name": "john", "salary": 100000},
+        {"customer_id": 2, "name": "jane", "salary": 120000},
+    ]
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        schema="customer_id int, name string, salary int",
+    )

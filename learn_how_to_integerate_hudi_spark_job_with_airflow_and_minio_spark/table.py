@@ -168,11 +168,15 @@ class Table:
 
     # -- reads ---------------------------------------------------------
 
-    def snapshot(self, filters: dict[str, Any] | None = None) -> DataFrame:
+    def snapshot(
+        self, filters: dict[str, Any] | None = None, as_of: str | None = None
+    ) -> DataFrame:
         """Latest version of every key (S4). ``filters`` ({col: value} or
         {col: (lo, hi)}) prunes files via manifest stats before the scan —
-        the engine's column-stats-index analog (SURVEY §4)."""
-        entries = self.current_files()
+        the engine's column-stats-index analog (SURVEY §4). ``as_of``
+        time-travels to the table state at that commit (MVCC over the
+        manifest; readable until the cleaner retires the old files)."""
+        entries = self.current_files(as_of=as_of)
         if filters:
             entries = [e for e in entries if _stats_match(e, filters)]
         return self._read_entries(entries)
