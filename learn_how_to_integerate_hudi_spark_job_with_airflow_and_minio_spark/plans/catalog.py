@@ -72,6 +72,7 @@ def _load_all() -> None:
         aggregates,
         arrays_misc,
         dedup_plans,
+        formats,
         joins,
         multimodal_plans,
         relational,

@@ -1,0 +1,133 @@
+"""File-format source/sink coverage: CSV, JSON-lines, ORC roundtrips
+(SURVEY §2.5 notes the reference supports only Parquet-under-Hudi; a
+complete engine reads and writes the standard formats).
+
+Each query writes a slice of the testdata out in the target format and
+reads it back with an explicit schema (no inferSchema in the engine's
+read path — SURVEY §1.1 schema stance), then aggregates; the oracle runs
+the same aggregate on the original parquet. Doubles survive the text
+formats exactly because Spark emits shortest-roundtrip representations.
+Also registers the skew-salting operators' queries (operators/skew.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_aggregate, salted_join
+from ..session import load_tables
+from .catalog import register
+
+_AGG_ORACLE = """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+_SCHEMA = "o_orderkey long, o_orderstatus string, o_totalprice double"
+
+
+def _slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="CSV sink + source (header, explicit schema — no inferSchema): "
+    "write/read roundtrip preserves values exactly",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="engine_csv_")
+    _slice(spark, sf_dir).write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(_SCHEMA).option("header", True).csv(out)
+    return _agg(back)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="JSON-lines sink + source with explicit schema",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="engine_json_")
+    _slice(spark, sf_dir).write.mode("overwrite").json(out)
+    back = spark.read.schema(_SCHEMA).json(out)
+    return _agg(back)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="ORC sink + source (columnar alternative to parquet)",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="engine_orc_")
+    _slice(spark, sf_dir).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return _agg(back)
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="salted two-phase aggregate on a genuinely hot key (5 event types "
+    "→ 5 reducers naively; salting spreads each key over 16): identical "
+    "result, 16× lower max reducer load at scale",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        sum_cols={"total_value": F.col("value").cast("decimal(18,6)")},
+        salt=16,
+        salt_on="event_id",
+    ).withColumn("total_value", F.col("total_value").cast("string").cast("double"))
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+        SELECT e.event_type, d.weight, COUNT(*) AS n
+        FROM events e
+        JOIN (VALUES ('click', 1.0), ('view', 2.0), ('purchase', 10.0),
+                     ('signup', 5.0), ('error', 0.0)) AS d(event_type, weight)
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type, d.weight
+    """,
+    doc="salted replicate join on a hot key: right side duplicated per "
+    "salt bucket, left deterministically salted — one hot key spreads "
+    "over 16 shuffle tasks",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(ev, dim, "event_type", salt=16, salt_on="event_id")
+    return joined.groupBy("event_type", "weight").agg(F.count(F.lit(1)).alias("n"))

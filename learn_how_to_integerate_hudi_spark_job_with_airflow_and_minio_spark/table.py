@@ -267,6 +267,7 @@ class Table:
 
     def insert(self, df: DataFrame, dedup_batch: bool = True) -> str:
         """Append without merging into existing keys (Hudi 'insert' op)."""
+        self._validate_batch(df, need_precombine=dedup_batch)
         commit = self._next_commit()
         batch = self._dedup_batch(df) if dedup_batch else df
         stamped = batch.withColumn(META_COL, F.lit(commit))
@@ -277,6 +278,7 @@ class Table:
     def bulk_insert(self, df: DataFrame) -> str:
         """Sorted bulk load (Hudi 'bulk_insert'): key-sorted files →
         tight key-range stats → better pruning on later upserts."""
+        self._validate_batch(df, need_precombine=False)
         commit = self._next_commit()
         stamped = df.withColumn(META_COL, F.lit(commit)).sortWithinPartitions(
             self.key
@@ -312,6 +314,23 @@ class Table:
 
     # -- write internals -------------------------------------------------
 
+    def _validate_batch(self, df: DataFrame, need_precombine: bool = True) -> None:
+        missing = [
+            c
+            for c in ([self.key, self.precombine] if need_precombine else [self.key])
+            if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"batch is missing required column(s) {missing} "
+                f"(key={self.key!r}, precombine={self.precombine!r})"
+            )
+        if META_COL in df.columns:
+            raise ValueError(
+                f"batch must not carry the reserved meta column {META_COL!r}; "
+                "drop it before writing"
+            )
+
     def _dedup_batch(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.window import Window
 
@@ -329,6 +348,7 @@ class Table:
         )
 
     def _merge_write(self, df: DataFrame, action: str) -> str:
+        self._validate_batch(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
         entries = self.current_files()
@@ -431,6 +451,16 @@ class Table:
         removed: list[str],
         schema: StructType | None,
     ) -> None:
+        manifest_path = posixpath.join(self._commits_dir(), f"{commit}.json")
+        if self.fs.exists(manifest_path):
+            # single-writer assumption violated (SURVEY §7: v1 documents
+            # no OCC) — fail loudly rather than silently clobbering a
+            # concurrent writer's commit
+            raise RuntimeError(
+                f"commit {commit} already published at {manifest_path}: "
+                "concurrent writer detected (engine v1 is single-writer "
+                "per table)"
+            )
         manifest = {
             "commit": commit,
             "action": action,
@@ -439,7 +469,7 @@ class Table:
             "files_removed": removed,
             "schema": schema.jsonValue() if schema is not None else None,
         }
-        write_json(posixpath.join(self._commits_dir(), f"{commit}.json"), manifest)
+        write_json(manifest_path, manifest)
 
 
 def _file_stats(path: str, cols: list[str]) -> dict:

@@ -191,3 +191,36 @@ def test_schema_evolution_on_upsert(spark, tpath):
     assert "note" in snap.columns
     got = {r["id"]: r["note"] for r in snap.collect()}
     assert got == {1: None, 2: "extra"}
+
+
+def test_upsert_batch_validation(spark, tpath):
+    import pytest as _pytest
+
+    t = make_table(spark, tpath)
+    bad = spark.createDataFrame([(1, "a")], "id long, val string")  # no ver
+    with _pytest.raises(ValueError, match="missing required column"):
+        t.upsert(bad)
+    carrying_meta = spark.createDataFrame(
+        [(1, 1, "a", "x")], "id long, ver long, val string, _commit_time string"
+    )
+    with _pytest.raises(ValueError, match="reserved meta column"):
+        t.upsert(carrying_meta)
+
+
+def test_concurrent_writer_collision_detected(spark, tpath):
+    import pytest as _pytest
+
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    # simulate a second writer having published the next commit id
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.storage import (
+        write_json,
+    )
+
+    write_json(f"{tpath}/_commits/{2:020d}.json", {"commit": f"{2:020d}"})
+    t2 = Table.load(spark, tpath)
+    # t2 computes next id from the timeline (3) — fine; but a writer that
+    # raced to the same id must fail loudly at publish
+    t.fs  # noqa: B018
+    with _pytest.raises(RuntimeError, match="concurrent writer"):
+        t._publish(f"{2:020d}", "upsert", [], [], None)
