@@ -254,3 +254,113 @@ def q00_inmemory_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(r.values()) for r in rows],
         schema="customer_id int, name string, salary int",
     )
+
+
+@register(
+    "table_merge_mixed",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+    """,
+    doc="MERGE INTO semantics (Table.merge): one source batch carrying "
+    "updates (keys mod 5) and deletes (keys mod 7, delete flag) applied "
+    "in a single COW commit — matched update / matched delete / "
+    "not-matched insert",
+)
+def table_merge_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate", table_name="orders"
+    )
+    t.upsert(orders)
+    updates = (
+        orders.where((F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("_delete", F.lit(False))
+    )
+    deletes = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "_delete", F.lit(True)
+    )
+    t.merge(updates.unionByName(deletes), delete_col="_delete")
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "sql_catalog_attach",
+    oracle="""
+        SELECT o_orderstatus AS status, COUNT(*) AS n, max(o_orderkey) AS max_key
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="SQL-over-views surface (reference's temp-view catalog, SURVEY "
+    "§1.1): attach an engine table's snapshot as a named view and run an "
+    "arbitrary SQL string against it",
+)
+def sql_catalog_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog_api import sql_over
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate", table_name="orders"
+    )
+    t.upsert(orders)
+    return sql_over(
+        spark,
+        {"eng_orders": t.path},
+        """
+        SELECT o_orderstatus AS status, COUNT(*) AS n, max(o_orderkey) AS max_key
+        FROM eng_orders
+        GROUP BY o_orderstatus
+        """,
+    )
+
+
+@register(
+    "quality_report",
+    oracle="""
+        SELECT 'not_null_o_custkey' AS rule,
+               CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+               COUNT(*) AS total
+        FROM orders
+        UNION ALL
+        SELECT 'in_set_o_orderpriority',
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'in_range_o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000
+                              OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'unique_o_orderkey',
+               COUNT(*) - COUNT(DISTINCT o_orderkey),
+               COUNT(*)
+        FROM orders
+    """,
+    doc="data-quality expectations (operators/quality.py): not-null / "
+    "value-set / range / key-uniqueness rules evaluated in one "
+    "conditional-count pass + one distinct pass",
+)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import InRange, InSet, NotNull, check
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return check(
+        orders,
+        [
+            NotNull("o_custkey"),
+            InSet("o_orderpriority", ("1-URGENT", "2-HIGH")),
+            InRange("o_totalprice", 0, 300000),
+        ],
+        unique=["o_orderkey"],
+    )

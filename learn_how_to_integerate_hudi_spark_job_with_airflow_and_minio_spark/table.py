@@ -312,6 +312,50 @@ class Table:
         self._publish(commit, "delete", added, removed, survivors.schema)
         return commit
 
+    def merge(self, source: DataFrame, delete_col: str | None = None) -> str:
+        """MERGE INTO semantics in one COW commit (the Delta-style
+        ``WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+        INSERT`` surface, emulated with anti-join + union as plain Spark):
+
+        - source rows with ``delete_col`` true delete their key;
+        - all other source rows upsert (matched → replace, unmatched →
+          insert), with within-batch max(precombine) resolution.
+
+        One pass over the affected files only — same cost envelope as
+        :meth:`upsert`.
+        """
+        if delete_col is None:
+            return self.upsert(source)
+        deletes = source.where(F.col(delete_col)).select(self.key).distinct()
+        upserts = self._dedup_batch(
+            source.where(~F.col(delete_col)).drop(delete_col)
+        )
+        commit = self._next_commit()
+        batch = upserts.withColumn(META_COL, F.lit(commit))
+        all_keys = (
+            source.select(self.key).distinct()
+        )  # both update and delete keys affect files
+        entries = self.current_files()
+        out = batch
+        removed: list[str] = []
+        if entries:
+            candidates = self._prune_by_keys(entries, all_keys)
+            if candidates:
+                existing = self._with_file(candidates)
+                affected = self._affected_files(existing, all_keys)
+                if affected:
+                    survivors = (
+                        existing.where(F.col("_file").isin(affected))
+                        .drop("_file")
+                        .join(all_keys, self.key, "left_anti")
+                    )
+                    out = survivors.unionByName(batch, allowMissingColumns=True)
+                    removed = self._to_rel(affected)
+        # deleted keys simply don't reappear in the rewrite
+        added = self._write_files(out, commit)
+        self._publish(commit, "merge", added, removed, out.schema)
+        return commit
+
     # -- write internals -------------------------------------------------
 
     def _validate_batch(self, df: DataFrame, need_precombine: bool = True) -> None:
