@@ -77,6 +77,7 @@ def _load_all() -> None:
         multimodal_plans,
         relational,
         scalar,
+        scalar2,
         similarity_plans,
         streaming_plans,
         tablekernel,

@@ -1,0 +1,146 @@
+"""Second scalar/aggregate batch: hash functions, edit distance,
+extended regexp, moment-based correlation/covariance, exact percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .catalog import register
+
+
+@register(
+    "scalar_hash_funcs",
+    oracle="""
+        SELECT p_partkey,
+               md5(p_name)          AS name_md5,
+               sha256(p_name)       AS name_sha256,
+               md5(concat(p_brand, '|', p_type)) AS brand_type_md5
+        FROM part
+    """,
+    doc="cryptographic hash family (md5 / sha256): content addressing "
+    "and dedup keys — identical hex across engines",
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.md5(F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type"))).alias(
+            "brand_type_md5"
+        ),
+    )
+
+
+@register(
+    "scalar_levenshtein",
+    oracle="""
+        SELECT p_partkey, p_brand,
+               levenshtein(p_brand, 'Brand#10') AS dist_to_b10,
+               levenshtein(p_type, 'STANDARD')  AS dist_to_standard
+        FROM part
+    """,
+    doc="edit distance (levenshtein): fuzzy string matching primitive",
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("dist_to_b10"),
+        F.levenshtein(F.col("p_type"), F.lit("STANDARD")).alias("dist_to_standard"),
+    )
+
+
+@register(
+    "scalar_regexp_extended",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'the'))            AS n_the,
+               regexp_matches(text, '^[a-z ]+$')               AS all_lower,
+               regexp_replace(text[1:40], '(a|the) ', '<\\1> ', 'g') AS art_tagged
+        FROM documents
+    """,
+    doc="extended regexp: match-count (regexp_count), predicate (rlike), "
+    "global replace with backreference",
+)
+def scalar_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("the")).alias("n_the"),
+        F.col("text").rlike("^[a-z ]+$").alias("all_lower"),
+        F.regexp_replace(
+            F.substring(F.col("text"), 1, 40), r"(a|the) ", "<$1> "
+        ).alias("art_tagged"),
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n,
+               (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+               (sxy - sx * sy / n)
+                   / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+        FROM m
+    """,
+    doc="covariance/correlation from exact decimal moment sums — "
+    "order-independent, bit-identical across engines (native corr/covar "
+    "aggregates stream in engine-specific orders)",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+
+    def d(c):
+        return F.sum(c).cast("string").cast("double")
+
+    n = F.count(F.lit(1))
+    sx, sy, sxx, syy, sxy = d(x), d(y), d(x * x), d(y * y), d(x * y)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        cov.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_exact_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5)  AS median_qty,
+               quantile_cont(l_quantity, 0.9)  AS p90_qty,
+               max(l_quantity)                 AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="exact percentiles (linear interpolation): Spark percentile vs "
+    "DuckDB quantile_cont — same continuous-quantile definition",
+)
+def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
