@@ -75,6 +75,7 @@ def _load_all() -> None:
         formats,
         joins,
         multimodal_plans,
+        pandas_udfs,
         relational,
         scalar,
         scalar2,

@@ -364,3 +364,19 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique=["o_orderkey"],
     )
+
+
+@register(
+    "table_restore",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    doc="RESTORE (rollback): manifest-only commit that reverts the live "
+    "file set to an earlier commit's state — after restoring past the "
+    "update commit, the snapshot equals the original load",
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, c1, _, _ = _build_orders_table(spark, sf_dir)
+    t.restore(c1)
+    return t.snapshot().drop(META_COL)

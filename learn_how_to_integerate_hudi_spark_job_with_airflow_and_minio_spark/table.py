@@ -159,8 +159,10 @@ class Table:
     def _abs(self, rel: str) -> str:
         return posixpath.join(self.path, rel)
 
-    def _schema(self) -> StructType | None:
+    def _schema(self, as_of: str | None = None) -> StructType | None:
         for c in reversed(self.commits()):
+            if as_of is not None and c > as_of:
+                continue
             m = self._manifest(c)
             if m.get("schema"):
                 return StructType.fromJson(m["schema"])
@@ -179,7 +181,7 @@ class Table:
         entries = self.current_files(as_of=as_of)
         if filters:
             entries = [e for e in entries if _stats_match(e, filters)]
-        return self._read_entries(entries)
+        return self._read_entries(entries, as_of=as_of)
 
     def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
         """Latest version of every key changed in ``(begin, end]`` (S5) —
@@ -212,9 +214,9 @@ class Table:
             return self.incremental(kw.get("begin"), kw.get("end"))
         raise ValueError(f"unknown query type: {query_type}")
 
-    def _read_entries(self, entries: list[dict]) -> DataFrame:
+    def _read_entries(self, entries: list[dict], as_of: str | None = None) -> DataFrame:
         paths = [self._abs(e["path"]) for e in entries]
-        schema = self._schema()
+        schema = self._schema(as_of=as_of)
         if not paths:
             if schema is None:
                 raise ValueError(f"table at {self.path} has no commits yet")
@@ -310,6 +312,19 @@ class Table:
         added = self._write_files(survivors, commit)
         removed = self._to_rel(affected)
         self._publish(commit, "delete", added, removed, survivors.schema)
+        return commit
+
+    def restore(self, as_of: str) -> str:
+        """Roll the table back to its state at commit ``as_of`` — a new
+        'restore' commit whose live set is the old file set (no data is
+        copied; pure manifest surgery, like Delta RESTORE). History after
+        ``as_of`` stays in the timeline for audit until cleaned."""
+        target = {e["path"]: e for e in self.current_files(as_of=as_of)}
+        current = {e["path"]: e for e in self.current_files()}
+        commit = self._next_commit()
+        added = [target[p] for p in sorted(set(target) - set(current))]
+        removed = sorted(set(current) - set(target))
+        self._publish(commit, "restore", added, removed, self._schema(as_of=as_of))
         return commit
 
     def merge(self, source: DataFrame, delete_col: str | None = None) -> str:
