@@ -53,13 +53,19 @@ def decode_stub(payload: bytes) -> list[float]:
 
     Stands in for image-decode→CNN-embed / audio-decode→fbank etc.; keeps
     the Arrow batch path and schema identical to a real decoder.
+    Vectorized (numpy over the byte buffer) — the stub should model a
+    real decoder's batch-friendly cost profile, not a Python byte loop.
     """
+    import numpy as np
+
     if payload is None:
         return [0.0] * FEATURE_DIM
-    acc = [0] * FEATURE_DIM
-    for i, byte in enumerate(payload):
-        acc[i % FEATURE_DIM] = (acc[i % FEATURE_DIM] + byte) % 997
-    return [v / 997.0 for v in acc]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    pad = (-len(arr)) % FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    acc = arr.reshape(-1, FEATURE_DIM).astype(np.int64).sum(axis=0) % 997
+    return (acc / 997.0).tolist()
 
 
 def decode_unavailable(payload: bytes) -> list[float]:
