@@ -1,0 +1,142 @@
+"""Collection aggregates, boolean aggregates, ALL-variant set ops, and
+null-ordering — closing out the general aggregate surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .catalog import register
+
+
+@register(
+    "agg_collect_list_sorted",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               len(list(n_name)) AS n
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="collect_list + deterministic ordering (array_sort over the "
+    "collected list — collection order is nondeterministic by contract, "
+    "sorting makes it comparable)",
+)
+def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="string aggregation with explicit ordering (listagg/string_agg ≡ "
+    "concat_ws over the sorted collected list)",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nation_csv")
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000)   AS all_over_1k,
+               bool_or(o_totalprice > 400000)  AS any_over_400k,
+               CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_100k
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="boolean aggregates: every/any (bool_and/bool_or) + conditional "
+    "count",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+            "n_over_100k"
+        ),
+    )
+
+
+@register(
+    "setop_all_variants",
+    oracle="""
+        WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT 'intersect_all' AS op, COUNT(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT 'except_all', COUNT(*)
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT 'union_all', COUNT(*)
+        FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    """,
+    doc="multiset (ALL) set operations: INTERSECT ALL / EXCEPT ALL / "
+    "UNION ALL preserve duplicates",
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    i = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    e = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    u = a.unionAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union_all").alias("op"), "n"
+    )
+    return i.unionByName(e).unionByName(u)
+
+
+@register(
+    "orderby_nulls_ordering",
+    oracle="""
+        SELECT o_orderkey, second_order
+        FROM (
+            SELECT o_orderkey,
+                   nth_value(o_orderkey, 2) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS second_order
+            FROM orders
+        )
+        ORDER BY second_order ASC NULLS FIRST, o_orderkey ASC
+        LIMIT 100
+    """,
+    doc="explicit NULLS FIRST ordering over a nullable computed column "
+    "(engines default differently — the explicit spec makes it portable)",
+)
+def orderby_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderkey", F.nth_value("o_orderkey", 2).over(w).alias("second_order")
+        )
+        .orderBy(F.asc_nulls_first("second_order"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -70,6 +70,7 @@ def _load_all() -> None:
     # registry, not silently shrink it. Extend this list as modules land.
     from . import (  # noqa: F401
         aggregates,
+        aggregates2,
         arrays_misc,
         dedup_plans,
         formats,
