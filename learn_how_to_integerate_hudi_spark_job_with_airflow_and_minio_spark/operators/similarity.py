@@ -157,14 +157,27 @@ def lsh_topk(
     c = _table_signatures(
         corpus, "neighbor_id", corpus_id, vec_col, dim, bits, tables, seed, "_cv"
     )
+    # candidate ids first (narrow distinct), vectors re-joined after —
+    # never hash/shuffle float arrays for the dedup
+    cand = (
+        c.select("neighbor_id", "table", "sig")
+        .join(F.broadcast(q.select("query_id", "table", "sig")), ["table", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # collide in ≥1 table → single candidate row
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     score = cosine(F.col("_qv"), F.col("_cv"))
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
-        c.join(F.broadcast(q), ["table", "sig"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
-        .distinct()  # collide in ≥1 table → single candidate row
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", score.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -70,3 +70,13 @@ def test_python_udtf(spark):
     assert [(r["word"], r["pos"]) for r in out] == [
         ("spark", 0), ("native", 1), ("engine", 2)
     ]
+
+
+def test_bench_headline_subset_of_catalog():
+    import bench
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.plans.catalog import (
+        queries,
+    )
+
+    missing = [n for n in bench.HEADLINE if n not in queries()]
+    assert not missing, f"bench references unknown queries: {missing}"
