@@ -84,6 +84,7 @@ def _load_all() -> None:
         streaming_plans,
         tablekernel,
         text_plans,
+        text2,
         windows,
     )
 

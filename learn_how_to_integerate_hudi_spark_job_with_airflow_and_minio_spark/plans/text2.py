@@ -1,0 +1,136 @@
+"""Second text batch: BPE-ish regex tokenization, normalization/
+cleaning, PII-style redaction, and deterministic stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .catalog import register
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the GPT-2-style split approximated with an engine-portable
+# character-class regex (no \w differences between Java and RE2).
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+'))  AS ws_tokens,
+               len(regexp_extract_all(text, '{_BPE_RE}'))   AS bpe_tokens,
+               CAST(n_chars AS DOUBLE)
+                   / len(regexp_extract_all(text, '{_BPE_RE}')) AS chars_per_token
+        FROM documents
+    """,
+    doc="token counting both ways the brief asks for: whitespace split + "
+    "a BPE-ish regex pre-tokenizer (letter runs / digit runs / symbols); "
+    "chars-per-token is the usual budget estimator",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.col("n_chars").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), ' +', ' ', 'g')   AS norm_ws,
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')  AS alnum_only,
+               substr(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 64) AS norm_prefix
+        FROM documents
+    """,
+    doc="text normalization/cleaning: case-fold, whitespace collapse, "
+    "non-alphanumeric strip — the canonical pre-dedup cleanup stage",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_ws"),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "").alias(
+            "alnum_only"
+        ),
+        F.substring(norm, 1, 64).alias("norm_prefix"),
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+        SELECT p_partkey,
+               regexp_replace(
+                   concat('contact user', CAST(p_partkey AS STRING),
+                          '@example.com or +1-555-',
+                          lpad(CAST(p_partkey % 10000 AS STRING), 4, '0'),
+                          ' re: ', p_name),
+                   '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS email_redacted,
+               regexp_replace(
+                   concat('contact user', CAST(p_partkey AS STRING),
+                          '@example.com or +1-555-',
+                          lpad(CAST(p_partkey % 10000 AS STRING), 4, '0'),
+                          ' re: ', p_name),
+                   '\\+?[0-9][0-9-]{6,}', '<PHONE>', 'g') AS phone_redacted
+        FROM part
+    """,
+    doc="PII-style redaction (regex masking of emails/phone shapes) over "
+    "synthesized contact strings — the masking stage of a training-data "
+    "pipeline, engine-portable regexes",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")["part"]
+    contact = F.concat(
+        F.lit("contact user"),
+        F.col("p_partkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("p_partkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.col("p_name"),
+    )
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(contact, r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>").alias(
+            "email_redacted"
+        ),
+        F.regexp_replace(contact, r"\+?[0-9][0-9-]{6,}", "<PHONE>").alias(
+            "phone_redacted"
+        ),
+    )
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle="""
+        SELECT lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn % 5 = 1
+    """,
+    doc="deterministic stratified (systematic) sampling: every 5th doc "
+    "per language stratum by key order — reproducible sampling for "
+    "train/eval splits (rand()-based sampling is run-dependent; "
+    "key-systematic is not)",
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 5 == 1)
+        .select("lang", "doc_id")
+    )
