@@ -81,3 +81,17 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_vec_id"),
         F.max("vec_id").alias("max_vec_id"),
     )
+
+
+@register(
+    "sim_matmul_topk",
+    oracle=None,  # GEMM blocked summation vs expression fold: equality on
+    # rounded scores asserted against brute_force_topk in pytest
+    doc="BLAS brute-force top-k (broadcast query matrix + mapInPandas "
+    "GEMM per Arrow batch): the vectorized exact path — same results as "
+    "sim_topk_bruteforce at ~BLAS constant factors",
+)
+def sim_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.where(F.col("vec_id") < 10)
+    return S.matmul_topk(queries, e, "vec_id", "vec_id", "embedding", k=5)

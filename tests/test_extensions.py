@@ -90,3 +90,14 @@ def test_multimodal_unavailable_decoder_raises(spark, documents):
     df = M.extract_features(media, decoder=M.decode_unavailable)
     with pytest.raises(Exception, match="NotImplementedError|codec|decoder"):
         df.collect()
+
+
+def test_matmul_topk_matches_expression_bruteforce(spark, embeddings):
+    import pyspark.sql.functions as F
+
+    queries = embeddings.where(F.col("vec_id") < 20)
+    a = S.brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=5)
+    b = S.matmul_topk(queries, embeddings, "vec_id", "vec_id", k=5)
+    ra = sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in a.collect())
+    rb = sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in b.collect())
+    assert ra == rb
