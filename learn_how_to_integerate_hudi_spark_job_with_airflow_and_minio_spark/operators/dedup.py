@@ -20,6 +20,8 @@ Five flavors, all pure DataFrame compositions (no Python UDFs anywhere):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -195,26 +197,48 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document from token hashes (pure aggregation:
-    64 per-bit ±1 vote sums in a single pass)."""
+def portable_token_hash(col: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5.
+
+    md5 is implemented identically in every engine, so a DuckDB/Trino/
+    Postgres oracle can recompute the exact same hash (unlike xxhash64,
+    whose seeding is Spark-specific). Used by the driver-gated simhash
+    query so the oracle can rebuild signatures from scratch.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """``nbits``-bit SimHash per document from token hashes (pure
+    aggregation: per-bit ±1 vote sums in a single pass).
+
+    ``token_hash`` defaults to xxhash64 (fast JVM path, 64 bits); pass
+    :func:`portable_token_hash` (60 bits) for cross-engine verification.
+    """
     from .text import tokens
 
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_fn(F.col("tok")))
     votes = tok.groupBy("_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{bit}")
-            for bit in range(64)
+            for bit in range(nbits)
         ]
     )
     sim = None
-    for bit in range(64):
+    for bit in range(nbits):
         term = F.when(F.col(f"b{bit}") >= 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
             F.lit(0).cast("long")
         )
@@ -223,35 +247,90 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 6,
+    bucket_cap: int | None = None,
+    nbits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ d. Candidates via 16-bit
-    chunk equality (pigeonhole for d ≤ 3), then exact popcount check —
-    four narrow equi-joins instead of an O(n²) XOR sweep."""
-    sig = simhash(df, id_col, text_col).select(
-        F.col(id_col).alias("_id"),
-        "simhash",
-        *[
-            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-            for c in range(4)
-        ],
+    """Near-dup pairs with Hamming(simhash) ≤ d.
+
+    Candidates via Manku-style multi-block banding (WWW'07 simhash paper,
+    public algorithm): split the 64-bit signature into ``blocks`` segments;
+    Hamming ≤ d means at most d segments differ, so at least ``blocks - d``
+    segments are equal — joining on every (blocks-d)-subset of segments is
+    a COMPLETE candidate filter. Each join key hashes ~(blocks-d)/blocks of
+    the signature (≈32 bits for d=3, blocks=6), so the bucket space is
+    ~2^32 — bucket width stays O(1) as the corpus grows, unlike single
+    16-bit-chunk equality (2^16 buckets go quadratic past ~10M docs).
+
+    All C(blocks, blocks-d) subset keys explode into one (id, bucket)
+    table and ONE self-join — the LSH-banding shape — then exact popcount
+    verify on the candidate set only.
+
+    ``bucket_cap``: optionally drop buckets wider than this many docs.
+    A wide bucket means a large cluster of near-identical documents —
+    cheaper to collapse via exact_dedup first; the cap bounds candidate
+    fan-out to O(n · cap) at the cost of recall inside dropped buckets.
+    """
+    from itertools import combinations
+
+    t = blocks - max_hamming
+    if t < 1:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming})"
+        )
+    sig = simhash(df, id_col, text_col, nbits=nbits, token_hash=token_hash).select(
+        F.col(id_col).alias("_id"), "simhash"
     )
-    pairs = None
-    for c in range(4):
-        a = sig.alias("a")
-        b = sig.alias("b")
-        p = a.join(
+    # per-block extraction: widths as even as possible (e.g. 11,11,11,11,10,10)
+    base, extra = divmod(nbits, blocks)
+    seg_cols, offset = [], 0
+    for i in range(blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        seg_cols.append(
+            F.shiftrightunsigned("simhash", offset).bitwiseAND(F.lit(mask)).alias(f"b{i}")
+        )
+        offset += width
+    sig = sig.select("_id", "simhash", *seg_cols)
+    # one bucket key per (blocks-d)-subset; the subset index seeds the hash
+    # so identical segment values in different subsets never collide
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(ci), *[F.col(f"b{i}") for i in combo]).alias("k")
+            for ci, combo in enumerate(combinations(range(blocks), t))
+        ]
+    )
+    buckets = sig.select(
+        "_id", "simhash", F.explode(keys).alias("bucket")
+    )
+    if bucket_cap is not None:
+        wide = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") > bucket_cap)
+            .select("bucket")
+        )
+        buckets = buckets.join(F.broadcast(wide), "bucket", "left_anti")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
             b,
-            (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a._id") < F.col("b._id")),
-        ).select(
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
             F.col("a._id").alias("id_1"),
             F.col("b._id").alias("id_2"),
             F.col("a.simhash").alias("s1"),
             F.col("b.simhash").alias("s2"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (
-        pairs.distinct()
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")

@@ -211,7 +211,10 @@ def matmul_topk(
     ).collect()
     q_ids = np.array([r["qid"] for r in q_rows])
     q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    # zero-norm guard: score 0.0 (matches the expression-fold path) instead
+    # of NaN/inf from a 0-division inside the GEMM
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = np.where(q_norm == 0, 1.0, q_norm)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
@@ -220,6 +223,7 @@ def matmul_topk(
         for pdf in batches:
             c_mat = np.array(list(pdf["_cv"]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm = np.where(c_norm == 0, 1.0, c_norm)
             sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
             if round_digits is not None:
                 sims = np.round(sims, round_digits)
@@ -232,11 +236,16 @@ def matmul_topk(
                 }
             )
 
+    # derive id field types from the inputs — string/uuid ids must survive
+    # the Arrow round-trip, not be coerced to a hardcoded long
+    q_id_type = queries.schema[query_id].dataType.simpleString()
+    c_id_type = corpus.schema[corpus_id].dataType.simpleString()
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scored = c.mapInPandas(
-        score_batches, schema="query_id long, neighbor_id long, cosine double"
+        score_batches,
+        schema=f"query_id {q_id_type}, neighbor_id {c_id_type}, cosine double",
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -114,15 +114,17 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # HLL sketches differ across engines by design — rows-only
     doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct "
     "path — no expand, no exact shuffle; rows-only check (sketch values "
-    "are engine-specific)",
+    "are engine-specific). Percentiles surfaced as scalar columns — the "
+    "gate's canonicalizer cannot hash array cells.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    pct = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
-            "price_percentiles"
-        ),
+        F.round(F.element_at(pct, 1), 2).alias("price_p50"),
+        F.round(F.element_at(pct, 2), 2).alias("price_p95"),
+        F.round(F.element_at(pct, 3), 2).alias("price_p99"),
     )
 
 

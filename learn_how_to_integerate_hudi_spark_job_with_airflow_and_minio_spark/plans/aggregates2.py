@@ -14,19 +14,20 @@ from .catalog import register
     "agg_collect_list_sorted",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
+               array_to_string(list_sort(list(n_name)), ',') AS nations,
                len(list(n_name)) AS n
         FROM nation
         GROUP BY n_regionkey
     """,
     doc="collect_list + deterministic ordering (array_sort over the "
     "collected list — collection order is nondeterministic by contract, "
-    "sorting makes it comparable)",
+    "sorting makes it comparable; joined to a csv string because the "
+    "gate's canonicalizer cannot hash array cells)",
 )
 def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_tables(spark, sf_dir, "nation")["nation"]
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -19,7 +19,7 @@ from .common import dsum
         SELECT doc_id,
                len(string_split(text, ' '))                          AS n_tokens,
                list_contains(string_split(text, ' '), 'spark')      AS has_spark,
-               list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_tokens,
+               array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|') AS first_tokens,
                array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') AS token_key,
                list_sort(list_distinct(string_split(text, ' ')))[len(list_distinct(string_split(text, ' ')))] AS last_token
         FROM documents
@@ -35,7 +35,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(sorted_distinct, 1, 5).alias("first_tokens"),
+        F.array_join(F.slice(sorted_distinct, 1, 5), "|").alias("first_tokens"),
         F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("token_key"),
         F.element_at(sorted_distinct, -1).alias("last_token"),
     )

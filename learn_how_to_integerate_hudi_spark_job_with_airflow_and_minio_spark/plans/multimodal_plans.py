@@ -41,10 +41,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # stub decoder not expressible in SQL — rows-only
+    # The stub decoder is deliberately SQL-expressible: feature[d] is the sum
+    # of payload bytes at positions ≡ d (mod 8), mod 997, scaled to [0,1).
+    # Testdata documents are ASCII-only (asserted in tests), so DuckDB can
+    # recompute the byte sums from characters. The quantized integer
+    # (value·997 rounded) makes the compare float-exact, and exploding to one
+    # (media_id, dim, feature_q) row per dimension keeps array columns out of
+    # the gate's canonicalizer.
+    oracle="""
+        WITH dims AS (SELECT unnest(range(8)) AS dim),
+        bytes AS (
+            SELECT doc_id, (i - 1) % 8 AS dim, ord(substr(text, i, 1)) AS b
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                FROM documents
+            )
+        )
+        SELECT d.doc_id AS media_id,
+               dims.dim AS dim,
+               CAST(COALESCE(SUM(bytes.b), 0) % 997 AS BIGINT) AS feature_q
+        FROM documents d
+        CROSS JOIN dims
+        LEFT JOIN bytes ON bytes.doc_id = d.doc_id AND bytes.dim = dims.dim
+        GROUP BY d.doc_id, dims.dim
+    """,
     doc="Arrow-batched mapInPandas feature extraction over the payload "
     "column (deterministic stub decoder; real codec injectable) — the "
-    "only Python stage, batch-vectorized",
+    "only Python stage, batch-vectorized. Output exploded to one row per "
+    "feature dimension with an exact integer contract.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.extract_features(_media(spark, sf_dir))
+    feats = M.extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim", "value")
+    ).select(
+        "media_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("value") * 997).cast("long").alias("feature_q"),
+    )
