@@ -80,9 +80,30 @@ def ngram_jaccard_pairs(
     # join/shuffle on the 8-byte shingle hash, not the shingle string —
     # same counts (64-bit collisions are ~1e-11 at any realistic corpus
     # vocabulary), a fraction of the shuffle bytes
-    sh = _shingle_table(df, id_col, text_col, n, max_df).select(
+    sh = _shingle_table(df, id_col, text_col, n, None).select(
         "_id", F.xxhash64("shingle").alias("sh")
     )
+    # the hashed shingle table is consumed up to 4× (df-cap pass, both
+    # sides of the self-join, per-doc sizes); persisting the 16-byte
+    # (id, hash) rows — NOT the documents — avoids recomputing the
+    # shingle explode each time. MEMORY_AND_DISK spills gracefully at
+    # scale; Spark's ContextCleaner drops the blocks once the plan is
+    # unreferenced.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_df is not None:
+        # stop-shingle cap computed on the HASHED table: the df groupBy
+        # shuffles 8-byte keys (partial-aggregated map-side), not shingle
+        # strings, and the hot set broadcasts into a left_anti
+        cap = int(df.count() * max_df)
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -278,11 +299,12 @@ def simhash_pairs(
     """
     from itertools import combinations
 
+    # pigeonhole needs at least max_hamming+1 blocks (so ≥1 block is
+    # guaranteed equal); auto-widen for permissive thresholds — keys get
+    # narrower (nbits/(d+1) bits), which trades bucket selectivity for
+    # completeness, the inherent simhash-banding tradeoff at high d
+    blocks = max(blocks, max_hamming + 1)
     t = blocks - max_hamming
-    if t < 1:
-        raise ValueError(
-            f"blocks ({blocks}) must exceed max_hamming ({max_hamming})"
-        )
     sig = simhash(df, id_col, text_col, nbits=nbits, token_hash=token_hash).select(
         F.col(id_col).alias("_id"), "simhash"
     )

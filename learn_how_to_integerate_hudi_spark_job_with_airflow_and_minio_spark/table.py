@@ -214,19 +214,60 @@ class Table:
             return self.incremental(kw.get("begin"), kw.get("end"))
         raise ValueError(f"unknown query type: {query_type}")
 
-    def _read_entries(self, entries: list[dict], as_of: str | None = None) -> DataFrame:
-        paths = [self._abs(e["path"]) for e in entries]
+    def _read_entries(
+        self,
+        entries: list[dict],
+        as_of: str | None = None,
+        with_file: bool = False,
+    ) -> DataFrame:
         schema = self._schema(as_of=as_of)
-        if not paths:
+        if not entries:
             if schema is None:
                 raise ValueError(f"table at {self.path} has no commits yet")
             return self.spark.createDataFrame([], schema)
-        if schema is not None:
-            # manifest schema = latest committed schema; files written
-            # before a column was added surface it as null (Hudi-style
-            # evolution-on-append) without a mergeSchema footer sweep
-            return self.spark.read.schema(schema).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+        # Manifest schema = latest committed schema; files written before
+        # a column was added surface it as null (Hudi-style evolution-on-
+        # append) without a mergeSchema footer sweep.
+        if not (self.meta.get("partition_fields") or []):
+            # unpartitioned: one multi-path scan (single relation, single
+            # listing) — no partition discovery needed
+            reader = self.spark.read.option(
+                "basePath", posixpath.join(self.path, "data")
+            )
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*[self._abs(e["path"]) for e in entries])
+            if with_file:
+                df = df.withColumn(
+                    "_file", _norm_file_path(F.col("_metadata.file_path"))
+                )
+            return df
+        # Hive-style layout puts partition columns in directory names
+        # (data/<commit>/col=val/part-*.parquet). Spark's partition
+        # discovery needs a basePath from which every segment down to the
+        # files is col=val — the commit dir — so files are read per commit
+        # group and unioned. The union is bounded by the number of live
+        # commits (compaction collapses it to 1); each branch is still a
+        # plain pruned parquet scan with full filter pushdown.
+        by_commit: dict[str, list[str]] = {}
+        for e in entries:
+            rel = e["path"]  # data/<commit>/...
+            commit_dir = "/".join(rel.split("/")[:2])
+            by_commit.setdefault(commit_dir, []).append(self._abs(rel))
+        out = None
+        for commit_dir in sorted(by_commit):
+            reader = self.spark.read.option("basePath", self._abs(commit_dir))
+            if schema is not None:
+                reader = reader.schema(schema)
+            part = reader.parquet(*by_commit[commit_dir])
+            if with_file:
+                # _metadata is only resolvable on the scan relation itself,
+                # not through a Union — attach the file column per branch
+                part = part.withColumn(
+                    "_file", _norm_file_path(F.col("_metadata.file_path"))
+                )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def is_empty(self) -> bool:
         return not self.current_files()
@@ -305,7 +346,7 @@ class Table:
             self._publish(commit, "delete", [], [], None)
             return commit
         survivors = (
-            existing.where(F.col("_file").isin(affected))
+            self._only_files(existing, affected)
             .drop("_file")
             .join(keys, self.key, "left_anti")
         )
@@ -341,9 +382,12 @@ class Table:
         """
         if delete_col is None:
             return self.upsert(source)
-        deletes = source.where(F.col(delete_col)).select(self.key).distinct()
+        # NULL delete flag = not a delete (MERGE INTO semantics: an
+        # unflagged row updates/inserts). Without the coalesce both
+        # branches evaluate to NULL and the row silently vanishes.
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
         upserts = self._dedup_batch(
-            source.where(~F.col(delete_col)).drop(delete_col)
+            source.where(~flag).drop(delete_col)
         )
         commit = self._next_commit()
         batch = upserts.withColumn(META_COL, F.lit(commit))
@@ -360,7 +404,7 @@ class Table:
                 affected = self._affected_files(existing, all_keys)
                 if affected:
                     survivors = (
-                        existing.where(F.col("_file").isin(affected))
+                        self._only_files(existing, affected)
                         .drop("_file")
                         .join(all_keys, self.key, "left_anti")
                     )
@@ -421,7 +465,7 @@ class Table:
                 affected = self._affected_files(existing, keys)
                 if affected:
                     survivors = (
-                        existing.where(F.col("_file").isin(affected))
+                        self._only_files(existing, affected)
                         .drop("_file")
                         .join(keys, self.key, "left_anti")
                     )
@@ -432,8 +476,17 @@ class Table:
         return commit
 
     def _with_file(self, entries: list[dict]) -> DataFrame:
-        df = self._read_entries(entries)
-        return df.withColumn("_file", _norm_file_path(F.col("_metadata.file_path")))
+        return self._read_entries(entries, with_file=True)
+
+    def _only_files(self, existing: DataFrame, affected: list[str]) -> DataFrame:
+        """Restrict ``existing`` to rows from the affected files via a
+        broadcast semi-join on a small file-list DataFrame — at 10⁵ files
+        an ``isin(...)`` literal list would bloat the plan; a broadcast
+        table keeps the plan O(1) regardless of file count."""
+        files_df = self.spark.createDataFrame(
+            [(p,) for p in affected], "_file string"
+        )
+        return existing.join(F.broadcast(files_df), "_file", "left_semi")
 
     def _affected_files(self, existing: DataFrame, keys: DataFrame) -> list[str]:
         rows = (
@@ -481,9 +534,18 @@ class Table:
         writer = df
         parts = self.meta.get("partition_fields") or []
         if parts:
-            # co-locate partition values per file → tight stats → pruning
+            # co-locate partition values per file → one dir per value →
+            # hive-style layout below + tight stats
             writer = df.repartition(*[F.col(c) for c in parts])
         w = writer.write.mode("overwrite")
+        if parts:
+            # hive-style partition directories (state=Ohio/...), matching
+            # the reference's hoodie hive_style_partitioning
+            # (create_hudi_tables.py:151-155): external readers (plain
+            # spark.read.parquet, Hive, DuckDB) discover the partition
+            # columns from the layout, and snapshot scans prune by
+            # directory before stats are even consulted.
+            w = w.partitionBy(*parts)
         mrpf = int(self.meta.get("max_records_per_file") or 0)
         if mrpf:
             w = w.option("maxRecordsPerFile", mrpf)
@@ -493,14 +555,51 @@ class Table:
             for p in self.fs.list(out_dir)
             if p.endswith(".parquet") and "/_" not in p[len(out_dir):]
         ]
-        stats_cols = [self.key, self.precombine, *parts, META_COL]
-        return [
-            {
-                "path": posixpath.join(rel_dir, posixpath.basename(p)),
-                **_file_stats(p, stats_cols),
+        stats_cols = [self.key, self.precombine, META_COL]
+        stats = self._collect_stats(files, df.schema, stats_cols)
+        out = []
+        for p in files:
+            rel_file = os.path.relpath(p, out_dir)
+            entry = {
+                "path": posixpath.join(rel_dir, rel_file),
+                **stats.get(p, {"rows": None, "stats": {}}),
             }
-            for p in files
-        ]
+            # partition values come from the hive-style directory names:
+            # min == max == the value, exactly what the pruner needs
+            for seg in rel_file.split("/")[:-1]:
+                if "=" in seg:
+                    c, v = seg.split("=", 1)
+                    pv = _parse_partition_value(c, v, df.schema)
+                    if pv is not None:
+                        entry["stats"][c] = [pv, pv]
+            out.append(entry)
+        return out
+
+    def _collect_stats(
+        self, files: list[str], schema: StructType, stats_cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-file row count + min/max stats from Parquet FOOTERS, read
+        on executors (``sc.parallelize`` over the file list — per-file
+        imperative metadata work, the one legitimate RDD use). Footer
+        reads never touch data pages, and distributing them removes the
+        O(files) driver loop from the commit path: the driver only
+        assembles the manifest from the collected per-file rows.
+        """
+        if not files:
+            return {}
+        cols = [c for c in stats_cols if c in {f.name for f in schema.fields}]
+        if len(files) <= 64:
+            # small commit: footer reads are microseconds each — a cluster
+            # job would cost more in scheduling than it saves
+            return {p: _footer_stats(p, cols) for p in files}
+        sc = self.spark.sparkContext
+        nslices = max(1, min(len(files), 256))
+        pairs = (
+            sc.parallelize(files, nslices)
+            .map(lambda p: (p, _footer_stats(p, cols)))
+            .collect()
+        )
+        return dict(pairs)
 
     def _publish(
         self,
@@ -531,12 +630,22 @@ class Table:
         write_json(manifest_path, manifest)
 
 
-def _file_stats(path: str, cols: list[str]) -> dict:
-    """Per-file row count + min/max column stats from the Parquet footer.
+def _jsonable(v):
+    from decimal import Decimal
 
-    Driver-side footer read (cheap: metadata only). At cluster scale this
-    would come back from the write tasks; footer reads stay O(files) and
-    never touch data pages.
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, Decimal):
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Row count + min/max for ``cols`` from one Parquet footer.
+
+    Runs on executors (see ``Table._collect_stats``); metadata-only read.
     """
     try:
         import pyarrow.parquet as pq
@@ -564,12 +673,26 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return {"rows": md.num_rows, "stats": stats}
 
 
-def _jsonable(v):
-    if isinstance(v, bytes):
-        return v.decode("utf-8", errors="replace")
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+def _parse_partition_value(col: str, raw: str, schema: StructType):
+    """Decode one hive-style directory value to the stats domain (typed
+    like the column, so range pruning compares correctly). Returns None
+    for the null-partition sentinel (no stats → never pruned)."""
+    from urllib.parse import unquote
+
+    val = unquote(raw)
+    if val == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        dt = schema[col].dataType.simpleString()
+    except Exception:
+        return val
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return int(val)
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        return float(val)
+    if dt == "boolean":
+        return val.lower() == "true"
+    return val  # string/date/timestamp: stats domain is the string form
 
 
 def _stats_match(entry: dict, filters: dict[str, Any]) -> bool:
@@ -607,20 +730,39 @@ class TableServices:
         self.t = table
 
     def clean(self, retain_commits: int = 5) -> list[str]:
+        """Delete data files no snapshot within the retention window needs.
+
+        A file is deletable iff it is live in NONE of the last
+        ``retain_commits + 1`` commit states (current state + the
+        ``retain_commits`` prior as_of targets). This keys retention on
+        when a file was RETIRED, not when it was added: a file written in
+        commit 1 and replaced by the latest commit is still readable via
+        ``snapshot(as_of=...)``/``restore()`` until it ages out of the
+        window. Single manifest replay, live-set snapshots at protected
+        commits only.
+        """
         t = self.t
         commits = t.commits()
         if len(commits) <= retain_commits:
             return []
-        cutoff = commits[-(retain_commits + 1)]
-        live = {e["path"] for e in t.current_files()}
-        deleted = []
+        protected = set(commits[-(retain_commits + 1):])
+        live: dict[str, dict] = {}
+        ever: set[str] = set()
+        needed: set[str] = set()
         for c in commits:
-            if c > cutoff:
-                break
-            for e in t._manifest(c).get("files_added", []):
-                if e["path"] not in live:
-                    t.fs.delete(t._abs(e["path"]))
-                    deleted.append(e["path"])
+            m = t._manifest(c)
+            for rel in m.get("files_removed", []):
+                live.pop(rel, None)
+            for e in m.get("files_added", []):
+                live[e["path"]] = e
+                ever.add(e["path"])
+            if c in protected:
+                needed.update(live)
+        deleted = []
+        for p in sorted(ever - needed):
+            if t.fs.exists(t._abs(p)):
+                t.fs.delete(t._abs(p))
+                deleted.append(p)
         return deleted
 
     def compact(

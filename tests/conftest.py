@@ -17,6 +17,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "s3: runs against an emulated S3 endpoint (moto server)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = build_session(app_name="engine-tests", shuffle_partitions=8)

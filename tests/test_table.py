@@ -224,3 +224,66 @@ def test_concurrent_writer_collision_detected(spark, tpath):
     t.fs  # noqa: B018
     with _pytest.raises(RuntimeError, match="concurrent writer"):
         t._publish(f"{2:020d}", "upsert", [], [], None)
+
+
+def test_hive_style_partition_layout(spark, tpath):
+    """K3 parity: partitioned writes produce hive-style col=val directories
+    (reference create_hudi_tables.py:151-155, hive_style_partitioning=true)
+    discoverable by any external parquet reader."""
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver",
+        partition_fields=["state"], table_name="pt",
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "Ohio"), (2, 1, "Texas"), (3, 1, "Ohio")],
+        "id long, ver long, state string",
+    )
+    commit = t.upsert(df)
+    ddir = os.path.join(tpath, "data", commit)
+    subdirs = sorted(os.listdir(ddir))
+    assert "state=Ohio" in subdirs and "state=Texas" in subdirs
+    # partition values round-trip through the table read path
+    assert rows_of(t.snapshot(), "id", "state") == [
+        (1, "Ohio"), (2, "Texas"), (3, "Ohio")
+    ]
+    # ...and through an EXTERNAL plain-Spark read of the commit dir
+    ext = spark.read.parquet(ddir)
+    assert rows_of(ext, "id", "state") == [(1, "Ohio"), (2, "Texas"), (3, "Ohio")]
+    # manifest records the partition value as min==max stats for pruning
+    for e in t.current_files():
+        lo, hi = e["stats"]["state"]
+        assert lo == hi and lo in ("Ohio", "Texas")
+    # upsert into one partition touches only that partition's files
+    before = {e["path"] for e in t.current_files()}
+    t.upsert(spark.createDataFrame([(1, 2, "Ohio")], "id long, ver long, state string"))
+    removed = before - {e["path"] for e in t.current_files()}
+    assert removed and all("state=Ohio" in p for p in removed)
+
+
+def test_cleaner_respects_retirement_window(spark, tpath):
+    """A file retired in the LATEST commit must survive clean(): snapshots
+    as_of any of the last retain_commits commits still need it."""
+    t = make_table(spark, tpath)
+    commits = [t.upsert(df_of(spark, [(1, i, f"v{i}")])) for i in range(4)]
+    # commit 4 just retired commit 3's file; retain_commits=2 protects
+    # as_of commits[-3:] states
+    deleted = TableServices(t).clean(retain_commits=2)
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(t.path, rel))
+    # time travel within the retention window still works
+    old = t.snapshot(as_of=commits[-2])
+    assert rows_of(old, "id", "val") == [(1, "v2")]
+    older = t.snapshot(as_of=commits[-3])
+    assert rows_of(older, "id", "val") == [(1, "v1")]
+
+
+def test_merge_null_delete_flag_upserts(spark, tpath):
+    """NULL delete flag = not a delete (MERGE INTO semantics)."""
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    src = spark.createDataFrame(
+        [(1, 2, "a2", None), (2, 2, "b2", True), (3, 1, "c", False)],
+        "id long, ver long, val string, _del boolean",
+    )
+    t.merge(src, delete_col="_del")
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
