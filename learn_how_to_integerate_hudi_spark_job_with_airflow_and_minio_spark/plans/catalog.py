@@ -76,6 +76,11 @@ _ROUND_PRIORITY: list[str] = [
     "table_merge_mixed",
     "table_restore",
     "sql_catalog_attach",
+    # MERGE_ON_READ (new in round 2 — the last missing Hudi table-kernel
+    # capability)
+    "table_mor_snapshot",
+    "table_mor_read_optimized",
+    "table_mor_compaction",
     # reference query surface
     "q06_latest_per_key",
     "q07_sql_transformer",
@@ -108,13 +113,11 @@ _ROUND_PRIORITY: list[str] = [
     # sampling / data quality
     "sample_stratified_deterministic",
     "quality_report",
-    # scalar-function surface
+    # scalar-function surface (the rest of the family rotates in next
+    # round; all remain covered by tests/test_catalog_oracle.py)
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",
-    "scalar_json_funcs",
-    "scalar_case_coalesce",
-    "scalar_cast_chain",
 ]
 
 

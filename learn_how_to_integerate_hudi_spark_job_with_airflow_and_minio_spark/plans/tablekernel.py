@@ -380,3 +380,78 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, c1, _, _ = _build_orders_table(spark, sf_dir)
     t.restore(c1)
     return t.snapshot().drop(META_COL)
+
+
+# -- MERGE_ON_READ (reference table_type param, create_hudi_tables.py:110,124) --
+
+_MOR_MERGED_SQL = """
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+"""
+
+
+def _build_mor_table(spark: SparkSession, sf_dir: str) -> Table:
+    """MOR table with three commits: base bulk load, an update DELTA
+    (appended, nothing rewritten), and a tombstone DELTA deleting mod-7
+    keys."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_mor_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_mor",
+        table_type="mor",
+    )
+    t.bulk_insert(orders)
+    t.upsert(_update_batch(orders))
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return t
+
+
+@register(
+    "table_mor_snapshot",
+    oracle=_MOR_MERGED_SQL,
+    doc="MERGE_ON_READ snapshot: base + update delta + tombstone delta "
+    "merged at read (latest commit per key wins, tombstones filtered) — "
+    "the Hudi MOR snapshot view; writes were pure appends",
+)
+def table_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _build_mor_table(spark, sf_dir)
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_mor_read_optimized",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    doc="MOR read-optimized view (_ro): base files only, no merge cost — "
+    "returns the pre-delta bulk-load state until compaction folds the "
+    "deltas in",
+)
+def table_mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _build_mor_table(spark, sf_dir)
+    return t.read_optimized().drop(META_COL)
+
+
+@register(
+    "table_mor_compaction",
+    oracle=_MOR_MERGED_SQL,
+    doc="MOR compaction: deltas folded into new base files (merged rows, "
+    "tombstoned keys physically dropped); afterwards the read-optimized "
+    "view equals the snapshot view",
+)
+def table_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _build_mor_table(spark, sf_dir)
+    TableServices(t).compact(sort_cols=["o_orderkey"], target_records_per_file=4096)
+    # after compaction the _ro view is the merged state — return IT so the
+    # oracle checks compaction output, not the merge-at-read path again
+    return t.read_optimized().drop(META_COL)

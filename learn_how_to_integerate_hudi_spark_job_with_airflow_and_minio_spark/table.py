@@ -87,7 +87,10 @@ class Table:
         table_name: str | None = None,
         max_records_per_file: int = 0,
         exists_ok: bool = False,
+        table_type: str = "cow",
     ) -> "Table":
+        if table_type not in ("cow", "mor"):
+            raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
         meta_path = posixpath.join(path.rstrip("/"), "_table.json")
         fs = fs_for(path)
         if fs.exists(meta_path):
@@ -100,6 +103,7 @@ class Table:
             "precombine": precombine,
             "partition_fields": partition_fields or [],
             "max_records_per_file": max_records_per_file,
+            "table_type": table_type,
             "created_at": _utcnow(),
         }
         write_json(meta_path, meta)
@@ -117,6 +121,10 @@ class Table:
     @property
     def precombine(self) -> str:
         return self.meta["precombine"]
+
+    @property
+    def table_type(self) -> str:
+        return self.meta.get("table_type", "cow")
 
     # -- timeline ------------------------------------------------------
 
@@ -177,11 +185,57 @@ class Table:
         {col: (lo, hi)}) prunes files via manifest stats before the scan —
         the engine's column-stats-index analog (SURVEY §4). ``as_of``
         time-travels to the table state at that commit (MVCC over the
-        manifest; readable until the cleaner retires the old files)."""
+        manifest; readable until the cleaner retires the old files).
+
+        MOR tables merge at read: base ∪ delta files → latest row per key
+        (newest commit wins, then max precombine), tombstones filtered.
+        File pruning is restricted to key/partition stats on MOR — a
+        data-column prune before the merge could pick a stale winner.
+        """
         entries = self.current_files(as_of=as_of)
         if filters:
+            if self.table_type == "mor":
+                allowed = {self.key, *(self.meta.get("partition_fields") or [])}
+                filters = {k: v for k, v in filters.items() if k in allowed}
             entries = [e for e in entries if _stats_match(e, filters)]
-        return self._read_entries(entries, as_of=as_of)
+        df = self._read_entries(entries, as_of=as_of)
+        if self.table_type == "mor":
+            df = self._merge_view(df)
+        return df
+
+    def read_optimized(self, as_of: str | None = None) -> DataFrame:
+        """MOR read-optimized view (Hudi's ``_ro`` table): base files
+        only, no merge cost — latest COMPACTED state, excluding deltas
+        landed since the last compaction. On COW this equals snapshot."""
+        entries = [
+            e
+            for e in self.current_files(as_of=as_of)
+            if e.get("kind", "base") != "delta"
+        ]
+        df = self._read_entries(entries, as_of=as_of)
+        if "_deleted" in df.columns:
+            df = df.drop("_deleted")
+        return df
+
+    def _merge_view(self, df: DataFrame) -> DataFrame:
+        """Latest-per-key merge for MOR reads: one hash shuffle on the
+        record key (the Q10 window kernel), newest commit wins, ties by
+        max precombine; tombstoned keys drop out."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(self.key).orderBy(
+            F.desc(META_COL), F.desc(self.precombine)
+        )
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if "_deleted" in out.columns:
+            out = out.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+                "_deleted"
+            )
+        return out
 
     def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
         """Latest version of every key changed in ``(begin, end]`` (S5) —
@@ -192,9 +246,11 @@ class Table:
         (reference bootstrap: ``first_commit - 1``,
         incremental_etl_orders.py:207-215)."""
         entries = self.current_files(as_of=end)
-        if begin is not None:
+        if begin is not None and self.table_type != "mor":
             # file skipping: a file whose max(_commit_time) <= begin holds
-            # no rows in the window (column-stats-index analog)
+            # no rows in the window (column-stats-index analog). Safe on
+            # COW only — the MOR merge below must see every version to
+            # pick winners before the window filter.
             entries = [
                 e
                 for e in entries
@@ -202,6 +258,10 @@ class Table:
                 or e["stats"][META_COL][1] > begin
             ]
         df = self._read_entries(entries)
+        if self.table_type == "mor":
+            # merge first, then window-filter: a key whose WINNING version
+            # changed in (begin, end] is emitted once, merged
+            df = self._merge_view(df)
         if begin is not None:
             df = df.where(F.col(META_COL) > F.lit(begin))
         return df
@@ -221,6 +281,19 @@ class Table:
         with_file: bool = False,
     ) -> DataFrame:
         schema = self._schema(as_of=as_of)
+        if (
+            schema is not None
+            and self.table_type == "mor"
+            and "_deleted" not in schema.fieldNames()
+        ):
+            # tombstone deltas carry a _deleted flag other commits' schemas
+            # don't know about — widen the read schema so merge sees it
+            # (non-tombstone files surface it as null)
+            from pyspark.sql.types import BooleanType, StructField
+
+            schema = StructType(
+                [*schema.fields, StructField("_deleted", BooleanType(), True)]
+            )
         if not entries:
             if schema is None:
                 raise ValueError(f"table at {self.path} has no commits yet")
@@ -305,8 +378,23 @@ class Table:
         5. write survivors ∪ batch as the new commit's files; manifest
            removes affected files, adds the new ones (manifest-last =
            atomic publish).
+
+        MOR tables instead append the deduped batch as DELTA files — no
+        read, no rewrite, O(batch) write cost (the Hudi MERGE_ON_READ
+        write path, ``create_hudi_tables.py:110,124``); reconciliation
+        happens at read (:meth:`_merge_view`) or at compaction.
         """
+        if self.table_type == "mor":
+            return self._delta_write(df)
         return self._merge_write(df, action="upsert")
+
+    def _delta_write(self, df: DataFrame) -> str:
+        self._validate_batch(df)
+        commit = self._next_commit()
+        batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
+        added = self._write_files(batch, commit, kind="delta")
+        self._publish(commit, "deltacommit", added, [], batch.schema)
+        return commit
 
     def insert(self, df: DataFrame, dedup_batch: bool = True) -> str:
         """Append without merging into existing keys (Hudi 'insert' op)."""
@@ -331,8 +419,21 @@ class Table:
         return commit
 
     def delete(self, keys_df: DataFrame) -> str:
-        """Delete by key (Hudi 'delete' op): COW rewrite of affected files
-        minus the keys (anti-join)."""
+        """Delete by key. COW: rewrite of affected files minus the keys
+        (anti-join). MOR: append a TOMBSTONE delta (key + ``_deleted``) —
+        newest-commit-wins ordering makes it shadow every earlier version
+        at merge time; compaction physically drops the keys."""
+        if self.table_type == "mor":
+            commit = self._next_commit()
+            tomb = (
+                keys_df.select(self.key)
+                .distinct()
+                .withColumn(META_COL, F.lit(commit))
+                .withColumn("_deleted", F.lit(True))
+            )
+            added = self._write_files(tomb, commit, kind="delta")
+            self._publish(commit, "deltacommit", added, [], None)
+            return commit
         commit = self._next_commit()
         keys = keys_df.select(self.key).distinct()
         entries = self.current_files()
@@ -386,6 +487,12 @@ class Table:
         # unflagged row updates/inserts). Without the coalesce both
         # branches evaluate to NULL and the row silently vanishes.
         flag = F.coalesce(F.col(delete_col), F.lit(False))
+        if self.table_type == "mor":
+            # MOR merge = one upsert delta + one tombstone delta (two
+            # append-only commits, no rewrite); the read-side merge
+            # reconciles. Documented v1 shape: not a single atomic commit.
+            self._delta_write(source.where(~flag).drop(delete_col))
+            return self.delete(source.where(flag).select(self.key))
         upserts = self._dedup_batch(
             source.where(~flag).drop(delete_col)
         )
@@ -432,6 +539,11 @@ class Table:
             raise ValueError(
                 f"batch must not carry the reserved meta column {META_COL!r}; "
                 "drop it before writing"
+            )
+        if self.table_type == "mor" and "_deleted" in df.columns:
+            raise ValueError(
+                "batch must not carry the reserved MOR tombstone column "
+                "'_deleted'; use delete()/merge(delete_col=...) instead"
             )
 
     def _dedup_batch(self, df: DataFrame) -> DataFrame:
@@ -528,11 +640,14 @@ class Table:
                 out.append(e)
         return out
 
-    def _write_files(self, df: DataFrame, commit: str) -> list[dict]:
+    def _write_files(self, df: DataFrame, commit: str, kind: str = "base") -> list[dict]:
         rel_dir = f"data/{commit}"
         out_dir = self._abs(rel_dir)
         writer = df
-        parts = self.meta.get("partition_fields") or []
+        # tombstone deltas carry only (key, meta) — partition cols absent
+        parts = [
+            c for c in (self.meta.get("partition_fields") or []) if c in df.columns
+        ]
         if parts:
             # co-locate partition values per file → one dir per value →
             # hive-style layout below + tight stats
@@ -564,6 +679,8 @@ class Table:
                 "path": posixpath.join(rel_dir, rel_file),
                 **stats.get(p, {"rows": None, "stats": {}}),
             }
+            if kind != "base":
+                entry["kind"] = kind
             # partition values come from the hive-style directory names:
             # min == max == the value, exactly what the pruner needs
             for seg in rel_file.split("/")[:-1]:
@@ -774,6 +891,11 @@ class TableServices:
         entries = t.current_files()
         commit = t._next_commit()
         df = t._read_entries(entries)
+        if t.table_type == "mor":
+            # MOR compaction: fold deltas into the base — merged view
+            # (latest per key, tombstones dropped) becomes the new base
+            # file set; per-row _commit_time survives the merge
+            df = t._merge_view(df)
         sort_cols = sort_cols or [t.key]
         # range-partition on the sort key then sort within: globally
         # clustered layout → tight min/max stats per file (the point of

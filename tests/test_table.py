@@ -287,3 +287,76 @@ def test_merge_null_delete_flag_upserts(spark, tpath):
     )
     t.merge(src, delete_col="_del")
     assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
+
+
+def make_mor(spark, path, **kw):
+    return Table.create(
+        spark, path, key="id", precombine="ver", table_name="m",
+        table_type="mor", **kw,
+    )
+
+
+def test_mor_upsert_is_append_only_and_merges_at_read(spark, tpath):
+    t = make_mor(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    files_after_base = {e["path"] for e in t.current_files()}
+    t.upsert(df_of(spark, [(2, 2, "b2"), (3, 1, "c")]))
+    # delta commit removed NOTHING and rewrote nothing
+    assert files_after_base <= {e["path"] for e in t.current_files()}
+    assert all(
+        e.get("kind", "base") == "delta"
+        for e in t.current_files()
+        if e["path"] not in files_after_base
+    )
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a"), (2, "b2"), (3, "c")]
+    # read-optimized view: base only (stale until compaction)
+    assert rows_of(t.read_optimized(), "id", "val") == [(1, "a"), (2, "b")]
+
+
+def test_mor_tombstone_delete_and_compaction(spark, tpath):
+    t = make_mor(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]))
+    t.upsert(df_of(spark, [(1, 2, "a2")]))
+    t.delete(spark.createDataFrame([(2,)], "id long"))
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
+    # newer upsert resurrects a tombstoned key
+    t.upsert(df_of(spark, [(2, 3, "b3")]))
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (2, "b3"), (3, "c")]
+    # compaction folds deltas: _ro == snapshot, deltas gone from live set
+    TableServices(t).compact(sort_cols=["id"])
+    assert rows_of(t.read_optimized(), "id", "val") == rows_of(
+        t.snapshot(), "id", "val"
+    )
+    assert all(e.get("kind", "base") == "base" for e in t.current_files())
+
+
+def test_mor_incremental_merged_window(spark, tpath):
+    t = make_mor(spark, tpath)
+    c1 = t.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    t.upsert(df_of(spark, [(1, 2, "a2"), (3, 1, "c")]))
+    inc = t.incremental(begin=c1)
+    # only keys whose WINNING version changed after c1, already merged
+    assert rows_of(inc, "id", "val") == [(1, "a2"), (3, "c")]
+
+
+def test_mor_merge_mixed(spark, tpath):
+    t = make_mor(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    src = spark.createDataFrame(
+        [(1, 2, "a2", None), (2, 2, "b2", True), (3, 1, "c", False)],
+        "id long, ver long, val string, _del boolean",
+    )
+    t.merge(src, delete_col="_del")
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
+
+
+def test_mor_partitioned_snapshot(spark, tpath):
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver",
+        partition_fields=["state"], table_name="mp", table_type="mor",
+    )
+    sch = "id long, ver long, val string, state string"
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a", "OH"), (2, 1, "b", "TX")], sch))
+    t.upsert(spark.createDataFrame([(1, 2, "a2", "OH")], sch))
+    t.delete(spark.createDataFrame([(2,)], "id long"))
+    assert rows_of(t.snapshot(), "id", "val", "state") == [(1, "a2", "OH")]
