@@ -270,6 +270,67 @@ def ivf_cells(
     )
 
 
+def ivf_write(
+    corpus: DataFrame,
+    corpus_id: str,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+) -> str:
+    """Materialize the corpus as an IVF index: parquet partitioned by
+    ``cell=<signature>/`` (hive-style). At 100 TB this is the layout that
+    makes ANN probes cheap: a probe reads only the matched cell
+    directories — partition pruning happens before any file I/O, scanning
+    ~(probed cells)/2^bits of the corpus."""
+    cells = ivf_cells(corpus, corpus_id, vec_col, dim=dim, bits=bits, seed=seed)
+    cells.write.partitionBy("cell").mode("overwrite").parquet(path)
+    return path
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+    multiprobe: int = 1,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Probe an :func:`ivf_write` index: read ONLY the query cells
+    (+ all Hamming-``multiprobe`` neighbor cells for recall), then exact
+    re-score within the probed subset.
+
+    The cell filter is a partition-column predicate, so Catalyst prunes
+    the non-matching ``cell=.../`` directories at planning time —
+    verified via ``inputFiles()`` in tests."""
+    planes = hyperplanes(dim, bits, seed)
+    q_cells = (
+        queries.select(lsh_signature(F.col(vec_col), planes).alias("cell"))
+        .distinct()
+        .collect()
+    )
+    probed: set[int] = set()
+    for r in q_cells:
+        base = int(r["cell"])
+        probed.add(base)
+        if multiprobe >= 1:
+            for b in range(bits):
+                probed.add(base ^ (1 << b))
+    corpus = spark.read.parquet(path).where(
+        F.col("cell").isin(sorted(probed))
+    ).drop("cell")
+    return brute_force_topk(
+        queries, corpus, query_id, corpus_id, vec_col, k=k, round_digits=round_digits
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,

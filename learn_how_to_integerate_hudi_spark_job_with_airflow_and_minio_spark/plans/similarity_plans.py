@@ -84,6 +84,26 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_probe",
+    oracle=None,  # ANN recall < 1 by design; pruning + recall in pytest
+    doc="IVF index probe: corpus written partitioned by cell "
+    "(cell=<sig>/ dirs), probe reads ONLY query cells + Hamming-1 "
+    "neighbors (partition pruning before I/O), exact re-score within "
+    "the probed subset — the at-scale ANN serving path",
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    path = tempfile.mkdtemp(prefix="engine_ivf_")
+    S.ivf_write(e, "vec_id", path, "embedding", dim=64, bits=4)
+    queries = e.where(F.col("vec_id") < 10)
+    return S.ivf_probe(
+        spark, path, queries, "vec_id", "vec_id", "embedding", k=5, dim=64, bits=4
+    )
+
+
+@register(
     "sim_matmul_topk",
     oracle=None,  # GEMM blocked summation vs expression fold: equality on
     # rounded scores asserted against brute_force_topk in pytest

@@ -101,3 +101,41 @@ def test_matmul_topk_matches_expression_bruteforce(spark, embeddings):
     ra = sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in a.collect())
     rb = sorted((r["query_id"], r["neighbor_id"], r["cosine"], r["rank"]) for r in b.collect())
     assert ra == rb
+
+
+def test_ivf_probe_prunes_partitions_and_recalls(spark, embeddings, tmp_path):
+    """The IVF probe must (a) physically read only the probed cell
+    directories — partition pruning, the point of the layout — and
+    (b) recover most true neighbors via multiprobe."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf")
+    S.ivf_write(embeddings, "vec_id", path, "embedding", dim=64, bits=6)
+    queries = embeddings.where(F.col("vec_id") < 3)
+    probed = S.ivf_probe(
+        spark, path, queries, "vec_id", "vec_id", "embedding", k=5, dim=64, bits=6
+    )
+    # (a) pruning: the scan must carry a partition filter on cell —
+    # Catalyst prunes the non-matching cell=.../ dirs before any file I/O
+    # (inputFiles() reflects the unpruned listing, so check the plan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [cell" in plan and "INSET" in plan, (
+        "probe scan has no partition filter on cell:\n" + plan
+    )
+    # (b) recall vs exact brute force
+    brute = S.brute_force_topk(queries, embeddings, "vec_id", "vec_id", k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.3, f"IVF probe recall {recall:.2f}"
+
