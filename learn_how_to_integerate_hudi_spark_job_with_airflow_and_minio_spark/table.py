@@ -446,11 +446,9 @@ class Table:
         if not affected:
             self._publish(commit, "delete", [], [], None)
             return commit
-        survivors = (
-            self._only_files(existing, affected)
-            .drop("_file")
-            .join(keys, self.key, "left_anti")
-        )
+        survivors = self._read_entries(
+            self._affected_entries(candidates, affected)
+        ).join(keys, self.key, "left_anti")
         added = self._write_files(survivors, commit)
         removed = self._to_rel(affected)
         self._publish(commit, "delete", added, removed, survivors.schema)
@@ -510,11 +508,9 @@ class Table:
                 existing = self._with_file(candidates)
                 affected = self._affected_files(existing, all_keys)
                 if affected:
-                    survivors = (
-                        self._only_files(existing, affected)
-                        .drop("_file")
-                        .join(all_keys, self.key, "left_anti")
-                    )
+                    survivors = self._read_entries(
+                        self._affected_entries(candidates, affected)
+                    ).join(all_keys, self.key, "left_anti")
                     out = survivors.unionByName(batch, allowMissingColumns=True)
                     removed = self._to_rel(affected)
         # deleted keys simply don't reappear in the rewrite
@@ -576,11 +572,9 @@ class Table:
                 existing = self._with_file(candidates)
                 affected = self._affected_files(existing, keys)
                 if affected:
-                    survivors = (
-                        self._only_files(existing, affected)
-                        .drop("_file")
-                        .join(keys, self.key, "left_anti")
-                    )
+                    survivors = self._read_entries(
+                        self._affected_entries(candidates, affected)
+                    ).join(keys, self.key, "left_anti")
                     out = survivors.unionByName(batch, allowMissingColumns=True)
                     removed = self._to_rel(affected)
         added = self._write_files(out, commit)
@@ -590,15 +584,16 @@ class Table:
     def _with_file(self, entries: list[dict]) -> DataFrame:
         return self._read_entries(entries, with_file=True)
 
-    def _only_files(self, existing: DataFrame, affected: list[str]) -> DataFrame:
-        """Restrict ``existing`` to rows from the affected files via a
-        broadcast semi-join on a small file-list DataFrame — at 10⁵ files
-        an ``isin(...)`` literal list would bloat the plan; a broadcast
-        table keeps the plan O(1) regardless of file count."""
-        files_df = self.spark.createDataFrame(
-            [(p,) for p in affected], "_file string"
-        )
-        return existing.join(F.broadcast(files_df), "_file", "left_semi")
+    def _affected_entries(
+        self, candidates: list[dict], affected: list[str]
+    ) -> list[dict]:
+        """Manifest entries for the affected files. Rewinding to the
+        entry list lets the rewrite READ exactly those files — no
+        ``isin`` literal list bloating the plan at 10⁵ files, no
+        post-scan filter/join, and the scan itself shrinks to the
+        affected set (the cheapest possible plan at any file count)."""
+        rel = set(self._to_rel(affected))
+        return [e for e in candidates if e["path"] in rel]
 
     def _affected_files(self, existing: DataFrame, keys: DataFrame) -> list[str]:
         rows = (
