@@ -78,7 +78,7 @@ def brute_force_topk(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -181,7 +181,9 @@ def lsh_topk(
         .select("query_id", "neighbor_id", score.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
 
 
 def matmul_topk(
@@ -248,7 +250,9 @@ def matmul_topk(
         schema=f"query_id {q_id_type}, neighbor_id {c_id_type}, cosine double",
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
 
 
 def ivf_cells(

@@ -33,7 +33,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_distinct = F.array_sort(F.array_distinct(toks))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_join(F.slice(sorted_distinct, 1, 5), "|").alias("first_tokens"),
         F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("token_key"),

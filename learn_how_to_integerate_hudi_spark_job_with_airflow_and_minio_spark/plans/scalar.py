@@ -47,7 +47,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.lower("p_type").alias("type_lower"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 10).alias("name_prefix"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
@@ -87,9 +87,9 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth(d).alias("order_day"),
         F.quarter(d).alias("order_quarter"),
         F.date_add(d.cast("date"), 30).alias("due_date"),
-        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
-            "days_to_y2k"
-        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
         F.date_trunc("month", d).cast("date").alias("order_month_start"),
         F.last_day(d.cast("date")).alias("month_end"),
         F.date_format(d, "yyyy-MM").alias("ym"),

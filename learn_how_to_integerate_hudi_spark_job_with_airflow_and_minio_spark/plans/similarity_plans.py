@@ -22,24 +22,27 @@ round(
 """
 
 
+_TOPK_SQL = f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               {_COS}   AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS} DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    WHERE rank <= 5
+"""
+
+
 @register(
     "sim_topk_bruteforce",
-    oracle=f"""
-        SELECT query_id, neighbor_id, cosine, rank
-        FROM (
-            SELECT q.vec_id AS query_id,
-                   c.vec_id AS neighbor_id,
-                   {_COS}   AS cosine,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_COS} DESC, c.vec_id ASC
-                   ) AS rank
-            FROM embeddings q
-            JOIN embeddings c ON q.vec_id <> c.vec_id
-            WHERE q.vec_id < 10
-        )
-        WHERE rank <= 5
-    """,
+    oracle=_TOPK_SQL,
     doc="brute-force cosine top-5 for 10 query vectors: broadcast queries "
     "× map-only corpus scan × per-query window top-k — the exactness "
     "baseline for ANN",
@@ -105,8 +108,10 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_matmul_topk",
-    oracle=None,  # GEMM blocked summation vs expression fold: equality on
-    # rounded scores asserted against brute_force_topk in pytest
+    # Exact path: scores rounded to 6 digits BEFORE ranking, so the GEMM's
+    # blocked summation and DuckDB's expression fold agree bit-for-bit —
+    # same oracle as the brute-force query.
+    oracle=_TOPK_SQL,
     doc="BLAS brute-force top-k (broadcast query matrix + mapInPandas "
     "GEMM per Arrow batch): the vectorized exact path — same results as "
     "sim_topk_bruteforce at ~BLAS constant factors",

@@ -34,8 +34,8 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
         (F.col("n_chars").cast("double") / bpe).alias("chars_per_token"),
     )
 

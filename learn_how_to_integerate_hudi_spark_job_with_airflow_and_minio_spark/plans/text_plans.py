@@ -30,9 +30,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return d.select(
         "doc_id",
-        F.length(t).alias("n_chars"),
-        T.token_count(t).alias("n_tokens"),
-        T.distinct_token_count(t).alias("n_distinct_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        T.token_count(t).cast("long").alias("n_tokens"),
+        T.distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -56,8 +56,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = T.quality_features(F.col("text"))
     return d.select(
         "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
         feats["type_token_ratio"].alias("type_token_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["avg_token_len"].alias("avg_token_len"),
@@ -107,7 +107,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        *[scores[lang].alias(f"s_{lang}") for lang in T.LANG_STOPWORDS],
+        *[scores[lang].cast("long").alias(f"s_{lang}") for lang in T.LANG_STOPWORDS],
         T.lang_id(t).alias("detected_lang"),
     )
 

@@ -43,7 +43,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")["orders"]
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -78,7 +78,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .cast("double")
         .alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -133,9 +133,9 @@ def win_rank_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.percent_rank().over(w).alias("bal_pct_rank"),
     )
 
