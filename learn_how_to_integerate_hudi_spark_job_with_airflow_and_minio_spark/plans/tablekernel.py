@@ -455,3 +455,36 @@ def table_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after compaction the _ro view is the merged state — return IT so the
     # oracle checks compaction output, not the merge-at-read path again
     return t.read_optimized().drop(META_COL)
+
+
+@register(
+    "table_insert_overwrite_dynamic",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="Hudi insert_overwrite with dynamic partition semantics: a batch "
+    "touching only partition o_orderstatus='F' replaces that partition's "
+    "files and leaves every other partition byte-untouched",
+)
+def table_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_iow_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="orders_iow",
+    )
+    t.bulk_insert(orders)
+    replacement = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+    )
+    t.insert_overwrite(replacement, dynamic=True)
+    return t.snapshot().drop(META_COL)

@@ -418,6 +418,36 @@ class Table:
         self._publish(commit, "bulk_insert", added, [], stamped.schema)
         return commit
 
+    def insert_overwrite(self, df: DataFrame, dynamic: bool = True) -> str:
+        """Hudi 'insert_overwrite' op: replace table content in one commit.
+
+        ``dynamic=True`` on a partitioned table replaces ONLY the
+        partitions present in the batch (Spark's dynamic
+        partitionOverwriteMode semantics — the reference sets exactly
+        that conf for its upsert shape); otherwise the whole table is
+        replaced. Pure manifest surgery plus a normal file write — old
+        files stay readable for time travel until cleaned.
+        """
+        self._validate_batch(df, need_precombine=False)
+        commit = self._next_commit()
+        stamped = df.withColumn(META_COL, F.lit(commit))
+        parts = self.meta.get("partition_fields") or []
+        entries = self.current_files()
+        if dynamic and parts and entries:
+            vals = stamped.select(*parts).distinct().collect()
+            batch_parts = {tuple(r[c] for c in parts) for r in vals}
+
+            def entry_part(e: dict):
+                st = e.get("stats", {})
+                return tuple((st.get(c) or [None])[0] for c in parts)
+
+            removed = [e["path"] for e in entries if entry_part(e) in batch_parts]
+        else:
+            removed = [e["path"] for e in entries]
+        added = self._write_files(stamped, commit)
+        self._publish(commit, "insert_overwrite", added, removed, stamped.schema)
+        return commit
+
     def delete(self, keys_df: DataFrame) -> str:
         """Delete by key. COW: rewrite of affected files minus the keys
         (anti-join). MOR: append a TOMBSTONE delta (key + ``_deleted``) —

@@ -360,3 +360,32 @@ def test_mor_partitioned_snapshot(spark, tpath):
     t.upsert(spark.createDataFrame([(1, 2, "a2", "OH")], sch))
     t.delete(spark.createDataFrame([(2,)], "id long"))
     assert rows_of(t.snapshot(), "id", "val", "state") == [(1, "a2", "OH")]
+
+
+def test_insert_overwrite_dynamic_and_static(spark, tpath):
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver",
+        partition_fields=["state"], table_name="iow",
+    )
+    sch = "id long, ver long, val string, state string"
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 1, "a", "OH"), (2, 1, "b", "TX"), (3, 1, "c", "OH")], sch))
+    before_tx = [
+        e["path"] for e in t.current_files() if e["stats"]["state"][0] == "TX"
+    ]
+    # dynamic: only the OH partition is replaced
+    t.insert_overwrite(
+        spark.createDataFrame([(9, 1, "z", "OH")], sch), dynamic=True
+    )
+    assert rows_of(t.snapshot(), "id", "val", "state") == [
+        (2, "b", "TX"), (9, "z", "OH")
+    ]
+    after_tx = [
+        e["path"] for e in t.current_files() if e["stats"]["state"][0] == "TX"
+    ]
+    assert before_tx == after_tx  # TX partition byte-untouched
+    # static: whole table replaced
+    t.insert_overwrite(
+        spark.createDataFrame([(7, 1, "q", "CA")], sch), dynamic=False
+    )
+    assert rows_of(t.snapshot(), "id", "val", "state") == [(7, "q", "CA")]
