@@ -357,3 +357,66 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id_1",
+    id2: str = "id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate GROUPS: (id, component)
+    where component = min id reachable through any chain of pairs — the
+    step that turns pairwise dedup output into per-document keep/drop
+    decisions.
+
+    Iterative min-label propagation (the standard large-graph CC shape:
+    alternate join-with-neighbors / take-min until fixpoint). Each round
+    is one shuffle join + aggregate; rounds needed = component diameter,
+    which for near-dup clusters is tiny (dup groups are near-cliques).
+    ``max_iter`` bounds the loop; convergence is checked with a count of
+    changed labels per round (an O(1)-result driver action, not a
+    collect of the data).
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["id2"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "component")

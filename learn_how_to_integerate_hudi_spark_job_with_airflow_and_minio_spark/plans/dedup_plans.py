@@ -196,3 +196,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_pairs(e, "vec_id", "embedding", threshold=0.45, round_digits=6)
+
+
+# Connected components over the capped Jaccard pair set, computed
+# independently in DuckDB via a recursive transitive-closure CTE (fine at
+# oracle scale; the Spark side uses join-based min-label propagation,
+# which is the shape that survives 100 TB).
+_COMPONENTS_SQL = (
+    _SHINGLES.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+, ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hot AS (
+    SELECT g FROM ex GROUP BY g
+    HAVING COUNT(*) > CAST(floor((SELECT COUNT(*) FROM documents) * 0.1) AS BIGINT)
+),
+kept AS (
+    SELECT doc_id, list(g) AS s
+    FROM ex ANTI JOIN hot USING (g)
+    GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+),
+edges AS (
+    SELECT id_1 AS a, id_2 AS b FROM pairs
+    UNION SELECT id_2, id_1 FROM pairs
+    UNION SELECT id_1, id_1 FROM pairs
+    UNION SELECT id_2, id_2 FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+"""
+)
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENTS_SQL,
+    doc="near-dup pair set collapsed into duplicate GROUPS: (id, "
+    "component=min reachable id) via join-based min-label propagation — "
+    "the step that turns pairwise dedup output into per-document "
+    "keep/drop decisions; oracle recomputes components with a recursive "
+    "transitive-closure CTE",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, max_df=0.1)
+    return D.connected_components(pairs)

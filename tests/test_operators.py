@@ -41,3 +41,15 @@ def test_asof_join_strict_vs_exact(spark):
         ).collect()
     }
     assert exact == {"q1": 100.0, "q2": 200.0, "q3": None}
+
+
+def test_connected_components_multihop(spark):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        dedup as D,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_1 long, id_2 long"
+    )
+    got = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
