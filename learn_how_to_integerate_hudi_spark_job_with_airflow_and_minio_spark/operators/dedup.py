@@ -129,11 +129,19 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
 ) -> DataFrame:
-    """k-permutation MinHash signature per document (array<long>)."""
-    sh = _shingle_table(df, id_col, text_col, n, None)
+    """k-permutation MinHash signature per document (array<long>).
+
+    The shingle string is hashed ONCE (xxhash64 → 8 bytes); the k
+    per-permutation hashes re-hash that fixed-width value with the
+    permutation index as seed — k× cheaper than hashing the string k
+    times, same min-wise independence (xxhash64 seeded by i acts as the
+    i-th permutation)."""
+    sh = _shingle_table(df, id_col, text_col, n, None).select(
+        "_id", F.xxhash64("shingle").alias("h0")
+    )
     mins = sh.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
             for i in range(k)
         ]
     )

@@ -105,3 +105,51 @@ def extract_features(
             )
 
     return media.mapInPandas(op, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, stride: int = 128
+) -> DataFrame:
+    """Frame sampling over opaque payloads: cut each payload into frames
+    of ``frame_size`` bytes every ``stride`` bytes (video-keyframe /
+    audio-window analog) and emit one row per frame with offset, length,
+    and content checksum.
+
+    Arrow-batched ``mapInPandas``; the slicing itself is per-media (as a
+    real demuxer would be), the batch boundary keeps the Python exchange
+    amortized. Deterministic by construction, so an external engine can
+    recompute every frame from the source bytes.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_off": [],
+                "frame_len": [],
+                "frame_md5": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = len(payload)
+                for idx, off in enumerate(range(0, n, stride)):
+                    chunk = payload[off : off + frame_size]
+                    if not chunk:
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema="media_id long, frame_idx long, frame_off long, "
+        "frame_len long, frame_md5 string",
+    )

@@ -79,3 +79,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("value") * 997).cast("long").alias("feature_q"),
     )
+
+
+@register(
+    "multimodal_frames",
+    # ASCII testdata ⇒ payload bytes == text chars, so DuckDB recomputes
+    # every frame (offset grid, length, md5 of the slice) from the source.
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+        ),
+        offs AS (
+            SELECT media_id, text, n, unnest(range(0, n, 128)) AS off FROM m
+        )
+        SELECT media_id,
+               CAST(off / 128 AS BIGINT) AS frame_idx,
+               off AS frame_off,
+               least(64, n - off) AS frame_len,
+               md5(substr(text, CAST(off + 1 AS INT), 64)) AS frame_md5
+        FROM offs
+        WHERE n - off > 0
+    """,
+    doc="frame sampling over opaque payloads (video-keyframe / "
+    "audio-window analog): 64-byte frame every 128 bytes via "
+    "Arrow-batched mapInPandas, one row per frame with offset/length/"
+    "checksum — fully recomputable by the oracle",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sample_frames(_media(spark, sf_dir), frame_size=64, stride=128)
