@@ -488,3 +488,34 @@ def table_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
     )
     t.insert_overwrite(replacement, dynamic=True)
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_cdc_changes",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(NULL AS BIGINT)    AS o_custkey,
+               CAST(NULL AS VARCHAR)   AS o_orderstatus,
+               CAST(NULL AS DOUBLE)    AS o_totalprice,
+               CAST(NULL AS TIMESTAMP) AS o_orderdate,
+               'delete' AS _change_type
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               o_orderdate,
+               'update' AS _change_type
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    """,
+    doc="CDC view (Hudi cdc query type): per-key change type between two "
+    "commits via a keyed full-outer diff of the MVCC snapshots — "
+    "update batch (mod-5) and delete batch (mod-7) surface as "
+    "update/delete rows with the new values (null for deletes)",
+)
+def table_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, c1, _, orders = _build_orders_table(spark, sf_dir)
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return t.changes(begin=c1).drop(META_COL)

@@ -272,7 +272,41 @@ class Table:
             return self.snapshot(filters=kw.get("filters"))
         if query_type == "incremental":
             return self.incremental(kw.get("begin"), kw.get("end"))
+        if query_type == "cdc":
+            return self.changes(kw.get("begin"), kw.get("end"))
         raise ValueError(f"unknown query type: {query_type}")
+
+    def changes(self, begin: str | None, end: str | None = None) -> DataFrame:
+        """CDC view over ``(begin, end]`` (Hudi cdc query type): one row
+        per key whose latest version changed, with ``_change_type`` in
+        {insert, update, delete} and the key's NEW column values (null
+        for deletes). Computed as a keyed full-outer diff of the two
+        MVCC snapshots — pure manifest replay + one join, no change log
+        to maintain; the join shuffles only the two snapshots' key sets.
+        """
+        new = self.snapshot(as_of=end)
+        if begin is None:
+            return new.withColumn("_change_type", F.lit("insert"))
+        old = self.snapshot(as_of=begin).select(
+            F.col(self.key).alias("_old_key"), F.col(META_COL).alias("_old_commit")
+        )
+        joined = new.join(old, new[self.key] == old["_old_key"], "full_outer")
+        change = (
+            F.when(F.col("_old_key").isNull(), F.lit("insert"))
+            .when(new[self.key].isNull(), F.lit("delete"))
+            .when(F.col(META_COL) != F.col("_old_commit"), F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(new[self.key], F.col("_old_key")).alias(self.key)
+            if c == self.key
+            else new[c].alias(c)
+            for c in new.columns
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
 
     def _read_entries(
         self,

@@ -389,3 +389,14 @@ def test_insert_overwrite_dynamic_and_static(spark, tpath):
         spark.createDataFrame([(7, 1, "q", "CA")], sch), dynamic=False
     )
     assert rows_of(t.snapshot(), "id", "val", "state") == [(7, "q", "CA")]
+
+
+def test_cdc_changes_insert_update_delete(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]))
+    t.upsert(df_of(spark, [(2, 2, "b2"), (9, 1, "new")]))
+    t.delete(spark.createDataFrame([(3,)], "id long"))
+    ch = {r["id"]: (r["_change_type"], r["val"]) for r in t.changes(begin=c1).collect()}
+    assert ch == {2: ("update", "b2"), 3: ("delete", None), 9: ("insert", "new")}
+    # unchanged key 1 absent; begin=None → everything is an insert
+    assert {r["_change_type"] for r in t.changes(begin=None).collect()} == {"insert"}
