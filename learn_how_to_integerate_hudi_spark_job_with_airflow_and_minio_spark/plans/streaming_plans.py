@@ -192,3 +192,27 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return gold.snapshot().drop(META_COL)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="streaming deduplication: two copies of the event stream unioned "
+    "(planted duplicates), watermarked dropDuplicates on event_id, then "
+    "a downstream aggregate — chained stateful operators; at scale the "
+    "watermark bounds dedup state to the lateness window",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_stream_to_memory(agg, output_mode="complete")
