@@ -519,3 +519,31 @@ def table_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, c1, _, orders = _build_orders_table(spark, sf_dir)
     t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
     return t.changes(begin=c1).drop(META_COL)
+
+
+@register(
+    "table_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'web' ELSE NULL END AS channel
+        FROM orders
+    """,
+    doc="schema evolution on append: a later upsert carries a NEW column "
+    "(channel); files written before the column existed surface it as "
+    "NULL through the manifest schema — no mergeSchema footer sweep, no "
+    "rewrite of old files",
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="engine_evo_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate", table_name="evo"
+    )
+    t.upsert(orders)
+    widened = orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "channel", F.lit("web")
+    )
+    t.upsert(widened)
+    return t.snapshot().select("o_orderkey", "o_custkey", "o_totalprice", "channel")
