@@ -547,3 +547,19 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(widened)
     return t.snapshot().select("o_orderkey", "o_custkey", "o_totalprice", "channel")
+
+
+@register(
+    "table_zorder_compaction",
+    oracle=_UPSERTED_SQL,
+    doc="Z-order clustering compaction: Morton-interleaved quantile "
+    "buckets of (o_custkey, o_totalprice) as the range-sort key — tight "
+    "per-file stats on BOTH columns for multi-dimension pruning; row "
+    "multiset unchanged (same oracle as the upsert snapshot)",
+)
+def table_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, _, _, _ = _build_orders_table(spark, sf_dir)
+    TableServices(t).compact(
+        zorder_cols=["o_custkey", "o_totalprice"], target_records_per_file=4096
+    )
+    return t.snapshot().drop(META_COL)

@@ -945,6 +945,7 @@ class TableServices:
         self,
         sort_cols: list[str] | None = None,
         target_records_per_file: int | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> str:
         t = self.t
         entries = t.current_files()
@@ -955,7 +956,16 @@ class TableServices:
             # (latest per key, tombstones dropped) becomes the new base
             # file set; per-row _commit_time survives the merge
             df = t._merge_view(df)
-        sort_cols = sort_cols or [t.key]
+        if zorder_cols:
+            # multi-dimensional clustering: range-sort on the Morton
+            # z-value so every zorder column gets tight per-file stats
+            # (Delta/Hudi ZORDER analog; see operators/zorder.py)
+            from .operators.zorder import zvalue
+
+            df = df.withColumn("_z", zvalue(df, zorder_cols))
+            sort_cols = ["_z"]
+        else:
+            sort_cols = sort_cols or [t.key]
         # range-partition on the sort key then sort within: globally
         # clustered layout → tight min/max stats per file (the point of
         # the reference's SparkSortAndSizeExecutionStrategy)
@@ -966,6 +976,10 @@ class TableServices:
         else:
             df = df.repartitionByRange(*sort_cols)
         df = df.sortWithinPartitions(*sort_cols)
+        if zorder_cols:
+            # the z-value did its job (range partition + in-file order);
+            # drop it before writing — projection preserves sort order
+            df = df.drop("_z")
         old_mrpf = t.meta.get("max_records_per_file")
         if target_records_per_file:
             t.meta["max_records_per_file"] = target_records_per_file

@@ -400,3 +400,43 @@ def test_cdc_changes_insert_update_delete(spark, tpath):
     assert ch == {2: ("update", "b2"), 3: ("delete", None), 9: ("insert", "new")}
     # unchanged key 1 absent; begin=None → everything is an insert
     assert {r["_change_type"] for r in t.changes(begin=None).collect()} == {"insert"}
+
+
+def test_zorder_compaction_tightens_both_columns(spark, tpath):
+    """Z-order compaction must narrow per-file stats ranges on BOTH
+    clustering columns (single-key sort only narrows one)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1, f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, ver long, val string").withColumn(
+        "x", (F.col("id") * 7919) % 2000  # decorrelated second dimension
+    )
+    t2 = Table.create(
+        spark, str(tpath) + "_z", key="id", precombine="ver",
+        table_name="tz", max_records_per_file=200,
+    )
+    t2.bulk_insert(df)
+
+    # cluster on (id, x) and check per-file spans on both dims
+    TableServices(t2).compact(zorder_cols=["id", "x"], target_records_per_file=200)
+    # manifest stats track key/precombine/meta; recompute x spans from files
+    import pyarrow.parquet as pq
+    import os as _os
+
+    spans_id, spans_x = [], []
+    for e in t2.current_files():
+        md = pq.ParquetFile(_os.path.join(t2.path, e["path"])).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for name, acc in (("id", spans_id), ("x", spans_x)):
+            st = md.row_group(0).column(cols[name]).statistics
+            lo, hi = st.min, st.max
+            for rg in range(1, md.num_row_groups):
+                s2 = md.row_group(rg).column(cols[name]).statistics
+                lo, hi = min(lo, s2.min), max(hi, s2.max)
+            acc.append(hi - lo)
+    n_files = len(spans_id)
+    assert n_files >= 4
+    # with ~10 files over 2000 ids, a z-ordered layout keeps each file's
+    # span on EACH dimension well under the full domain
+    assert sum(spans_id) / n_files < 1200, spans_id
+    assert sum(spans_x) / n_files < 1200, spans_x
