@@ -134,3 +134,86 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
         .where(F.col("rn") % 5 == 1)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "fuzzy_match_pairs",
+    oracle="""
+        WITH p AS (
+            SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+            FROM part
+        )
+        SELECT a.p_partkey AS id_1,
+               b.p_partkey AS id_2,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM p a
+        JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+    doc="record linkage: fuzzy name pairs (levenshtein ≤ 5) with "
+    "first-token blocking — candidates bounded by block sizes, never "
+    "an all-pairs cross join",
+)
+def fuzzy_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_match_pairs
+
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return fuzzy_match_pairs(
+        p, "p_partkey", "p_name",
+        block=F.split(F.col("p_name"), " ").getItem(0),
+        max_dist=5,
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, rnk
+        FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (term frequency × smoothed "
+    "inverse document frequency): explode → two aggregates (per-doc tf, "
+    "corpus df) → broadcast-joined scoring → per-doc window top-k; "
+    "scores rounded before ranking for cross-engine rank stability",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
