@@ -69,6 +69,55 @@ def _rows(records: list[dict]) -> list[tuple]:
     )
 
 
+# Coarse-but-width-aware type classes: the driver's canonicalizer may
+# compare dtypes, and Spark defaults to 32-bit where DuckDB produces
+# 64-bit (row_number, size, length, year, datediff, ...). Flag any
+# column whose class differs so the mismatch is fixed at the query, not
+# discovered at the gate.
+_SPARK_TYPE_CLASS = {
+    "tinyint": "int32",
+    "smallint": "int32",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float",
+    "double": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+}
+_DUCK_TYPE_CLASS = {
+    "TINYINT": "int32",
+    "SMALLINT": "int32",
+    "INTEGER": "int32",
+    "BIGINT": "int64",
+    "HUGEINT": "int64",
+    "FLOAT": "float",
+    "DOUBLE": "float",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+}
+
+
+def _type_classes_match(spark_df, exp_rel) -> list[str]:
+    spark_types = {
+        f.name: _SPARK_TYPE_CLASS.get(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
+    bad = []
+    for name, type_code, *_ in exp_rel.description:
+        duck = _DUCK_TYPE_CLASS.get(str(type_code))
+        sp = spark_types.get(name)
+        if sp is not None and duck is not None and sp != duck:
+            bad.append(f"{name}: spark={sp} duckdb={duck}")
+    return bad
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     got = [r.asDict(recursive=True) for r in spark_df.collect()]
     exp_rel = con.execute(sql)
@@ -77,6 +126,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
 
     got_cols = sorted(spark_df.columns)
     assert got_cols == sorted(exp_cols), f"columns differ: {got_cols} vs {sorted(exp_cols)}"
+    mismatched = _type_classes_match(spark_df, exp_rel)
+    assert not mismatched, f"column type classes differ: {mismatched}"
     assert len(got) == len(exp), f"row count differs: spark={len(got)} duckdb={len(exp)}"
 
     grows, erows = _rows(got), _rows(exp)
