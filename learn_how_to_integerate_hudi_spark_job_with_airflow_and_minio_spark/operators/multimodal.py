@@ -153,3 +153,38 @@ def sample_frames(
         schema="media_id long, frame_idx long, frame_off long, "
         "frame_len long, frame_md5 string",
     )
+
+
+def resize_payload(media: DataFrame, target_len: int = 256) -> DataFrame:
+    """Resize/downsample an opaque payload to ≤ ``target_len`` bytes by
+    stride sampling (image-thumbnail / audio-downsample analog): stride
+    = max(1, n // target), keep bytes at offsets 0, stride, 2·stride…
+
+    Arrow-batched ``mapInPandas``; emits the resized length and checksum
+    (the resized bytes themselves stay task-side — at 100 TB you write
+    them to a sibling media table, not through the driver). Deterministic
+    by construction so an external engine can recompute it.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            out = {"media_id": [], "orig_len": [], "resized_len": [], "resized_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                n = len(payload)
+                stride = max(1, n // target_len)
+                sampled = payload[::stride][:target_len]
+                out["media_id"].append(mid)
+                out["orig_len"].append(n)
+                out["resized_len"].append(len(sampled))
+                out["resized_md5"].append(hashlib.md5(sampled).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op,
+        schema="media_id long, orig_len long, resized_len long, resized_md5 string",
+    )

@@ -107,3 +107,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(_media(spark, sf_dir), frame_size=64, stride=128)
+
+
+@register(
+    "multimodal_resize",
+    # stride sampling is exactly recomputable from the source chars
+    # (ASCII testdata ⇒ bytes == chars): stride = n // 256 (min 1), keep
+    # offsets 0, stride, 2·stride…, at most 256 of them.
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id, text, length(text) AS n
+            FROM documents
+            WHERE length(text) > 0
+        ),
+        s AS (SELECT media_id, text, n, greatest(1, n // 256) AS stride FROM m)
+        SELECT media_id,
+               n AS orig_len,
+               least(256, (n + stride - 1) // stride) AS resized_len,
+               md5(array_to_string(
+                   [substr(text, CAST(i * stride + 1 AS INT), 1)
+                    for i in range(0, least(256, (n + stride - 1) // stride))],
+                   '')) AS resized_md5
+        FROM s
+    """,
+    doc="payload resize/downsample (thumbnail/audio-downsample analog): "
+    "stride-sample to ≤256 bytes via Arrow-batched mapInPandas, emitting "
+    "resized length + checksum — recomputed exactly by the oracle",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.resize_payload(_media(spark, sf_dir), target_len=256)
