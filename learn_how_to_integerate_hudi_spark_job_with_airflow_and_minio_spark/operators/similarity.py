@@ -320,13 +320,20 @@ def ivf_probe(
         .distinct()
         .collect()
     )
+    from itertools import combinations
+
     probed: set[int] = set()
     for r in q_cells:
         base = int(r["cell"])
         probed.add(base)
-        if multiprobe >= 1:
-            for b in range(bits):
-                probed.add(base ^ (1 << b))
+        # every cell within Hamming distance ``multiprobe`` of the query
+        # cell: flip each subset of up to ``multiprobe`` bit positions
+        for d in range(1, min(multiprobe, bits) + 1):
+            for flips in combinations(range(bits), d):
+                mask = 0
+                for b in flips:
+                    mask |= 1 << b
+                probed.add(base ^ mask)
     corpus = spark.read.parquet(path).where(
         F.col("cell").isin(sorted(probed))
     ).drop("cell")

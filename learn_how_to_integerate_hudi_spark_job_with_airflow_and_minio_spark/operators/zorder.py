@@ -46,15 +46,28 @@ def _interleave(cols: list[Column], bits: int = ZBITS) -> Column:
     return z
 
 
+def _numeric(df: DataFrame, c: str) -> Column:
+    """Numeric view of a z-order column. Spark forbids DATE→DOUBLE
+    casts, so temporal types go through their epoch representation
+    (unix_date / unix_micros) before the double cast."""
+    dt = dict(df.dtypes).get(c, "")
+    col = F.col(c)
+    if dt == "date":
+        return F.unix_date(col).cast("double")
+    if dt.startswith("timestamp"):
+        return F.unix_micros(col).cast("double")
+    return col.cast("double")
+
+
 def zvalue(df: DataFrame, cols: list[str], bits: int = ZBITS) -> Column:
-    """Z-value column for ``cols`` (numeric/date/timestamp castable to
-    double). Cut points are (2^bits - 1) approximate quantiles per
-    column, sampled once — the standard sort-key preparation pass."""
+    """Z-value column for ``cols`` (numeric, date, or timestamp). Cut
+    points are (2^bits - 1) approximate quantiles per column, sampled
+    once — the standard sort-key preparation pass."""
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     buckets = []
     for c in cols:
-        casted = df.select(F.col(c).cast("double").alias("_v"))
+        casted = df.select(_numeric(df, c).alias("_v"))
         cuts = casted.approxQuantile("_v", qs, 0.001)
-        buckets.append(_bucket(F.col(c), cuts))
+        buckets.append(_bucket(_numeric(df, c), cuts))
     return _interleave(buckets, bits)

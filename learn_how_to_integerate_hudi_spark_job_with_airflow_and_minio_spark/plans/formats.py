@@ -111,7 +111,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_join",
     oracle="""
-        SELECT e.event_type, d.weight, COUNT(*) AS n
+        SELECT e.event_type, CAST(d.weight AS DOUBLE) AS weight, COUNT(*) AS n
         FROM events e
         JOIN (VALUES ('click', 1.0), ('view', 2.0), ('purchase', 10.0),
                      ('signup', 5.0), ('error', 0.0)) AS d(event_type, weight)

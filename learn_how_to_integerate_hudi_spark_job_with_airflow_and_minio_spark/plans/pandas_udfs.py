@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import LongType
 
 from ..session import load_tables
 from .catalog import register
@@ -32,9 +32,9 @@ from .catalog import register
     "in Python, oracle-checked against the SQL tokenizer",
 )
 def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    @F.pandas_udf(IntegerType())
+    @F.pandas_udf(LongType())
     def py_token_count(s: pd.Series) -> pd.Series:
-        return s.str.strip().str.split(r"\s+").map(len).astype("int32")
+        return s.str.strip().str.split(r"\s+").map(len).astype("int64")
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return d.select("doc_id", py_token_count(F.col("text")).alias("n_tokens_py"))

@@ -102,14 +102,14 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                abs(l_discount - 0.05)                    AS disc_dev,
                round(l_extendedprice, 1)                 AS price_round,
-               floor(l_quantity)                         AS qty_floor,
-               ceil(l_extendedprice / 1000)              AS price_k_ceil,
+               CAST(floor(l_quantity) AS BIGINT)         AS qty_floor,
+               CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
                sqrt(l_quantity)                          AS qty_sqrt,
                l_extendedprice * l_extendedprice         AS price_sq,
                CAST(l_partkey % 16 AS BIGINT)            AS part_bucket,
                greatest(l_tax, l_discount)               AS max_rate,
                least(l_tax, l_discount)                  AS min_rate,
-               sign(l_discount - l_tax)                  AS rate_sign
+               CAST(sign(l_discount - l_tax) AS DOUBLE)  AS rate_sign
         FROM lineitem
     """,
     doc="math family: abs/round/floor/ceil/sqrt/power/mod/greatest/least/"

@@ -49,8 +49,12 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         "p_brand",
-        F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("dist_to_b10"),
-        F.levenshtein(F.col("p_type"), F.lit("STANDARD")).alias("dist_to_standard"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10"))
+        .cast("long")
+        .alias("dist_to_b10"),
+        F.levenshtein(F.col("p_type"), F.lit("STANDARD"))
+        .cast("long")
+        .alias("dist_to_standard"),
     )
 
 
@@ -70,7 +74,7 @@ def scalar_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return d.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit("the")).alias("n_the"),
+        F.regexp_count(F.col("text"), F.lit("the")).cast("long").alias("n_the"),
         F.col("text").rlike("^[a-z ]+$").alias("all_lower"),
         F.regexp_replace(
             F.substring(F.col("text"), 1, 40), r"(a|the) ", "<$1> "

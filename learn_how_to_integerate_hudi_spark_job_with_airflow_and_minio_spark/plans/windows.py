@@ -188,7 +188,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS session_id
             FROM gaps
         )
-        SELECT user_id, session_id,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                COUNT(*) AS n_events,
                min(ts) AS session_start,
                max(ts) AS session_end

@@ -468,14 +468,36 @@ class Table:
         parts = self.meta.get("partition_fields") or []
         entries = self.current_files()
         if dynamic and parts and entries:
-            vals = stamped.select(*parts).distinct().collect()
+            # Compare in ONE codec: Spark's string cast of a partition
+            # value equals the unquoted hive directory segment for every
+            # partitionable type (int '5', date '2024-01-01', timestamp
+            # '2024-01-01 00:00:00', boolean 'true'), and the manifest's
+            # ``partition`` dict stores exactly that form (None for the
+            # null sentinel). Typed batch values vs typed stats were
+            # codec-mismatched for date/timestamp columns (never matched
+            # → duplicates survived the overwrite).
+            vals = (
+                stamped.select([F.col(c).cast("string").alias(c) for c in parts])
+                .distinct()
+                .collect()
+            )
             batch_parts = {tuple(r[c] for c in parts) for r in vals}
 
             def entry_part(e: dict):
-                st = e.get("stats", {})
-                return tuple((st.get(c) or [None])[0] for c in parts)
+                pd_ = e.get("partition")
+                if pd_ is None:
+                    # pre-``partition``-field manifest entry: can't
+                    # attribute it to a partition → conservatively keep
+                    # (duplicates are recoverable; deleting an unrelated
+                    # partition's data is not)
+                    return None
+                return tuple(pd_.get(c) for c in parts)
 
-            removed = [e["path"] for e in entries if entry_part(e) in batch_parts]
+            removed = [
+                e["path"]
+                for e in entries
+                if (ep := entry_part(e)) is not None and ep in batch_parts
+            ]
         else:
             removed = [e["path"] for e in entries]
         added = self._write_files(stamped, commit)
@@ -741,10 +763,25 @@ class Table:
             if kind != "base":
                 entry["kind"] = kind
             # partition values come from the hive-style directory names:
-            # min == max == the value, exactly what the pruner needs
+            # min == max == the value, exactly what the pruner needs.
+            # Also record the raw (unquoted) string form per column in a
+            # dedicated ``partition`` dict — insert_overwrite(dynamic)
+            # compares against string-cast batch values, and the typed
+            # stats domain (python date/int) can't be compared to those
+            # without a codec agreement; ``None`` marks the hive null
+            # sentinel explicitly so a null batch partition matches ONLY
+            # null-partition files, never stats-less ones.
+            if parts:
+                entry["partition"] = {}
             for seg in rel_file.split("/")[:-1]:
                 if "=" in seg:
                     c, v = seg.split("=", 1)
+                    from urllib.parse import unquote
+
+                    raw = unquote(v)
+                    entry["partition"][c] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
                     pv = _parse_partition_value(c, v, df.schema)
                     if pv is not None:
                         entry["stats"][c] = [pv, pv]

@@ -69,51 +69,82 @@ def _rows(records: list[dict]) -> list[tuple]:
     )
 
 
-# Coarse-but-width-aware type classes: the driver's canonicalizer may
-# compare dtypes, and Spark defaults to 32-bit where DuckDB produces
-# 64-bit (row_number, size, length, year, datediff, ...). Flag any
-# column whose class differs so the mismatch is fixed at the query, not
-# discovered at the gate.
+# Width-exact type classes: the driver's canonicalizer hash-compares the
+# Arrow-level dtypes, so Spark BIGINT vs DuckDB DOUBLE (44 vs 44.0), or
+# DuckDB's windowed-SUM HUGEINT (-> decimal128) vs Spark bigint, fail at
+# the gate even when every value prints identically. Classify BOTH sides
+# down to exact width and flag any difference so the mismatch is fixed at
+# the query, not discovered at the gate. NOTE: DuckDB types must come
+# from the relation (``con.sql(...).types``) — the DB-API
+# ``description`` returns generic codes ('NUMBER', 'DATETIME') that match
+# nothing and silently disable the check (round-2 lesson).
 _SPARK_TYPE_CLASS = {
-    "tinyint": "int32",
-    "smallint": "int32",
+    "tinyint": "int8",
+    "smallint": "int16",
     "int": "int32",
     "bigint": "int64",
-    "float": "float",
-    "double": "float",
+    "float": "float32",
+    "double": "float64",
     "string": "str",
     "boolean": "bool",
     "date": "date",
     "timestamp": "ts",
     "timestamp_ntz": "ts",
+    "binary": "bytes",
 }
 _DUCK_TYPE_CLASS = {
-    "TINYINT": "int32",
-    "SMALLINT": "int32",
+    "TINYINT": "int8",
+    "SMALLINT": "int16",
     "INTEGER": "int32",
     "BIGINT": "int64",
-    "HUGEINT": "int64",
-    "FLOAT": "float",
-    "DOUBLE": "float",
+    "HUGEINT": "hugeint",  # arrow decimal128 — matches NO spark type
+    "FLOAT": "float32",
+    "DOUBLE": "float64",
     "VARCHAR": "str",
     "BOOLEAN": "bool",
     "DATE": "date",
     "TIMESTAMP": "ts",
     "TIMESTAMP_NS": "ts",
     "TIMESTAMP WITH TIME ZONE": "ts",
+    "BLOB": "bytes",
 }
 
 
-def _type_classes_match(spark_df, exp_rel) -> list[str]:
+def _spark_class(simple: str) -> str:
+    if simple.startswith("decimal"):
+        return "decimal" + simple[len("decimal") :]
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"list<{_spark_class(simple[6:-1])}>"
+    return _SPARK_TYPE_CLASS.get(simple, f"unknown-spark({simple})")
+
+
+def _duck_class(t: str) -> str:
+    t = str(t)
+    if t.startswith("DECIMAL"):
+        return "decimal" + t[len("DECIMAL") :].replace(" ", "")
+    if t.endswith("[]"):
+        return f"list<{_duck_class(t[:-2])}>"
+    return _DUCK_TYPE_CLASS.get(t, f"unknown-duckdb({t})")
+
+
+def type_class_mismatches(spark_df, con, sql: str) -> list[str]:
+    """Compare Spark vs DuckDB column type classes for one oracle SQL.
+
+    Runs the oracle at LIMIT 0 cost (relation metadata only). Returns a
+    human-readable list of mismatched columns, empty when clean.
+    """
     spark_types = {
-        f.name: _SPARK_TYPE_CLASS.get(f.dataType.simpleString())
+        f.name: _spark_class(f.dataType.simpleString())
         for f in spark_df.schema.fields
     }
+    rel = con.sql(sql)
     bad = []
-    for name, type_code, *_ in exp_rel.description:
-        duck = _DUCK_TYPE_CLASS.get(str(type_code))
+    for name, dtype in zip(rel.columns, rel.types):
+        duck = _duck_class(dtype)
         sp = spark_types.get(name)
-        if sp is not None and duck is not None and sp != duck:
+        if sp is None:
+            continue  # column-name mismatch is its own assertion
+        if sp != duck:
             bad.append(f"{name}: spark={sp} duckdb={duck}")
     return bad
 
@@ -126,7 +157,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
 
     got_cols = sorted(spark_df.columns)
     assert got_cols == sorted(exp_cols), f"columns differ: {got_cols} vs {sorted(exp_cols)}"
-    mismatched = _type_classes_match(spark_df, exp_rel)
+    mismatched = type_class_mismatches(spark_df, con, sql)
     assert not mismatched, f"column type classes differ: {mismatched}"
     assert len(got) == len(exp), f"row count differs: spark={len(got)} duckdb={len(exp)}"
 

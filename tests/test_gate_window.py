@@ -41,3 +41,35 @@ def test_window_query_has_scalar_only_schema(name, spark):
         f"{name} returns complex-typed columns {bad} — the driver "
         "canonicalizer crashes on these (round-1 'unhashable list')"
     )
+
+
+def test_type_class_checker_is_alive(spark):
+    """A deliberately mistyped oracle MUST be flagged.
+
+    Round-2 regression: the checker read DB-API ``description`` type
+    codes ('NUMBER'), matched nothing, and silently passed two gate
+    failures (scalar_math_funcs, win_sessionize) through 223 green
+    tests. This pins the checker against going dead again.
+    """
+    from .oracle import duckdb_connect, type_class_mismatches
+
+    con = duckdb_connect("/root/testdata/sf0.001")
+    df = spark.range(1).selectExpr(
+        "CAST(4 AS BIGINT) AS qty_floor",          # vs DOUBLE → must flag
+        "CAST(1.0 AS DOUBLE) AS rate_sign",        # vs TINYINT → must flag
+        "CAST(2 AS BIGINT) AS session_id",         # vs HUGEINT-ish → flag
+        "CAST(7 AS BIGINT) AS ok_col",             # vs BIGINT → clean
+    )
+    bad = type_class_mismatches(
+        df,
+        con,
+        """
+        SELECT floor(4.5) AS qty_floor,
+               sign(1.5)  AS rate_sign,
+               CAST(2 AS HUGEINT) AS session_id,
+               CAST(7 AS BIGINT)  AS ok_col
+        """,
+    )
+    con.close()
+    flagged = {b.split(":")[0] for b in bad}
+    assert flagged == {"qty_floor", "rate_sign", "session_id"}, bad

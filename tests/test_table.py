@@ -391,6 +391,47 @@ def test_insert_overwrite_dynamic_and_static(spark, tpath):
     assert rows_of(t.snapshot(), "id", "val", "state") == [(7, "q", "CA")]
 
 
+def test_insert_overwrite_dynamic_date_partition(spark, tpath):
+    """Regression (round-2 ADVICE): date-typed partition values collected
+    as python ``date`` objects never matched the manifest's hive-string
+    stats, so dynamic overwrite silently kept the old files → duplicate
+    rows in the snapshot."""
+    import datetime as dt
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver",
+        partition_fields=["day"], table_name="iowd",
+    )
+    sch = "id long, ver long, val string, day date"
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 1, "a", d1), (2, 1, "b", d2), (3, 1, "c", d1)], sch))
+    t.insert_overwrite(
+        spark.createDataFrame([(9, 1, "z", d1)], sch), dynamic=True
+    )
+    assert rows_of(t.snapshot(), "id", "val", "day") == [
+        (2, "b", d2), (9, "z", d1)
+    ]
+
+
+def test_insert_overwrite_null_partition_only_matches_null(spark, tpath):
+    """A NULL batch partition value must replace only the null-partition
+    files — never files that merely lack partition stats."""
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver",
+        partition_fields=["state"], table_name="iown",
+    )
+    sch = "id long, ver long, val string, state string"
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 1, "a", "OH"), (2, 1, "b", None)], sch))
+    t.insert_overwrite(
+        spark.createDataFrame([(8, 1, "n2", None)], sch), dynamic=True
+    )
+    assert rows_of(t.snapshot(), "id", "val", "state") == [
+        (1, "a", "OH"), (8, "n2", None)
+    ]
+
+
 def test_cdc_changes_insert_update_delete(spark, tpath):
     t = make_table(spark, tpath)
     c1 = t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]))
