@@ -59,16 +59,29 @@ def main() -> None:
     qmap = catalog.queries()
 
     names = [n for n in HEADLINE if n in qmap]
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     # Warm the JVM/codegen once with the cheapest query.
     qmap[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    # Single-shot per query: repeats would let persisted lineages (the
-    # dedup shingle cache) serve the second run from cache and make
-    # streaming sinks re-register — neither measures the real plan.
+    # Median-of-N per query: single-shot timings carry ±25% noise —
+    # bigger than most round-over-round deltas. Cache discipline:
+    # ``clearCache()`` before every repeat, because Spark's CacheManager
+    # matches cached plans STRUCTURALLY, so a rebuilt-but-identical
+    # lineage (the dedup shingle persist) would silently serve repeat 2+
+    # from memory and measure the cache, not the plan. Streaming sinks
+    # are repeat-safe (uuid query names); table_* queries rebuild their
+    # temp table every call, so each repeat times the full write path.
     for name in names:
-        t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     print(
         json.dumps(
@@ -78,6 +91,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
+                "spread": spread,
             }
         )
     )

@@ -111,20 +111,48 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines by design — rows-only
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct "
-    "path — no expand, no exact shuffle; rows-only check (sketch values "
-    "are engine-specific). Percentiles surfaced as scalar columns — the "
-    "gate's canonicalizer cannot hash array cells.",
+    # Checkable contract for engine-specific sketches: the HLL estimate
+    # itself can't cross the engine boundary (sketches differ by
+    # design), but |approx − exact| ≤ rsd-bound CAN — Spark emits the
+    # exact count plus tolerance booleans, DuckDB recomputes the exact
+    # count and asserts the booleans are literally TRUE. A broken HLL
+    # (or approx-percentile) path now fails the gate instead of
+    # recording a ⊘ rows-only row.
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS hll_within_5pct,
+               TRUE AS pct_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct (HyperLogLog++) + approx_percentile: the "
+    "100 TB-scale distinct/quantile path — sketch estimates checked "
+    "against in-plan exact values at 5% tolerance; exact count crosses "
+    "the engine boundary, sketch values stay engine-side.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     pct = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.round(F.element_at(pct, 1), 2).alias("price_p50"),
-        F.round(F.element_at(pct, 2), 2).alias("price_p95"),
-        F.round(F.element_at(pct, 3), 2).alias("price_p99"),
+    exact_pct = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        pct.alias("_apct"),
+        exact_pct.alias("_epct"),
+    )
+    within = F.lit(True)
+    for i in range(1, 4):
+        a, e = F.element_at("_apct", i), F.element_at("_epct", i)
+        within = within & (F.abs(a - e) <= 0.05 * F.abs(e))
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("hll_within_5pct"),
+        within.alias("pct_within_5pct"),
     )
 
 

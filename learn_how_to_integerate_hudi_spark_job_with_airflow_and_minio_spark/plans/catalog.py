@@ -55,69 +55,72 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # which runs ALL entries regardless of order). Rotate this list each
 # round until every query has a green row.
 _GATE_WINDOW = 50
+# Round-3 window: (a) the 19 queries that have NEVER had a driver row
+# (includes K13 insert_overwrite — the last §2 operator without one),
+# (b) the 2 round-2 hash-fails, now type-fixed, (c) the 3 ex-no-oracle
+# queries that gained full cross-engine oracles this round, (d) backfill
+# with round-1-green queries starting with the two whose output types
+# changed this round (pandas_udf int64, salted-join weight DOUBLE).
+# Everything outside the window stays covered by
+# tests/test_catalog_oracle.py (all 113, judge-re-runnable).
 _ROUND_PRIORITY: list[str] = [
-    # round-1 failures, now fixed (array canon / oracle contract)
-    "dedup_simhash",
-    "dedup_ngram_jaccard",  # semantics changed: df-cap now ON → re-prove
-    "agg_approx_distinct",
-    "agg_collect_list_sorted",
-    "scalar_array_funcs",
-    "multimodal_features",
-    # table kernel (flagship write path — unproven in r1)
-    "table_upsert_snapshot",
-    "table_incremental_read",
-    "table_delete_snapshot",
-    "table_compaction_snapshot",
-    "incremental_pipeline_gold",
-    "table_time_travel",
-    "table_partition_pruning",
-    "table_clean_snapshot",
-    "q00_inmemory_ingest",
-    "table_merge_mixed",
-    "table_restore",
-    "sql_catalog_attach",
-    # MERGE_ON_READ (new in round 2 — the last missing Hudi table-kernel
-    # capability)
-    "table_mor_snapshot",
-    "table_mor_read_optimized",
-    "table_mor_compaction",
-    # reference query surface
-    "q06_latest_per_key",
-    "q07_sql_transformer",
-    # structured streaming
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_table_feed",
-    "stream_foreachbatch_upsert",
-    # window functions
-    "win_topk_per_group",
-    "win_running_sum",
-    "win_lag_lead",
-    "win_rank_percent",
-    "win_range_frame",
+    # (a) never driver-tested — table kernel first (K13 + CDC + schema
+    # evolution + Z-order are daily user surfaces)
+    "table_insert_overwrite_dynamic",
+    "table_cdc_changes",
+    "table_schema_evolution",
+    "table_zorder_compaction",
+    "dedup_components",
+    "multimodal_frames",
+    "multimodal_resize",
+    "scalar_json_funcs",
+    "scalar_case_coalesce",
+    "scalar_cast_chain",
+    "scalar_hash_funcs",
+    "scalar_levenshtein",
+    "scalar_regexp_extended",
+    "agg_corr_covar",
+    "agg_exact_percentile",
+    "sim_ivf_probe",
+    "stream_dedup_watermark",
+    "fuzzy_match_pairs",
+    "text_tfidf_top_terms",
+    # (b) round-2 hash-fails, oracle casts fixed
+    "scalar_math_funcs",
     "win_sessionize",
-    # text analysis
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "text_normalize",
-    "text_redact_pii",
-    # similarity search
-    "sim_topk_bruteforce",
+    # (c) ⊘ → full oracle this round (signature recomputation /
+    # tolerance-boolean contract)
     "sim_lsh_ann",
     "sim_ivf_cells",
-    "sim_matmul_topk",
-    # sampling / data quality
-    "sample_stratified_deterministic",
-    "quality_report",
-    # scalar-function surface (the rest of the family rotates in next
-    # round; all remain covered by tests/test_catalog_oracle.py)
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
+    "agg_approx_distinct",
+    # (d) backfill: output types changed this round → re-prove first
+    "pandas_udf_scalar",
+    "skew_salted_join",
+    # (d) backfill: oldest round-1-green queries, registry order
+    "agg_tpch_q1",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_variance_stddev",
+    "agg_string_agg",
+    "agg_bool",
+    "setop_all_variants",
+    "orderby_nulls_ordering",
+    "explode_token_counts",
+    "win_first_last",
+    "agg_arg_minmax",
+    "unpivot_metrics",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "skew_salted_agg",
+    "join_left_outer",
 ]
 
 

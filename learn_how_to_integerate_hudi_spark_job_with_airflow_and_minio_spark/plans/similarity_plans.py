@@ -55,12 +55,65 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_sig(dim: int, bits: int, seed: int) -> str:
+    """DuckDB expression recomputing :func:`operators.similarity.
+    lsh_signature` bit-for-bit: the hyperplanes are deterministic seeded
+    literals, ``repr(float)`` round-trips exactly in both engines, and
+    both sides sum the 64 products left-associatively in index order
+    (Spark's ``F.aggregate`` fold ≡ a left-assoc ``+`` chain), so the
+    doubles — and therefore every sign decision — are identical."""
+    planes = S.hyperplanes(dim, bits, seed)
+    parts = []
+    for i, p in enumerate(planes):
+        dot_terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE)*{w!r}" for j, w in enumerate(p)
+        )
+        parts.append(f"(CASE WHEN ({dot_terms}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+_LSH_SIG_BRANCHES = "\n            UNION ALL\n".join(
+    f"SELECT vec_id, {t} AS tbl, {_duck_sig(64, 4, 42 + 1000 * t)} AS sig"
+    " FROM embeddings"
+    for t in range(8)
+)
+
+_LSH_ANN_SQL = f"""
+    WITH sig AS (
+        {_LSH_SIG_BRANCHES}
+    ),
+    cand AS (
+        SELECT DISTINCT cq.vec_id AS query_id, cc.vec_id AS neighbor_id
+        FROM sig cq
+        JOIN sig cc ON cq.tbl = cc.tbl AND cq.sig = cc.sig
+        WHERE cq.vec_id < 10 AND cq.vec_id <> cc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_COS} AS cosine,
+               row_number() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY {_COS} DESC, cand.neighbor_id ASC
+               ) AS rank
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "sim_lsh_ann",
-    oracle=None,  # recall < 1 by design; recall vs brute asserted in pytest
+    # Full cross-engine oracle (same technique as dedup_simhash): the
+    # 8×4-bit hyperplane signatures are recomputed from their literal
+    # coefficients inside DuckDB, the collision-candidate pair set is
+    # rebuilt exactly, and candidates are re-scored/ranked with the same
+    # rounded cosine — so the oracle checks signature math, candidate
+    # completeness, AND the re-score path, not just row counts.
+    oracle=_LSH_ANN_SQL,
     doc="multi-table LSH ANN (8 tables x 4-bit random-hyperplane "
     "signatures): exact re-score only within signature collisions — "
-    "the 100 TB path; rows-only here, recall measured in tests",
+    "the 100 TB path; DuckDB oracle rebuilds signatures + candidates",
 )
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
@@ -72,7 +125,16 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_cells",
-    oracle=None,  # cell assignment is signature-specific — rows-only
+    # Exact oracle: the cell histogram is a pure function of the seeded
+    # hyperplane signatures, recomputed in DuckDB from the same literals.
+    oracle=f"""
+        SELECT CAST(cell AS BIGINT) AS cell,
+               COUNT(*) AS n_vectors,
+               min(vec_id) AS min_vec_id,
+               max(vec_id) AS max_vec_id
+        FROM (SELECT vec_id, {_duck_sig(64, 4, 42)} AS cell FROM embeddings)
+        GROUP BY cell
+    """,
     doc="IVF-style coarse partitioning: LSH signature as cell id; "
     "partition-by-cell layout gives probe-time partition pruning",
 )
