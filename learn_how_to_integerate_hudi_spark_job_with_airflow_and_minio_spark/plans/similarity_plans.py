@@ -148,9 +148,40 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PROBE_SQL = f"""
+    WITH cells AS (
+        SELECT vec_id, {_duck_sig(64, 4, 42)} AS cell FROM embeddings
+    ),
+    qcells AS (SELECT DISTINCT cell FROM cells WHERE vec_id < 10),
+    probed AS (
+        SELECT DISTINCT xor(qcells.cell, m.m) AS cell
+        FROM qcells CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m
+    ),
+    cand AS (
+        SELECT c.vec_id FROM cells c JOIN probed p ON c.cell = p.cell
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS} AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS} DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+          AND c.vec_id IN (SELECT vec_id FROM cand)
+    ) WHERE rank <= 5
+"""
+
+
 @register(
     "sim_ivf_probe",
-    oracle=None,  # ANN recall < 1 by design; pruning + recall in pytest
+    # Deterministic ANN ⇒ exact oracle: the probed cell set (query cells
+    # + all Hamming-1 neighbors, masks 0/1/2/4/8 over 4 bits) is a pure
+    # function of the seeded signatures, so DuckDB rebuilds the exact
+    # candidate subset and re-ranks it with the same rounded cosine.
+    oracle=_IVF_PROBE_SQL,
     doc="IVF index probe: corpus written partitioned by cell "
     "(cell=<sig>/ dirs), probe reads ONLY query cells + Hamming-1 "
     "neighbors (partition pruning before I/O), exact re-score within "
