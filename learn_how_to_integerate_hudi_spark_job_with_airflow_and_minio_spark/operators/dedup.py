@@ -428,3 +428,55 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("id", "component")
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose n-gram
+    overlap with an eval/benchmark document exceeds ``threshold``
+    (fraction of the BENCHMARK's distinct n-grams found in the corpus
+    doc — the standard decontamination direction: a long training doc
+    that swallows a short eval item must score ~1 regardless of the
+    training doc's own length).
+
+    Scale shape: the benchmark side is small by definition → its
+    exploded, hashed shingle table broadcasts; the corpus explodes
+    map-side and equi-joins on an 8-byte xxhash64 key (the shuffle-free
+    broadcast join carries 16 bytes/row, never document text); the
+    per-(corpus,bench) match count is a partial-aggregatable groupBy.
+    No self-joins, no cartesian products — cost is O(corpus n-grams).
+    """
+    c_sh = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    ).select("corpus_id", F.xxhash64("_g").alias("_h"))
+    b_sh = bench.select(
+        F.col(bench_id).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    ).select("bench_id", F.xxhash64("_g").alias("_h"))
+    bench_sizes = b_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams")
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "_h")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        hits.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("shared_ngrams").cast("double") / F.col("bench_ngrams"), 6
+            ),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select("corpus_id", "bench_id", "shared_ngrams", "bench_ngrams", "overlap")
+    )

@@ -86,22 +86,33 @@ class Expr(Rule):
 def check(
     df: DataFrame, rules: list[Rule], unique: list[str] | None = None
 ) -> DataFrame:
-    """Evaluate all rules in one conditional-count pass; optional
-    ``unique`` columns each add a distinct-count comparison. Returns
-    (rule string, violations long, total long)."""
+    """Evaluate all rules AND ``unique`` distinct-counts in ONE
+    aggregation pass (conditional counts + countDistinct per column —
+    Spark's Expand handles multiple distincts in a single shuffle, vs
+    one full job per column). ``countDistinct`` skips NULLs, so a
+    max(isNull) term re-adds the one distinct slot NULL occupies in the
+    previous ``.distinct().count()`` semantics. Returns (rule string,
+    violations long, total long)."""
+    uniq = list(unique or [])
     agg = df.agg(
         F.count(F.lit(1)).alias("_total"),
         *[
             F.sum(r.violation().cast("long")).alias(f"_v_{i}")
             for i, r in enumerate(rules)
         ],
+        *[
+            (
+                F.countDistinct(c)
+                + F.coalesce(F.max(F.col(c).isNull().cast("long")), F.lit(0))
+            ).alias(f"_u_{j}")
+            for j, c in enumerate(uniq)
+        ],
     )
     row = agg.collect()[0]
     total = int(row["_total"])
     out = [(r.name, int(row[f"_v_{i}"] or 0), total) for i, r in enumerate(rules)]
-    for col in unique or []:
-        dup = total - df.select(col).distinct().count()
-        out.append((f"unique_{col}", dup, total))
+    for j, c in enumerate(uniq):
+        out.append((f"unique_{c}", total - int(row[f"_u_{j}"] or 0), total))
     return df.sparkSession.createDataFrame(
         out, "rule string, violations long, total long"
     )

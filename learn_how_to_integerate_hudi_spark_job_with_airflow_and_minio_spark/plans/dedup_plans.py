@@ -250,3 +250,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, max_df=0.1)
     return D.connected_components(pairs)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    # Oracle recomputes the overlap from raw shingle STRINGS
+    # (list_intersect); the Spark plan joins on xxhash64'd shingles —
+    # agreement also certifies the 8-byte join-key compression loses
+    # nothing on this corpus.
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) s
+    FROM toks
+),
+bench AS (
+    SELECT doc_id AS bench_id, s FROM sh
+    WHERE doc_id % 7 = 0 AND len(s) > 0
+),
+corp AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 7 <> 0)
+SELECT c.corpus_id, b.bench_id,
+       CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS shared_ngrams,
+       CAST(len(b.s) AS BIGINT) AS bench_ngrams,
+       round(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(b.s), 6)
+           AS overlap
+FROM corp c CROSS JOIN bench b
+WHERE round(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(b.s), 6)
+          >= 0.5
+    """,
+    doc="benchmark decontamination: corpus docs sharing >= 50% of an "
+    "eval doc's word 3-grams (bench side = doc_id %% 7, broadcast; "
+    "corpus side map-only explode + hashed equi-join — no self-join, "
+    "no cartesian)",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    return D.contamination_pairs(
+        corpus, bench, "doc_id", "doc_id", "text", n=3, threshold=0.5
+    )

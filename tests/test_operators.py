@@ -53,3 +53,47 @@ def test_connected_components_multihop(spark):
     )
     got = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_quality_check_single_pass_unique_null_semantics(spark):
+    """unique_<col> counts NULL as ONE distinct slot (the old
+    .distinct().count() semantics), now folded into the same
+    aggregation pass as the rule counts."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        quality as Q,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (3, None), (4, "c")],
+        "k long, v string",
+    )
+    rep = {
+        r["rule"]: (r["violations"], r["total"])
+        for r in Q.check(df, [Q.NotNull("v")], unique=["k", "v"]).collect()
+    }
+    # k: 5 rows, distinct {1,2,3,4} -> 1 dup; v: distinct {a,b,c,NULL} -> 1 dup
+    assert rep["unique_k"] == (1, 5)
+    assert rep["unique_v"] == (1, 5)
+    assert rep["not_null_v"] == (2, 5)
+
+
+def test_contamination_pairs_directionality(spark):
+    """Overlap is measured against the BENCHMARK doc's n-grams: a long
+    training doc that contains a short eval doc verbatim scores 1.0 even
+    though the reverse fraction is small."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        dedup as D,
+    )
+
+    eval_text = "the quick brown fox jumps"
+    train_text = eval_text + " over the lazy dog near the quiet river bank today"
+    corpus = spark.createDataFrame(
+        [(1, train_text), (2, "completely unrelated words here only")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    got = {
+        (r["corpus_id"], r["bench_id"]): r["overlap"]
+        for r in D.contamination_pairs(corpus, bench, threshold=0.5).collect()
+    }
+    assert got == {(1, 100): 1.0}
