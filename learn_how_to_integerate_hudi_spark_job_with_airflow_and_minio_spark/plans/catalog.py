@@ -85,6 +85,9 @@ _ROUND_PRIORITY: list[str] = [
     "stream_dedup_watermark",
     "fuzzy_match_pairs",
     "text_tfidf_top_terms",
+    # (a') born this round — gate on first appearance
+    "decontaminate_ngram_overlap",
+    "stream_stateful_user_stats",
     # (b) round-2 hash-fails, oracle casts fixed
     "scalar_math_funcs",
     "win_sessionize",
@@ -119,8 +122,6 @@ _ROUND_PRIORITY: list[str] = [
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
-    "skew_salted_agg",
-    "join_left_outer",
 ]
 
 

@@ -216,3 +216,40 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_stateful_user_stats",
+    # Oracle = the batch recomputation (SURVEY §7 streaming strategy):
+    # every emitted stat is order-independent (count / max / min), so
+    # the folded final row per user equals plain GROUP BY regardless of
+    # how the file source split micro-batches.
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               max(value) AS max_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="custom stateful streaming operator: applyInPandasWithState "
+    "per-user running stats (explicit GroupState, Arrow-batched pandas "
+    "transition fn) — the extension point for state machines windowed "
+    "aggs can't express; update-mode re-emissions folded by a monotone "
+    "aggregate",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import events_stream, run_stream_to_memory, stateful_user_stats
+
+    out = run_stream_to_memory(
+        stateful_user_stats(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    # update mode re-emits a key's running row per micro-batch; all five
+    # stats are monotone, so max/min folds to the final state exactly
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )

@@ -110,3 +110,55 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "last_event",
         )
     )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running stats maintained in explicit GroupState — the
+    template for aggregations Spark's built-in windowed operators can't
+    express (arbitrary Python state transition per key per micro-batch,
+    Arrow-batched).
+
+    Emitted stats are deliberately ORDER-INDEPENDENT (count, max, min)
+    so the final row per key is identical under any micro-batch split of
+    the input — which is what makes the batch-SQL oracle exact. In
+    update mode a key re-emits its running row each batch it appears in;
+    downstream (``stream_stateful_user_stats``) folds to the final state
+    with a monotone aggregate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, vmax, tmin, tmax = state.get
+        else:
+            n, vmax, tmin, tmax = 0, None, None, None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            bmax = float(pdf["value"].max())
+            vmax = bmax if vmax is None else max(vmax, bmax)
+            btmin, btmax = pdf["ts"].min(), pdf["ts"].max()
+            tmin = btmin if tmin is None else min(tmin, btmin)
+            tmax = btmax if tmax is None else max(tmax, btmax)
+        state.update((n, vmax, tmin, tmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [vmax],
+                "first_ts": [tmin],
+                "last_ts": [tmax],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double, "
+        "first_ts timestamp, last_ts timestamp",
+        stateStructType="n long, vmax double, tmin timestamp, tmax timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
