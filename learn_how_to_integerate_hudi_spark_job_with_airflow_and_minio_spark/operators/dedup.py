@@ -480,3 +480,23 @@ def contamination_pairs(
         .where(F.col("overlap") >= threshold)
         .select("corpus_id", "bench_id", "shared_ngrams", "bench_ngrams", "overlap")
     )
+
+
+def keep_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply pairwise near-dup decisions to the corpus: collapse pairs
+    into components, keep ONE representative per duplicate group (the
+    min id — deterministic), drop every other member. This is the step
+    a pipeline actually runs after any of the pair generators (Jaccard /
+    MinHash / SimHash / embedding-cosine).
+
+    Scale shape: the drop list is |duplicates| rows of a single id
+    column — a left_anti join against the corpus on its key; the corpus
+    itself is never shuffled (anti join broadcasts the small side).
+    """
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -88,6 +88,7 @@ _ROUND_PRIORITY: list[str] = [
     # (a') born this round — gate on first appearance
     "decontaminate_ngram_overlap",
     "stream_stateful_user_stats",
+    "dedup_apply_keep_representative",
     # (b) round-2 hash-fails, oracle casts fixed
     "scalar_math_funcs",
     "win_sessionize",
@@ -121,7 +122,6 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "source_csv_roundtrip",
     "source_json_roundtrip",
-    "source_orc_roundtrip",
 ]
 
 

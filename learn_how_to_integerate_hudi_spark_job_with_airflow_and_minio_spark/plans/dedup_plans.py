@@ -292,3 +292,31 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_pairs(
         corpus, bench, "doc_id", "doc_id", "text", n=3, threshold=0.5
     )
+
+
+_DEDUP_APPLY_SQL = (
+    _COMPONENTS_SQL.replace(
+        "SELECT a AS id, min(b) AS component FROM reach GROUP BY a",
+        """, drops AS (
+    SELECT a AS id FROM reach GROUP BY a HAVING a <> min(b)
+)
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS text_len
+FROM documents d ANTI JOIN drops ON d.doc_id = drops.id""",
+    )
+)
+
+
+@register(
+    "dedup_apply_keep_representative",
+    oracle=_DEDUP_APPLY_SQL,
+    doc="end-to-end near-dup REMOVAL: Jaccard pairs -> connected "
+    "components -> keep min-id representative per group -> anti-join "
+    "the corpus (the op a training pipeline actually runs); oracle "
+    "rebuilds the whole chain incl. a recursive transitive closure",
+)
+def dedup_apply_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, max_df=0.1)
+    return D.keep_representative(d, pairs, "doc_id").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )

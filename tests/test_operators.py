@@ -97,3 +97,62 @@ def test_contamination_pairs_directionality(spark):
         for r in D.contamination_pairs(corpus, bench, threshold=0.5).collect()
     }
     assert got == {(1, 100): 1.0}
+
+
+def test_zorder_zvalue_accepts_temporal_columns(spark):
+    """Regression (round-2 ADVICE): DATE->DOUBLE casts are illegal in
+    Spark, so z-ordering on a date/timestamp column failed at analysis
+    time; temporal columns now route through their epoch form."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.zorder import (
+        zvalue,
+    )
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 28), dt.datetime(2024, 1, 1, i % 24)) for i in range(64)],
+        "id long, d date, t timestamp",
+    )
+    out = df.withColumn("z", zvalue(df, ["d", "t"])).select("id", "z")
+    assert out.count() == 64
+    assert dict(out.dtypes)["z"] == "bigint"
+    # distinct dates must not collapse to one z-bucket
+    assert out.select("z").distinct().count() > 1
+
+
+def test_ivf_multiprobe_distance_widens_probed_set(spark):
+    """multiprobe=d must probe ALL cells within Hamming distance d
+    (round-2 ADVICE: the loop only ever flipped single bits, so
+    multiprobe>=2 silently added nothing)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(256)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ivf_mp_")
+    S.ivf_write(emb, "vec_id", path, "embedding", dim=8, bits=6)
+    q = emb.where(F.col("vec_id") < 2)
+
+    def probed_corpus_rows(multiprobe):
+        # count candidate rows the probe's corpus filter admits by
+        # re-deriving the probed cell set size through the public probe
+        out = S.ivf_probe(
+            spark, path, q, "vec_id", "vec_id", "embedding",
+            k=256, dim=8, bits=6, multiprobe=multiprobe,
+        )
+        return out.select("neighbor_id").distinct().count()
+
+    n0, n1, n2 = (probed_corpus_rows(m) for m in (0, 1, 2))
+    # Hamming-2 must strictly widen over Hamming-1 (6 bits -> 15 extra
+    # cells per query cell at distance exactly 2)
+    assert n0 < n1 < n2, (n0, n1, n2)
