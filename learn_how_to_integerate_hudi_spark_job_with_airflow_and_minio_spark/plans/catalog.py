@@ -89,6 +89,8 @@ _ROUND_PRIORITY: list[str] = [
     "decontaminate_ngram_overlap",
     "stream_stateful_user_stats",
     "dedup_apply_keep_representative",
+    "text_pack_sequences",
+    "sample_domain_mix",
     # (b) round-2 hash-fails, oracle casts fixed
     "scalar_math_funcs",
     "win_sessionize",
@@ -119,9 +121,7 @@ _ROUND_PRIORITY: list[str] = [
     "unpivot_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "source_csv_roundtrip",
-    "source_json_roundtrip",
 ]
 
 

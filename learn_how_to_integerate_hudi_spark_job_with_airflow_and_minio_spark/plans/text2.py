@@ -217,3 +217,99 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "text_pack_sequences",
+    # Chunked packing is deterministic given an explicit order:
+    # pack_id = floor(preceding-cumsum / budget) over (lang, doc_id
+    # ascending) — both engines compute the identical window cumsum.
+    oracle=r"""
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT)
+                   AS pack_id
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens,
+                   SUM(CAST(len(string_split_regex(trim(text), '\s+'))
+                            AS BIGINT)) OVER (
+                       PARTITION BY lang ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM documents
+        )
+    """,
+    doc="sequence packing for training data loading: assign each doc a "
+    "pack_id so every pack holds ~4096 tokens (chunked greedy in "
+    "deterministic (lang, doc_id) order — one window cumsum per "
+    "language partition, no UDFs, no shuffle beyond the window)",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / 4096)
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
+
+
+# Portable md5-fraction (first 6 hex nibbles as an integer / 2^24),
+# rebuilt in DuckDB as a strpos polynomial — md5 is bit-identical across
+# engines, and k/2^24 is exact in double.
+_DUCK_MD5_FRAC = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (5 - k)}"
+        for k in range(6)
+    )
+    + ") / 16777216.0"
+)
+
+_MIX_RATES = {f"src{i}": r for i, r in zip(range(20), [1.0] * 5 + [0.5] * 5 + [0.25] * 5 + [0.1] * 5)}
+
+_MIX_CASE = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + " ELSE 1.0 END"
+)
+
+
+@register(
+    "sample_domain_mix",
+    oracle=f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   {_DUCK_MD5_FRAC} AS frac,
+                   {_MIX_CASE} AS rate
+            FROM documents
+        ) WHERE frac < rate
+    """,
+    doc="domain-mix sampling: per-source deterministic retention rates "
+    "(1.0/0.5/0.25/0.1 bands) via md5-fraction membership — map-only, "
+    "reproducible across runs and engines (the training-mixture "
+    "down-weighting op); rate-solver helper tested in pytest",
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_mix_sample
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return domain_mix_sample(d, "doc_id", "source", _MIX_RATES).select(
+        "doc_id", "source"
+    )

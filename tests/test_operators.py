@@ -156,3 +156,38 @@ def test_ivf_multiprobe_distance_widens_probed_set(spark):
     # Hamming-2 must strictly widen over Hamming-1 (6 bits -> 15 extra
     # cells per query cell at distance exactly 2)
     assert n0 < n1 < n2, (n0, n1, n2)
+
+
+def test_retention_maximizing_rates_solver():
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.sampling import (
+        retention_maximizing_rates,
+    )
+
+    # natural 80/20, target 50/50 -> minority stratum pins alpha: keep
+    # ALL of b (rate 1.0) and downsample a to match (20/50 scaled vs 80)
+    rates = retention_maximizing_rates({"a": 800, "b": 200}, {"a": 0.5, "b": 0.5})
+    assert rates["b"] == 1.0
+    assert abs(rates["a"] - 0.25) < 1e-12
+    # resulting mix: a = 800*0.25 = 200 = b -> exactly 50/50
+
+
+def test_domain_mix_sample_rate_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.sampling import (
+        domain_mix_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keepall").otherwise("tenth").alias("src"),
+    )
+    out = domain_mix_sample(df, "doc_id", "src", {"keepall": 1.0, "tenth": 0.1})
+    by = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by["keepall"] == 2000          # rate 1.0 keeps everything
+    assert 120 <= by.get("tenth", 0) <= 280  # ~10% of 2000, md5-uniform
+    # deterministic: second run identical
+    out2 = domain_mix_sample(df, "doc_id", "src", {"keepall": 1.0, "tenth": 0.1})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
