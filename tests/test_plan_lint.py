@@ -1,0 +1,59 @@
+"""Plan-level lint over the ENTIRE catalog: structural anti-patterns
+that correctness oracles can't catch.
+
+- ``BatchEvalPython`` (row-at-a-time Python UDF) must appear in NO
+  plan: the engine's claim is Arrow-vectorized-or-JVM everywhere.
+- ``CartesianProduct`` / non-broadcast ``NestedLoopJoin`` only in the
+  by-design bounded allowlist (brute-force exactness baselines that
+  broadcast a small query/pair side).
+
+Runs at the cheapest SF: only plan construction is needed, but table/
+stream-backed queries do execute their build pipelines, so this stays a
+single sweep.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.plans.catalog import (
+    REGISTRY,
+    _load_all,
+)
+
+_load_all()
+ALL = sorted(REGISTRY)
+
+# Bounded-by-design brute-force paths: one side is a broadcast of a
+# small query set / the pair enumeration IS the contract (exactness
+# baselines and their consumers).
+_CARTESIAN_OK = {
+    "sim_topk_bruteforce",
+    "sim_matmul_topk",
+    "sim_ivf_probe",
+    "dedup_embedding_cosine",
+}
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_SMOKE)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return je.explainString(mode)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_row_python_udf_and_no_stray_cartesian(name, spark):
+    plan = _plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, (
+        f"{name} ships a row-at-a-time Python UDF:\n{plan[:1500]}"
+    )
+    if name not in _CARTESIAN_OK:
+        bad = re.search(r"CartesianProduct|BroadcastNestedLoopJoin Cross", plan)
+        assert not bad, (
+            f"{name} has an unapproved cartesian/cross join:\n{plan[:1500]}"
+        )
