@@ -91,6 +91,7 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_apply_keep_representative",
     "text_pack_sequences",
     "sample_domain_mix",
+    "stream_stream_join",
     # (b) round-2 hash-fails, oracle casts fixed
     "scalar_math_funcs",
     "win_sessionize",
@@ -118,7 +119,6 @@ _ROUND_PRIORITY: list[str] = [
     "explode_token_counts",
     "win_first_last",
     "agg_arg_minmax",
-    "unpivot_metrics",
     "dedup_exact",
     "dedup_minhash_lsh",
     "source_csv_roundtrip",

@@ -253,3 +253,37 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_ts").alias("first_ts"),
         F.max("last_ts").alias("last_ts"),
     )
+
+
+@register(
+    "stream_stream_join",
+    # Batch recomputation oracle: a single-source-batch inner
+    # stream-stream join emits exactly the batch join result (append
+    # mode emits matched pairs as found; no watermark-dependent
+    # emission timing for INNER joins).
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               c.ts AS click_ts,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="watermarked stream-stream inner join (click -> purchase "
+    "attribution within 1h): both sides watermarked + event-time-bounded "
+    "condition so join state expires — the finite-memory requirement at "
+    "scale; oracle is the batch range join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+        stream_stream_attribution_join,
+    )
+
+    joined = stream_stream_attribution_join(events_stream(spark, sf_dir))
+    return run_stream_to_memory(joined, output_mode="append")

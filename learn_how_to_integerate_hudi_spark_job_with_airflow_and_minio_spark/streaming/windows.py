@@ -162,3 +162,42 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INNER join (the canonical attribution
+    shape): each click joined to the same user's purchases within
+    ``horizon`` after it. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire join
+    state — the requirement for an unbounded stream-stream join to run
+    in finite memory at scale.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {horizon}
+            """
+        ),
+        "inner",
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
