@@ -92,6 +92,7 @@ _ROUND_PRIORITY: list[str] = [
     "text_pack_sequences",
     "sample_domain_mix",
     "stream_stream_join",
+    "table_mor_partitioned_pruning",
     # (b) round-2 hash-fails, oracle casts fixed
     "scalar_math_funcs",
     "win_sessionize",
@@ -118,7 +119,6 @@ _ROUND_PRIORITY: list[str] = [
     "orderby_nulls_ordering",
     "explode_token_counts",
     "win_first_last",
-    "agg_arg_minmax",
     "dedup_exact",
     "dedup_minhash_lsh",
     "source_csv_roundtrip",

@@ -563,3 +563,51 @@ def table_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_cols=["o_custkey", "o_totalprice"], target_records_per_file=4096
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_mor_partitioned_pruning",
+    # The MOR x hive-partitioning interaction: base files live under
+    # o_orderstatus=<v>/ dirs, deltas are unpartitioned appends, and a
+    # partition-filtered snapshot must (a) merge deltas into the right
+    # partitions and (b) still return exactly the batch-SQL answer.
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderstatus = 'O'
+    """,
+    doc="MOR snapshot over a hive-partitioned table filtered to one "
+    "partition: update + tombstone deltas merge into partitioned base "
+    "files; the o_orderstatus predicate prunes base-file directories "
+    "before the merge join (mod-5 updates keep status 'O' here so rows "
+    "stay in their partition)",
+)
+def table_mor_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_morp_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="orders_morp",
+        table_type="mor",
+    )
+    t.bulk_insert(orders)
+    # update batch preserves each row's partition value (price-only
+    # change) — the partition-stable MOR update path
+    t.upsert(
+        orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return (
+        t.snapshot()
+        .where(F.col("o_orderstatus") == "O")
+        .drop(META_COL)
+    )
