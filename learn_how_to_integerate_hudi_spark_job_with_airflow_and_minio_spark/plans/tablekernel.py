@@ -611,3 +611,36 @@ def table_mor_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("o_orderstatus") == "O")
         .drop(META_COL)
     )
+
+
+@register(
+    "table_mor_incremental",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    """,
+    doc="MOR incremental query: keys whose WINNING merged version landed "
+    "after the base load — deltas merged BEFORE the commit-window filter "
+    "so each changed key emits once, merged (tombstoned keys invisible, "
+    "matching Hudi incremental semantics for hard deletes)",
+)
+def table_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_mori_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_mori",
+        table_type="mor",
+    )
+    c1 = t.bulk_insert(orders)
+    t.upsert(_update_batch(orders))
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return t.incremental(begin=c1).drop(META_COL)
