@@ -264,3 +264,39 @@ def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         n.alias("n"), var.alias("var_price"), F.sqrt(var).alias("stddev_price")
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                        FILTER (WHERE l_discount > 0.05) AS VARCHAR)
+                   AS disc_qty_str
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="FILTER-clause aggregates (conditional aggregation without "
+    "CASE-wrapping): the map-side-combinable form of per-predicate "
+    "counts; decimal sum routed through string for cross-engine float "
+    "exactness",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    li.createOrReplaceTempView("lineitem_fc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                        FILTER (WHERE l_discount > 0.05) AS STRING)
+                   AS disc_qty_str
+        FROM lineitem_fc
+        GROUP BY l_returnflag
+        """
+    )
