@@ -21,8 +21,12 @@ from pyspark.sql import functions as F
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ns timestamps normalized to
-    µs exactly like the batch loader)."""
+    """readStream over the events parquet, with ``ts`` normalized to a
+    watermarkable TIMESTAMP (LTZ) whatever the file's physical type:
+    ns-as-long testdata is truncated to µs; µs-NTZ testdata is
+    reinterpreted in the session zone (UTC — value-identical to what
+    DuckDB sees as a naive timestamp). ``withWatermark`` rejects
+    TIMESTAMP_NTZ outright, so the cast is load-bearing, not cosmetic."""
     import os
     import tempfile
 
@@ -33,8 +37,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="engine_events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
