@@ -62,8 +62,11 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    # Warm the JVM/codegen once with the cheapest query.
-    qmap[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warm the JVM/codegen once with the cheapest query (best-effort).
+    try:
+        qmap[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    except Exception:  # noqa: BLE001 — warm-up failure must not kill the run
+        pass
     # Median-of-N per query: single-shot timings carry ±25% noise —
     # bigger than most round-over-round deltas. Cache discipline:
     # ``clearCache()`` before every repeat, because Spark's CacheManager
@@ -72,13 +75,22 @@ def main() -> None:
     # from memory and measure the cache, not the plan. Streaming sinks
     # are repeat-safe (uuid query names); table_* queries rebuild their
     # temp table every call, so each repeat times the full write path.
+    # Per-query fault isolation: one broken query must cost one row, not
+    # the whole bench (round 3 shipped rc:1 / no timings because a single
+    # exception aborted the run). Failures land in "errors" and the JSON
+    # line is ALWAYS printed.
+    errors: dict[str, str] = {}
     for name in names:
         runs = []
-        for _ in range(repeats):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
@@ -93,6 +105,7 @@ def main() -> None:
                 "sf": sf,
                 "repeats": repeats,
                 "spread": spread,
+                "errors": errors,
             }
         )
     )

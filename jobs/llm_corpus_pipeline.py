@@ -72,18 +72,29 @@ def build_corpus(spark, base: str, docs_path: str, eval_modulus: int = 7):
     # same predicates applied row-wise
     rules = [Q.NotNull("text"), Q.Expr("length(text) >= 20", "min_len_20")]
     report = Q.check(docs, rules, unique=["doc_id"])
-    filtered = docs.where(F.col("text").isNotNull() & (F.length("text") >= 20))
+    # Each audit .count() below would otherwise re-run the whole lineage
+    # from the bronze snapshot — invisible at sf0.01, several-fold cost at
+    # 100 TB. Persist every stage boundary once; unpersist when the next
+    # stage is materialized.
+    filtered = docs.where(
+        F.col("text").isNotNull() & (F.length("text") >= 20)
+    ).persist()
     counts["after_quality"] = filtered.count()
 
     # --- silver: exact + near-dup removal ------------------------------
+    # No broadcast hints on keeper/drop sets: both scale with the corpus
+    # (one keeper per exact-dup GROUP ≈ the whole key set), so a forced
+    # broadcast OOMs at web scale. AQE still picks a broadcast join when
+    # the side is actually small at runtime.
     exact_groups = D.exact_dedup(filtered, ["text"], "doc_id")
     keep_exact = exact_groups.select(F.col("keeper_id").alias("doc_id"))
-    uniq = filtered.join(F.broadcast(keep_exact), "doc_id", "left_semi")
+    uniq = filtered.join(keep_exact, "doc_id", "left_semi")
     pairs = D.ngram_jaccard_pairs(
         uniq, "doc_id", "text", n=3, threshold=0.8, max_df=0.1
     )
-    deduped = D.keep_representative(uniq, pairs, "doc_id")
+    deduped = D.keep_representative(uniq, pairs, "doc_id").persist()
     counts["after_dedup"] = deduped.count()
+    filtered.unpersist()
 
     # --- silver: decontamination vs the eval split ---------------------
     bench = deduped.where(F.col("doc_id") % eval_modulus == 0)
@@ -91,8 +102,9 @@ def build_corpus(spark, base: str, docs_path: str, eval_modulus: int = 7):
     contaminated = D.contamination_pairs(
         train, bench, "doc_id", "doc_id", "text", n=3, threshold=0.5
     ).select(F.col("corpus_id").alias("doc_id")).distinct()
-    clean = train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    clean = train.join(contaminated, "doc_id", "left_anti").persist()
     counts["after_decontam"] = clean.count()
+    deduped.unpersist()
 
     # --- gold: domain mix to uniform target ----------------------------
     src_counts = {
@@ -101,8 +113,9 @@ def build_corpus(spark, base: str, docs_path: str, eval_modulus: int = 7):
     }  # bounded: one row per source
     target = {s: 1.0 / len(src_counts) for s in src_counts}
     rates = retention_maximizing_rates(src_counts, target)
-    mixed = domain_mix_sample(clean, "doc_id", "source", rates)
+    mixed = domain_mix_sample(clean, "doc_id", "source", rates).persist()
     counts["after_mix"] = mixed.count()
+    clean.unpersist()
 
     # --- gold: sequence packing + table write --------------------------
     from pyspark.sql.window import Window as W
@@ -132,6 +145,7 @@ def build_corpus(spark, base: str, docs_path: str, eval_modulus: int = 7):
         table_name="gold_corpus",
     )
     gold.upsert(packed)
+    mixed.unpersist()
     counts["gold"] = gold.snapshot().count()
     return gold, counts, report
 

@@ -492,11 +492,14 @@ def keep_representative(
     MinHash / SimHash / embedding-cosine).
 
     Scale shape: the drop list is |duplicates| rows of a single id
-    column — a left_anti join against the corpus on its key; the corpus
-    itself is never shuffled (anti join broadcasts the small side).
+    column, anti-joined against the corpus on its key. NO broadcast
+    hint: at web scale dedup drops 30-50% of documents, so the drop
+    list is O(corpus) — forcing a broadcast would OOM every executor.
+    Left to AQE, a genuinely small drop list still becomes a broadcast
+    join at runtime; a large one gets the scale-safe shuffle anti-join.
     """
     comp = connected_components(pairs)
     drop = comp.where(F.col("component") != F.col("id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")

@@ -55,6 +55,11 @@ def _numeric(df: DataFrame, c: str) -> Column:
     if dt == "date":
         return F.unix_date(col).cast("double")
     if dt.startswith("timestamp"):
+        # unix_micros rejects TIMESTAMP_NTZ — route it through LTZ first
+        # (z-ordering only needs a monotone numeric image, so any fixed
+        # zone reinterpretation preserves the sort).
+        if dt == "timestamp_ntz":
+            col = col.cast("timestamp")
         return F.unix_micros(col).cast("double")
     return col.cast("double")
 

@@ -80,25 +80,49 @@ def build_session(
     return spark
 
 
+def normalize_event_ts(spark: SparkSession, df, col: str = "ts"):
+    """Normalize an event-time column to TIMESTAMP (LTZ) regardless of the
+    file's physical type. The driver's testdata has shipped ``events.ts``
+    as both ns-as-long (rounds 1-2) and µs TIMESTAMP_NTZ (round 3+);
+    downstream plans (``F.unix_micros``, ``withWatermark``) require LTZ.
+
+    - bigint (ns read under ``nanosAsLong``): truncate to µs — exactly
+      what DuckDB does natively, so both engines see identical values.
+    - timestamp_ntz: reinterpret in the session zone. Value-identical to
+      DuckDB's naive timestamps ONLY under UTC, so the session zone is
+      pinned here rather than assumed (a non-UTC session would silently
+      shift every event time relative to the oracle).
+
+    Shared by the batch loader (here) and the streaming loader
+    (``streaming/windows.py``) so the two paths can never diverge on the
+    same input again.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str, views: bool = False):
     """Load driver testdata parquet tables; optionally register temp views.
 
     Temp-view registration mirrors the reference's universal
     ``createOrReplaceTempView`` catalog pattern (SURVEY §1.1).
     """
-    from pyspark.sql import functions as F
-
     out = {}
     for name in names:
         if name == "events":
-            # events.parquet stores timestamp[ns], which Spark's parquet
-            # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-            # truncate to µs — exactly what DuckDB does natively, so both
-            # engines see identical timestamps.
+            # events.parquet has shipped as timestamp[ns], which Spark's
+            # parquet reader rejects (PARQUET_TYPE_ILLEGAL) — read nanos
+            # as long, then normalize whatever type arrived.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-            if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = normalize_event_ts(spark, df)
         else:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if views:

@@ -37,12 +37,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="engine_events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    from ..session import normalize_event_ts
+
+    return normalize_event_ts(spark, stream)
 
 
 def run_stream_to_memory(

@@ -46,6 +46,19 @@ def _plan_of(spark, name: str) -> str:
     return je.explainString(mode)
 
 
+def test_keep_representative_has_no_forced_broadcast(spark):
+    """The drop list in keep_representative is O(corpus) at web scale
+    (dedup drops 30-50% of documents) — a forced ``F.broadcast()`` hint
+    there OOMs executors at 100 TB. Assert the anti-join ships with NO
+    broadcast hint: the analyzed plan must not contain a ResolvedHint,
+    leaving the strategy choice to AQE (shuffle anti-join at scale)."""
+    df = REGISTRY["dedup_apply_keep_representative"].spark_fn(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        f"forced join-strategy hint in keep_representative plan:\n{analyzed[:1500]}"
+    )
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_no_row_python_udf_and_no_stray_cartesian(name, spark):
     plan = _plan_of(spark, name)
