@@ -69,6 +69,8 @@ _GATE_WINDOW = 50
 # streaming, text). Everything outside the window stays covered by
 # tests/test_catalog_oracle.py (all entries, judge-re-runnable).
 _ROUND_PRIORITY: list[str] = [
+    # (0) born this round — gate on first appearance (standing rule)
+    "pipeline_llm_corpus_gold",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -122,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "text_langid",
     "quality_report",
     "scalar_string_funcs",
-    "scalar_date_funcs",
 ]
 
 
@@ -166,6 +167,7 @@ def _load_all() -> None:
         joins,
         multimodal_plans,
         pandas_udfs,
+        pipeline_plans,
         relational,
         scalar,
         scalar2,

@@ -1,0 +1,138 @@
+"""Driver-gated end-to-end corpus pipeline query.
+
+``pipeline_llm_corpus_gold`` runs the WHOLE training-data build
+(``pipeline.build_corpus``: bronze ingest → quality filter → exact +
+near-dup removal → decontamination → domain-mix sampling → sequence
+packing → gold table) and returns the gold snapshot. The oracle chains
+each stage's proven DuckDB SQL (the per-stage oracles are individually
+gated in dedup_plans.py / text2.py), so a green row certifies the
+COMPOSITION, not just the parts — mirroring ``incremental_pipeline_gold``
+for the reference's Lab2 flow (incremental_etl_orders.py:454-496).
+
+Determinism notes (why an exact hash-compare is possible):
+- representatives are min-id, sampling is md5-fraction (bit-identical
+  md5 both engines), packing is a window cumsum over an explicit order;
+- sampling rates are rounded to 6 decimals half-up on BOTH sides, so
+  the solver's float path (Python) and min(count)/count (SQL) agree.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..table import META_COL
+from .catalog import register
+from .text2 import _DUCK_MD5_FRAC
+
+_CORPUS_GOLD_SQL = (
+    """
+WITH RECURSIVE
+filtered AS (
+    SELECT * FROM documents WHERE text IS NOT NULL AND length(text) >= 20
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+uniq AS (SELECT f.* FROM filtered f SEMI JOIN keepers k ON f.doc_id = k.doc_id),
+toks AS (SELECT doc_id, string_split(text, ' ') w FROM uniq),
+sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) s
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hot AS (
+    SELECT g FROM ex GROUP BY g
+    HAVING COUNT(*) > CAST(floor((SELECT COUNT(*) FROM uniq) * 0.1) AS BIGINT)
+),
+kept AS (
+    SELECT doc_id, list(g) AS s
+    FROM ex ANTI JOIN hot USING (g)
+    GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+),
+edges AS (
+    SELECT id_1 AS a, id_2 AS b FROM pairs
+    UNION SELECT id_2, id_1 FROM pairs
+    UNION SELECT id_1, id_1 FROM pairs
+    UNION SELECT id_2, id_2 FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+drops AS (SELECT a AS id FROM reach GROUP BY a HAVING a <> min(b)),
+deduped AS (SELECT u.* FROM uniq u ANTI JOIN drops ON u.doc_id = drops.id),
+dsh AS (SELECT s1.doc_id, s1.s FROM sh s1 SEMI JOIN deduped d ON s1.doc_id = d.doc_id),
+bench AS (SELECT doc_id AS bench_id, s FROM dsh WHERE doc_id % 7 = 0 AND len(s) > 0),
+corp AS (SELECT doc_id AS corpus_id, s FROM dsh WHERE doc_id % 7 <> 0),
+contaminated AS (
+    SELECT DISTINCT c.corpus_id AS doc_id
+    FROM corp c CROSS JOIN bench b
+    WHERE round(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(b.s), 6)
+              >= 0.5
+),
+train AS (SELECT * FROM deduped WHERE doc_id % 7 <> 0),
+clean AS (SELECT t.* FROM train t ANTI JOIN contaminated c ON t.doc_id = c.doc_id),
+cnts AS (SELECT source, COUNT(*) AS n FROM clean GROUP BY source),
+rates AS (
+    SELECT source,
+           floor((CAST((SELECT min(n) FROM cnts) AS DOUBLE) / n) * 1000000
+                 + 0.5) / 1000000.0 AS rate
+    FROM cnts
+),
+mixed AS (
+    SELECT c.* FROM clean c JOIN rates r USING (source)
+    WHERE """
+    + _DUCK_MD5_FRAC
+    + r""" < r.rate
+),
+packed AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+           SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+               OVER (
+               PARTITION BY source ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM mixed
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+FROM packed
+"""
+)
+
+
+@register(
+    "pipeline_llm_corpus_gold",
+    oracle=_CORPUS_GOLD_SQL,
+    doc="the WHOLE llm corpus pipeline as one checked query: bronze "
+    "keyed ingest -> quality filter -> exact dedup (min-id keeper) -> "
+    "n-gram Jaccard near-dup removal (tau=0.8, max_df=0.1) -> "
+    "decontamination vs the doc_id%7 eval split (overlap>=0.5) -> "
+    "uniform domain-mix sampling (retention-maximizing rates) -> "
+    "4096-token sequence packing -> gold table snapshot; oracle chains "
+    "every stage's SQL incl. a recursive transitive closure",
+)
+def pipeline_llm_corpus_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..pipeline import build_corpus
+
+    base = tempfile.mkdtemp(prefix="engine_corpus_")
+    gold, _counts, _report = build_corpus(
+        spark, base, f"{sf_dir}/documents.parquet", audit=False
+    )
+    return gold.snapshot().drop(META_COL).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_id",
+    )
