@@ -43,8 +43,11 @@ HEADLINE = [
     "win_sessionize",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_exact_substring",
     "sim_topk_bruteforce",
     "text_quality",
+    "text_repetition_gopher",
+    "table_incremental_between",
     "multimodal_features",
     "stream_tumbling_window",
     "stream_table_feed",

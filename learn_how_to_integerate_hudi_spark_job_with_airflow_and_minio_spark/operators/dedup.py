@@ -482,6 +482,49 @@ def contamination_pairs(
     )
 
 
+def substring_window_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact-substring duplication candidates (the scalable shape of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": documents sharing any verbatim ``window``-token span are
+    near-dups even when their overall Jaccard is low — the case shingle
+    dedup misses for long docs sharing one copied paragraph).
+
+    Suffix arrays don't distribute; the Spark-native equivalent is a
+    rolling token window: every ``window``-token span, hashed to 8
+    bytes, exploded, and equi-joined — docs sharing >= ``min_shared``
+    distinct spans pair up. One shuffle on the span hash; fan-out is
+    bounded because a verbatim 20-token span shared by many documents
+    IS the boilerplate signal we're hunting. Returns (id_1, id_2,
+    shared_windows).
+    """
+    w = F.split(F.col(text_col), " ")
+    spans = F.when(
+        F.size(w) >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - window),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = df.select(
+        F.col(id_col).alias("_id"), F.explode(spans).alias("_span")
+    ).select("_id", F.xxhash64("_span").alias("_h"))
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared)
+    )
+
+
 def keep_representative(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

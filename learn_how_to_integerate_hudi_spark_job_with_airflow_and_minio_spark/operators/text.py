@@ -48,6 +48,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def ngrams_all(text: Column, n: int) -> Column:
+    """ALL word n-grams, duplicates preserved (vs ``word_shingles``'
+    distinct sets) — the unit for repetition-ratio quality signals."""
+    w = F.split(text, " ")
+    g = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, g).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    Language Models", table A1): fraction of duplicate n-grams in a
+    document. Heavily repetitive documents (boilerplate, SEO spam,
+    degenerate generations) score high and get filtered before
+    training. All map-only Catalyst array expressions — no shuffle, no
+    UDFs; cost is O(tokens) per row, which is the scan itself."""
+    g2, g3 = ngrams_all(text, 2), ngrams_all(text, 3)
+    n2, n3 = F.size(g2), F.size(g3)
+    d2, d3 = F.size(F.array_distinct(g2)), F.size(F.array_distinct(g3))
+    frac = lambda n, d: F.round(  # noqa: E731
+        (n - d).cast("double") / F.nullif(n.cast("double"), F.lit(0.0)), 6
+    )
+    return {
+        "n_2grams": n2.cast("long"),
+        "dup_2gram_frac": frac(n2, d2),
+        "n_3grams": n3.cast("long"),
+        "dup_3gram_frac": frac(n3, d3),
+    }
+
+
 def stopword_hits(text: Column, stopwords: list[str]) -> Column:
     """How many tokens are in the stopword list (built-in filter+size)."""
     arr = F.array(*[F.lit(s) for s in stopwords])

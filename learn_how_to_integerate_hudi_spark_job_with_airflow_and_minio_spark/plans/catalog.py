@@ -71,6 +71,9 @@ _GATE_WINDOW = 50
 _ROUND_PRIORITY: list[str] = [
     # (0) born this round — gate on first appearance (standing rule)
     "pipeline_llm_corpus_gold",
+    "text_repetition_gopher",
+    "dedup_exact_substring",
+    "table_incremental_between",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -121,9 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "stream_foreachbatch_upsert",
     "sim_topk_bruteforce",
     "text_quality",
-    "text_langid",
-    "quality_report",
-    "scalar_string_funcs",
 ]
 
 

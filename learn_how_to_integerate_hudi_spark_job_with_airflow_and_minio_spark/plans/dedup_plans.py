@@ -320,3 +320,35 @@ def dedup_apply_keep_representative(spark: SparkSession, sf_dir: str) -> DataFra
     return D.keep_representative(d, pairs, "doc_id").select(
         "doc_id", "lang", F.length("text").cast("long").alias("text_len")
     )
+
+
+@register(
+    "dedup_exact_substring",
+    # Oracle re-derives the rolling windows as raw strings and joins on
+    # them directly; the Spark plan joins on xxhash64(span) — agreement
+    # certifies both the window construction and the 8-byte join-key
+    # compression.
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        sp AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+19], ' ')
+                                  for i in range(1, len(w) - 18)]) s
+            FROM toks WHERE len(w) >= 20
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sp)
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(COUNT(*) AS BIGINT) AS shared_windows
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 1
+    """,
+    doc="exact-substring duplication candidates (Lee et al. 2022 shape): "
+    "docs sharing any verbatim 20-token span, via rolling window hash "
+    "explode + equi-join — catches one-copied-paragraph dups that "
+    "whole-doc Jaccard misses; suffix arrays don't distribute, span "
+    "hashing does",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.substring_window_pairs(d, "doc_id", "text", window=20, min_shared=1)

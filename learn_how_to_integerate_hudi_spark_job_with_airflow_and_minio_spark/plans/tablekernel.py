@@ -644,3 +644,32 @@ def table_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(_update_batch(orders))
     t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
     return t.incremental(begin=c1).drop(META_COL)
+
+
+@register(
+    "table_incremental_between",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+    """,
+    doc="S5 incremental query with BOTH bounds (hoodie begin/end "
+    "instanttime analog, incremental_etl_orders.py:217-227): after a "
+    "third commit touches the mod-7 keys, incremental(begin=c1, end=c2) "
+    "must return exactly commit 2's mod-5 update set — the end bound "
+    "excludes commit 3 and pins each key's winning version to c2's "
+    "file set",
+)
+def table_incremental_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, c1, c2, orders = _build_orders_table(spark, sf_dir)
+    third = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("o_orderstatus", F.lit("V"))
+        .select(*_COLS)
+    )
+    t.upsert(third)
+    return t.incremental(begin=c1, end=c2).drop(META_COL)

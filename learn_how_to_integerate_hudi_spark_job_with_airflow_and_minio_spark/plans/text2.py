@@ -313,3 +313,50 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_sample(d, "doc_id", "source", _MIX_RATES).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "text_repetition_gopher",
+    oracle=r"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        g AS (
+            SELECT doc_id,
+                   [w[i] || ' ' || w[i+1] for i in range(1, len(w))] g2,
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)] g3
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(g2) AS BIGINT) AS n_2grams,
+               round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                     / nullif(CAST(len(g2) AS DOUBLE), 0), 6) AS dup_2gram_frac,
+               CAST(len(g3) AS BIGINT) AS n_3grams,
+               round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                     / nullif(CAST(len(g3) AS DOUBLE), 0), 6) AS dup_3gram_frac,
+               (round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                      / nullif(CAST(len(g2) AS DOUBLE), 0), 6) <= 0.2
+                AND round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                          / nullif(CAST(len(g3) AS DOUBLE), 0), 6) <= 0.18)
+                   AS gopher_keep
+        FROM g
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 A1): "
+    "duplicate 2-/3-gram fractions + keep decision at the paper's "
+    "0.2/0.18 thresholds — map-only Catalyst array math, the standard "
+    "boilerplate/SEO-spam filter stage of a training-data pipeline",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_signals
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = repetition_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        sig["n_2grams"].alias("n_2grams"),
+        sig["dup_2gram_frac"].alias("dup_2gram_frac"),
+        sig["n_3grams"].alias("n_3grams"),
+        sig["dup_3gram_frac"].alias("dup_3gram_frac"),
+        (
+            (sig["dup_2gram_frac"] <= 0.2) & (sig["dup_3gram_frac"] <= 0.18)
+        ).alias("gopher_keep"),
+    )

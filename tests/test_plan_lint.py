@@ -49,10 +49,19 @@ def _plan_of(spark, name: str) -> str:
 def test_keep_representative_has_no_forced_broadcast(spark):
     """The drop list in keep_representative is O(corpus) at web scale
     (dedup drops 30-50% of documents) — a forced ``F.broadcast()`` hint
-    there OOMs executors at 100 TB. Assert the anti-join ships with NO
-    broadcast hint: the analyzed plan must not contain a ResolvedHint,
-    leaving the strategy choice to AQE (shuffle anti-join at scale)."""
-    df = REGISTRY["dedup_apply_keep_representative"].spark_fn(spark, SF_SMOKE)
+    there OOMs executors at 100 TB. Build the operator over a literal
+    pair set (no upstream lineage, which legitimately carries the
+    bounded stop-shingle broadcast) and assert its anti-join ships with
+    NO hint, leaving the strategy to AQE (shuffle anti-join at scale)."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.dedup import (
+        keep_representative,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_1", "id_2"])
+    df = keep_representative(corpus, pairs, "doc_id")
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, (
         f"forced join-strategy hint in keep_representative plan:\n{analyzed[:1500]}"
