@@ -79,3 +79,34 @@ def test_no_row_python_udf_and_no_stray_cartesian(name, spark):
         assert not bad, (
             f"{name} has an unapproved cartesian/cross join:\n{plan[:1500]}"
         )
+
+
+def test_partitioned_table_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """Scale evidence: a selective dim-side filter joined against a
+    hive-partitioned fact must reach the fact scan as a runtime
+    partition filter (Catalyst DPP), not a full scan — at 100 TB this
+    is the difference between reading one partition and reading the
+    table. Asserts the physical plan carries a dynamicpruning
+    expression on the partitioned scan."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 25).alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("part").parquet(path)
+    dim = spark.range(0, 25).select(
+        F.col("id").alias("part"), (F.col("id") % 5).alias("grp")
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.where(F.col("grp") == 0), "part")
+        .groupBy("part")
+        .agg(F.sum("v").alias("sv"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning in plan:\n{plan[:2000]}"
+    )
