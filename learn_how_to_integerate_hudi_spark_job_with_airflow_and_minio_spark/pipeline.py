@@ -1,36 +1,88 @@
-"""End-to-end LLM training-corpus pipeline composed from the engine's
-operators (moved from ``jobs/llm_corpus_pipeline.py`` so the catalog can
-gate the composition; the job file is now a thin CLI wrapper).
+"""Declarative medallion pipeline runner.
 
-The medallion flow a 100 TB training-data build actually runs:
+The reference's ETL job is a fixed script: JSON source payload →
+Loaders → SQL join over views → gold upsert → checkpoint
+(``incremental_etl_orders.py:454-496``). This module packages that whole
+shape as one reusable, declarative function, keeping the reference's
+payload schema as the spec format (SURVEY §1.1 "source descriptor")::
 
-  bronze   raw documents ingested into a keyed table (upsert — re-runs
-           are idempotent)
-  silver   quality filter (expectation rules) → exact + near-dup
-           removal (Jaccard pairs → components → keep representative)
-           → benchmark decontamination (n-gram overlap vs an eval set)
-  gold     domain-mix sampling to target source proportions →
-           sequence packing (fixed token budget per pack) written as a
-           gold table
+    run_pipeline(spark, {
+        "sources": [  # same shape as incremental_etl_orders.py:27-46
+            {"source_type": "ENGINE", "table_name": "orders",
+             "spark_table_name": "orders", "path": ..., "type": "INC"},
+            {"source_type": "ENGINE", "table_name": "customers",
+             "spark_table_name": "customers", "path": ..., "type": "FULL"},
+        ],
+        "transform_sql": "SELECT ... FROM customers c JOIN orders o ...",
+        "sink": {"path": ..., "record_key": "order_id",
+                 "precombine": "order_id", "partition_fields": []},
+        "checkpoint_root": ...,
+    })
 
-Every stage is a DataFrame-in/DataFrame-out operator — no driver-side
-data loops; the only collects are bounded metadata (per-source counts
-for the rate solver). Deterministic end to end: seeded testdata,
-hash-based sampling, min-id representatives — so the whole composition
-is gated as the catalog query ``pipeline_llm_corpus_gold`` with a
-DuckDB oracle that chains the stage SQL.
+Semantics: INC sources advance their checkpoint only after the sink
+upsert commits (at-least-once, SURVEY §2.6 fix); an empty incremental
+batch short-circuits to a no-op.
+
+This module also holds ``build_corpus``, the second end-to-end pipeline
+the engine ships: the LLM training-corpus medallion build (bronze keyed
+ingest → quality filter → exact + near-dup removal → decontamination →
+domain-mix sampling → sequence packing → gold table), gated end-to-end
+as the catalog query ``pipeline_llm_corpus_gold``.
 """
 
 from __future__ import annotations
 
 import math
 
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from .checkpoint import CheckpointStore
 from .operators import dedup as D
 from .operators import quality as Q
 from .operators.sampling import domain_mix_sample, retention_maximizing_rates
+from .sources.loaders import Loaders
 from .table import META_COL, Table
+
+
+def run_pipeline(spark: SparkSession, spec: dict) -> str | None:
+    """Execute one pipeline run; returns the sink commit id (None if the
+    incremental batch was empty → no-op)."""
+    store = (
+        CheckpointStore(spec["checkpoint_root"])
+        if spec.get("checkpoint_root")
+        else None
+    )
+    loaders = Loaders(spec["sources"], spark, checkpoint_store=store)
+    views = loaders.load()
+
+    inc_views = [
+        s.get("spark_table_name", s["table_name"])
+        for s in spec["sources"]
+        if s.get("type", "FULL").upper() == "INC"
+    ]
+    for v in inc_views:
+        if v not in views or views[v].isEmpty():
+            return None  # nothing new on an incremental source
+
+    result = spark.sql(spec["transform_sql"]).drop(META_COL)
+    result.cache()
+    try:
+        sink = spec["sink"]
+        table = Table.create(
+            spark,
+            sink["path"],
+            key=sink["record_key"],
+            precombine=sink.get("precombine", sink["record_key"]),
+            partition_fields=sink.get("partition_fields"),
+            table_name=sink.get("table_name"),
+            exists_ok=True,
+        )
+        commit = table.upsert(result)
+        loaders.commit_checkpoints()  # after the sink write (§2.6)
+        return commit
+    finally:
+        result.unpersist()
 
 
 def build_corpus(

@@ -214,3 +214,36 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "win_locf_ignore_nulls",
+    oracle="""
+        SELECT event_id, user_id,
+               last_value(CASE WHEN event_type <> 'click' THEN value END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_locf
+        FROM events
+    """,
+    doc="last-observation-carried-forward gap fill (IGNORE NULLS window "
+    "semantics): clicks carry no reading, so each row takes the most "
+    "recent non-click value per user — the standard sensor/telemetry "
+    "forward-fill, one shuffle + in-partition sort; carried values are "
+    "moved, never recomputed, so both engines agree bitwise",
+)
+def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    v = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("value_locf"),
+    )
