@@ -110,3 +110,57 @@ def test_partitioned_table_join_uses_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), (
         f"no dynamic partition pruning in plan:\n{plan[:2000]}"
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Scale evidence: two tables bucketed by the join key into the same
+    bucket count must sort-merge join with NO Exchange on either side —
+    at 100 TB, pre-bucketing the fact tables turns every co-located
+    join/agg on the bucket key from a full shuffle into a map-side zip.
+    """
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        for name, df in [("l", left), ("r", right)]:
+            df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+                f"bkt.{name}"
+            )
+        joined = spark.table("bkt.l").join(spark.table("bkt.r"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, (
+            f"bucketed join still shuffles:\n{plan[:2000]}"
+        )
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_scan_projection_and_filter_pushdown(spark):
+    """Scale evidence: a 2-column projection with a selective filter
+    must reach the parquet scan as ReadSchema pruning + PushedFilters —
+    a scan that reads every column for a 2-column projection is wrong
+    at any scale, catastrophic at 100 TB."""
+    df = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .where("l_quantity > 45")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, f"no ReadSchema in plan:\n{plan[:1500]}"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert sorted(cols) == ["l_orderkey", "l_quantity"], cols
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity", plan), (
+        f"quantity filter not pushed down:\n{plan[:1500]}"
+    )
