@@ -75,6 +75,7 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_exact_substring",
     "table_incremental_between",
     "win_locf_ignore_nulls",
+    "sim_ivf_recall",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "stream_tumbling_window",
     "stream_table_feed",
     "stream_foreachbatch_upsert",
-    "sim_topk_bruteforce",
 ]
 
 

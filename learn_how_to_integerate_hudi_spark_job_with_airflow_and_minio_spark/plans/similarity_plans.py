@@ -213,3 +213,56 @@ def sim_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     queries = e.where(F.col("vec_id") < 10)
     return S.matmul_topk(queries, e, "vec_id", "vec_id", "embedding", k=5)
+
+
+_IVF_RECALL_SQL = f"""
+    WITH probe AS ({_IVF_PROBE_SQL}),
+    ex AS ({_TOPK_SQL})
+    SELECT p.query_id,
+           round(CAST(COUNT(e.neighbor_id) AS DOUBLE) / 5, 6) AS recall_at_5,
+           COUNT(e.neighbor_id) >= 4 AS recall_ge_80pct
+    FROM probe p
+    LEFT JOIN ex e
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY p.query_id
+"""
+
+
+@register(
+    "sim_ivf_recall",
+    # Both sides of the recall fraction are deterministic (seeded
+    # signatures ⇒ exact probe set; rounded cosine ⇒ exact top-k), so
+    # the recall VALUES cross the engine boundary exactly — DuckDB
+    # rebuilds the probe result and the brute-force ground truth and
+    # recomputes the same per-query recall@5.
+    oracle=_IVF_RECALL_SQL,
+    doc="ANN quality contract: per-query recall@5 of the IVF probe "
+    "(Hamming-1 multiprobe) against the brute-force ground truth, plus "
+    "a >=80% contract flag — the measurement a 100 TB ANN deployment "
+    "monitors; both engines compute identical recall values",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    path = tempfile.mkdtemp(prefix="engine_ivf_")
+    S.ivf_write(e, "vec_id", path, "embedding", dim=64, bits=4)
+    queries = e.where(F.col("vec_id") < 10)
+    probe = S.ivf_probe(
+        spark, path, queries, "vec_id", "vec_id", "embedding", k=5, dim=64, bits=4
+    )
+    exact = S.brute_force_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, round_digits=6
+    ).select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    return (
+        probe.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / 5, 6
+            ).alias("recall_at_5"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= 4).alias(
+                "recall_ge_80pct"
+            ),
+        )
+    )
