@@ -76,6 +76,8 @@ _ROUND_PRIORITY: list[str] = [
     "table_incremental_between",
     "win_locf_ignore_nulls",
     "sim_ivf_recall",
+    "win_ntile_cume_dist",
+    "scalar_bitwise_funcs",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -122,8 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_mor_read_optimized",
     "table_mor_compaction",
     "stream_tumbling_window",
-    "stream_table_feed",
-    "stream_foreachbatch_upsert",
 ]
 
 

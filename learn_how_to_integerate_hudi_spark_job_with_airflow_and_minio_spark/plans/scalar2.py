@@ -148,3 +148,33 @@ def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS band,
+               o_orderkey | 4096 AS orred,
+               xor(o_orderkey, 1365) AS xored,
+               o_orderkey << 3 AS shl,
+               o_orderkey >> 2 AS shr,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        FROM orders
+    """,
+    doc="bitwise expression surface: AND/OR/XOR/shifts/popcount — the "
+    "primitives under the engine's own simhash banding and z-order "
+    "interleave, exposed as user-facing scalar functions",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("orred"),
+        k.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -247,3 +247,34 @@ def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@register(
+    "win_ntile_cume_dist",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               ntile(10) OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+               ) AS decile,
+               round(cume_dist() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+               ), 6) AS cdist
+        FROM orders
+    """,
+    doc="distribution ranking: ntile deciles + cume_dist per status "
+    "partition (explicit total order so both engines tile identically) "
+    "— one shuffle + in-partition sort, the price-band bucketing shape",
+)
+def win_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
