@@ -78,6 +78,7 @@ _ROUND_PRIORITY: list[str] = [
     "sim_ivf_recall",
     "win_ntile_cume_dist",
     "scalar_bitwise_funcs",
+    "stream_mor_delta_feed",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_mor_snapshot",
     "table_mor_read_optimized",
     "table_mor_compaction",
-    "stream_tumbling_window",
 ]
 
 

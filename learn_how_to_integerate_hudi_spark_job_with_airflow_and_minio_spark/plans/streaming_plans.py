@@ -287,3 +287,64 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = stream_stream_attribution_join(events_stream(spark, sf_dir))
     return run_stream_to_memory(joined, output_mode="append")
+
+
+@register(
+    "stream_mor_delta_feed",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'O' END AS status,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+    """,
+    doc="streaming consumption of a MERGE_ON_READ table's delta commits "
+    "(K12 x S5 streaming twin): two delta writes land (base + keyed "
+    "update), the file-source stream discovers both, and the consumer "
+    "reconciles latest-per-key with max_by over _commit_time — the "
+    "downstream dedup contract Table.read_stream documents for "
+    "merge-style tables",
+)
+def stream_mor_delta_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..session import load_tables
+    from ..table import META_COL, Table
+
+    orders = (
+        load_tables(spark, sf_dir, "orders")["orders"]
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("o_orderstatus", F.lit("O"))
+    )
+    path = tempfile.mkdtemp(prefix="engine_stream_mor_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_totalprice",
+        table_name="orders_mor_feed",
+        table_type="mor",
+    )
+    t.upsert(orders)
+    t.upsert(
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    latest = (
+        t.read_stream()
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct("o_orderstatus", "o_totalprice"), F.col(META_COL)
+            ).alias("_r")
+        )
+        .select(
+            "o_orderkey",
+            F.col("_r.o_orderstatus").alias("status"),
+            F.col("_r.o_totalprice").alias("price"),
+        )
+    )
+    return run_stream_to_memory(latest, output_mode="complete")
