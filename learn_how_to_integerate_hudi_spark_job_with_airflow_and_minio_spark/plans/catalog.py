@@ -79,6 +79,7 @@ _ROUND_PRIORITY: list[str] = [
     "win_ntile_cume_dist",
     "scalar_bitwise_funcs",
     "stream_mor_delta_feed",
+    "table_mor_cdc_changes",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_merge_mixed",
     "table_mor_snapshot",
     "table_mor_read_optimized",
-    "table_mor_compaction",
 ]
 
 

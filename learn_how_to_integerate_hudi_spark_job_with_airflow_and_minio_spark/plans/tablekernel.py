@@ -673,3 +673,46 @@ def table_incremental_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(third)
     return t.incremental(begin=c1, end=c2).drop(META_COL)
+
+
+@register(
+    "table_mor_cdc_changes",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(NULL AS BIGINT)    AS o_custkey,
+               CAST(NULL AS VARCHAR)   AS o_orderstatus,
+               CAST(NULL AS DOUBLE)    AS o_totalprice,
+               CAST(NULL AS TIMESTAMP) AS o_orderdate,
+               'delete' AS _change_type
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice,
+               o_orderdate,
+               'update' AS _change_type
+        FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    """,
+    doc="CDC over a MERGE_ON_READ table (K12 x cdc query type): update "
+    "delta (mod-5) and tombstone delete delta (mod-7) between two "
+    "commits surface as update/delete rows through the same keyed "
+    "snapshot diff as COW — the merge view resolves delta winners and "
+    "drops tombstones before the diff, so CDC is table-type agnostic",
+)
+def table_mor_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_mor_cdc_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders",
+        table_type="mor",
+    )
+    c1 = t.upsert(orders)
+    t.upsert(_update_batch(orders))
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return t.changes(begin=c1).drop(META_COL)
