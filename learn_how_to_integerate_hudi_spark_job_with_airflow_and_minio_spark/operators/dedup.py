@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_shingles
+from .text import exploded_shingles, shingle_column
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -49,10 +49,7 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: float | None
 ) -> DataFrame:
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, n)
     if max_df is not None:
         n_docs = df.count()
         cap = int(n_docs * max_df)
@@ -203,8 +200,8 @@ def minhash_lsh_pairs(
     # verify ONLY the candidates: join each pair to its two (already
     # distinct) shingle arrays and compute Jaccard with array_intersect —
     # O(candidates), never the full pair space
-    arrays = df.select(
-        F.col(id_col).alias("_aid"), word_shingles(F.col(text_col), n).alias("_s")
+    arrays = shingle_column(df, text_col, "_s", n).select(
+        F.col(id_col).alias("_aid"), "_s"
     )
     return (
         candidates.join(
@@ -453,13 +450,11 @@ def contamination_pairs(
     per-(corpus,bench) match count is a partial-aggregatable groupBy.
     No self-joins, no cartesian products — cost is O(corpus n-grams).
     """
-    c_sh = corpus.select(
-        F.col(corpus_id).alias("corpus_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    c_sh = exploded_shingles(
+        corpus, corpus_id, text_col, n, id_out="corpus_id", out="_g"
     ).select("corpus_id", F.xxhash64("_g").alias("_h"))
-    b_sh = bench.select(
-        F.col(bench_id).alias("bench_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    b_sh = exploded_shingles(
+        bench, bench_id, text_col, n, id_out="bench_id", out="_g"
     ).select("bench_id", F.xxhash64("_g").alias("_h"))
     bench_sizes = b_sh.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_ngrams")
@@ -503,7 +498,9 @@ def substring_window_pairs(
     IS the boilerplate signal we're hunting. Returns (id_1, id_2,
     shared_windows).
     """
-    w = F.split(F.col(text_col), " ")
+    # token array staged behind a projection (see text.shingle_column:
+    # inlining the split re-evaluates it per slice, O(tokens²) per row)
+    w = F.col("__tok")
     spans = F.when(
         F.size(w) >= window,
         F.array_distinct(
@@ -513,9 +510,11 @@ def substring_window_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sp = df.select(
-        F.col(id_col).alias("_id"), F.explode(spans).alias("_span")
-    ).select("_id", F.xxhash64("_span").alias("_h"))
+    sp = (
+        df.withColumn("__tok", F.split(F.col(text_col), " "))
+        .select(F.col(id_col).alias("_id"), F.explode(spans).alias("_span"))
+        .select("_id", F.xxhash64("_span").alias("_h"))
+    )
     a, b = sp.alias("a"), sp.alias("b")
     return (
         a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))

@@ -349,14 +349,13 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import repetition_signals
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    sig = repetition_signals(F.col("text"))
-    return d.select(
+    return repetition_signals(d, "text").select(
         "doc_id",
-        sig["n_2grams"].alias("n_2grams"),
-        sig["dup_2gram_frac"].alias("dup_2gram_frac"),
-        sig["n_3grams"].alias("n_3grams"),
-        sig["dup_3gram_frac"].alias("dup_3gram_frac"),
+        "n_2grams",
+        "dup_2gram_frac",
+        "n_3grams",
+        "dup_3gram_frac",
         (
-            (sig["dup_2gram_frac"] <= 0.2) & (sig["dup_3gram_frac"] <= 0.18)
+            (F.col("dup_2gram_frac") <= 0.2) & (F.col("dup_3gram_frac") <= 0.18)
         ).alias("gopher_keep"),
     )
