@@ -80,6 +80,8 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_bitwise_funcs",
     "stream_mor_delta_feed",
     "table_mor_cdc_changes",
+    "sample_exact_k_per_stratum",
+    "dedup_group_stats",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -122,8 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_time_travel",
     "table_partition_pruning",
     "table_merge_mixed",
-    "table_mor_snapshot",
-    "table_mor_read_optimized",
 ]
 
 

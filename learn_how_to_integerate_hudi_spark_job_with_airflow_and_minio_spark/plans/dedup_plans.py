@@ -352,3 +352,34 @@ def dedup_apply_keep_representative(spark: SparkSession, sf_dir: str) -> DataFra
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return D.substring_window_pairs(d, "doc_id", "text", window=20, min_shared=1)
+
+
+_GROUP_STATS_SQL = _COMPONENTS_SQL.replace(
+    "SELECT a AS id, min(b) AS component FROM reach GROUP BY a",
+    """, comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM comp GROUP BY component)
+GROUP BY group_size""",
+)
+
+
+@register(
+    "dedup_group_stats",
+    oracle=_GROUP_STATS_SQL,
+    doc="dedup audit histogram: duplicate-group size distribution "
+    "(pairs -> connected components -> per-component member count -> "
+    "size histogram) — the number a dedup run reports to judge corpus "
+    "duplication; two partial-aggregatable groupBys over the component "
+    "labels",
+)
+def dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, max_df=0.1)
+    comp = D.connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )

@@ -359,3 +359,34 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_2gram_frac") <= 0.2) & (F.col("dup_3gram_frac") <= 0.18)
         ).alias("gopher_keep"),
     )
+
+
+@register(
+    "sample_exact_k_per_stratum",
+    oracle="""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 50
+    """,
+    doc="deterministic exact-k sample per stratum: rank rows by md5(id) "
+    "inside each source and keep the first 50 — reservoir-sampling "
+    "semantics without randomness (reproducible across runs/engines), "
+    "one shuffle + per-partition top-k; the eval-set carving op",
+)
+def sample_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "source")
+    )
