@@ -82,6 +82,7 @@ _ROUND_PRIORITY: list[str] = [
     "table_mor_cdc_changes",
     "sample_exact_k_per_stratum",
     "dedup_group_stats",
+    "dedup_minhash_estimate_contract",
     # (a) never-green — first, always
     "win_sessionize",
     "agg_filter_clause",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "incremental_pipeline_gold",
     "table_time_travel",
     "table_partition_pruning",
-    "table_merge_mixed",
 ]
 
 

@@ -383,3 +383,61 @@ def dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("group_size")
         .agg(F.count(F.lit(1)).alias("n_groups"))
     )
+
+
+@register(
+    "dedup_minhash_estimate_contract",
+    # Sketch-quality contract (same technique as agg_approx_distinct):
+    # the signature-based Jaccard ESTIMATE can't cross the engine
+    # boundary (xxhash64 has no DuckDB twin), but |estimate − exact| ≤
+    # 4σ CAN — Spark emits the exact Jaccard plus the tolerance boolean,
+    # DuckDB recomputes the exact pair set and asserts TRUE.
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) s
+    FROM toks
+)
+SELECT a.doc_id AS id_1,
+       b.doc_id AS id_2,
+       len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard,
+       TRUE AS est_within_4sigma
+FROM sh a
+JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    doc="MinHash sketch-quality contract: per near-dup pair, the "
+    "fraction of matching signature components estimates Jaccard with "
+    "sd sqrt(j(1-j)/k); assert |estimate - exact| <= 0.2 (4 sigma at "
+    "k=64) — the bound that justifies trusting banded LSH at 100 TB",
+)
+def dedup_minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+    )
+    sigs = D.minhash_signatures(d, "doc_id", "text", n=3, k=64)
+    s1 = sigs.select(F.col("doc_id").alias("id_1"), F.col("signature").alias("_s1"))
+    s2 = sigs.select(F.col("doc_id").alias("id_2"), F.col("signature").alias("_s2"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_s1", "_s2", lambda a, b: a == b), lambda x: x
+            )
+        ).cast("double")
+        / 64
+    )
+    return (
+        pairs.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= 0.2).alias("est_within_4sigma"),
+        )
+    )
