@@ -351,8 +351,10 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: all (id_1 < id_2) with cosine ≥ τ.
 
-    Brute self-join here (exact baseline/oracle); the scale path routes
-    through ``lsh_topk``-style bucketing first.
+    Brute self-join — the EXACT VERIFICATION BASELINE only (it is the
+    ground truth :func:`embedding_lsh_pairs` recall is measured
+    against). Production dedup at scale must use
+    :func:`embedding_lsh_pairs`: this plan is O(N²) in the corpus.
     """
     a = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("_v1"))
     b = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("_v2"))
@@ -362,6 +364,62 @@ def cosine_pairs(
     return (
         a.crossJoin(b)
         .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", score.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    dim: int = 64,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path for corpus
+    self-dedup, replacing :func:`cosine_pairs`'s all-pairs scan.
+
+    Exactly the MinHash-LSH shape (``dedup.minhash_lsh_pairs``) applied
+    to random-hyperplane signatures: ``tables`` independent ``bits``-bit
+    signatures per vector; candidates = id pairs colliding in ANY table
+    (one equi-self-join on ``(table, sig)`` — 8-byte keys, never vector
+    payloads); narrow ``distinct`` on the id pair; exact cosine re-score
+    of candidates only, then the τ filter.
+
+    Cost is O(Σ bucket² · tables) instead of O(N²): with b bits the
+    expected bucket holds N/2^b vectors, so candidate volume is
+    ~N²·L/2^b — tune ``bits`` up as the corpus grows (each extra bit
+    halves candidates; each extra table adds recall). For a pair at
+    cosine θ the per-bit collision probability is 1−arccos(θ)/π, so
+    recall = 1−(1−p^bits)^tables — measured against the exact baseline
+    in ``tests/test_similarity.py``.
+    """
+    s = _table_signatures(
+        df, "_id", id_col, vec_col, dim, bits, tables, seed, "_v"
+    ).select("_id", "table", "sig")
+    a, b = s.alias("a"), s.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .distinct()
+    )
+    v1 = df.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("_v1"))
+    v2 = df.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("_v2"))
+    score = cosine(F.col("_v1"), F.col("_v2"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        cand.join(v1, "id_1")
+        .join(v2, "id_2")
         .select("id_1", "id_2", score.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -59,71 +59,68 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-4 window: (a) the 3 never-green queries — win_sessionize (red
-# twice: r2 oracle type, r3 NTZ; both fixed), and the two post-rotation
-# r3 additions agg_filter_clause / table_mor_incremental; (b) the 2
-# r1-green window queries silently broken by the NTZ testdata change,
-# now fixed via the shared normalize_event_ts helper; (c) the 25 queries
-# whose only driver row is round 1 (joins/subquery family et al.);
-# (d) backfill with round-2-green daily user surfaces (table kernel,
-# streaming, text). Everything outside the window stays covered by
-# tests/test_catalog_oracle.py (all entries, judge-re-runnable).
+# Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
+# every query has a green driver row — the 50 r4-window rows are fresh,
+# so the window is (0) round-5 additions first (standing rule), then
+# (a) ALL 36 queries whose latest driver row is round 2 (the stalest),
+# then (b) 13 round-3-green backfills favoring daily user surfaces
+# (dedup/table/streaming). The 36 r3 queries left outside are exactly
+# 2 rounds old after this round — within the staleness bound — and all
+# 136 stay covered by tests/test_catalog_oracle.py every round.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born this round — gate on first appearance (standing rule)
-    "pipeline_llm_corpus_gold",
-    "text_repetition_gopher",
-    "dedup_exact_substring",
-    "table_incremental_between",
-    "win_locf_ignore_nulls",
-    "sim_ivf_recall",
-    "win_ntile_cume_dist",
-    "scalar_bitwise_funcs",
-    "stream_mor_delta_feed",
-    "table_mor_cdc_changes",
-    "sample_exact_k_per_stratum",
-    "dedup_group_stats",
-    "dedup_minhash_estimate_contract",
-    # (a) never-green — first, always
-    "win_sessionize",
-    "agg_filter_clause",
-    "table_mor_incremental",
-    # (b) NTZ-regressed r1 greens, fixed this round
-    "win_lag_lead",
-    "win_range_frame",
-    # (c) r1-only greens (no driver row since round 1)
-    "q01_projection_alias",
-    "q02_flagship_join",
-    "q03_distinct_orderby",
-    "q04_minmax_agg",
-    "q05_topk",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_tpch_q3",
-    "join_tpch_q5",
-    "join_range_bands",
-    "join_asof",
-    "subquery_scalar",
-    "subquery_correlated",
-    "subquery_in",
-    "setop_union_intersect_except",
-    "agg_arg_minmax",
-    "unpivot_metrics",
-    "dedup_embedding_cosine",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "skew_salted_agg",
-    "multimodal_meta",
-    "pandas_grouped_map_rank",
-    # (d) backfill: r2-green daily user surfaces, table kernel first
-    "q06_latest_per_key",
-    "q07_sql_transformer",
-    "table_upsert_snapshot",
-    "table_incremental_read",
-    "incremental_pipeline_gold",
-    "table_time_travel",
-    "table_partition_pruning",
+    # (0) born round 5 — gate on first appearance (standing rule)
+    "dedup_embedding_lsh",
+    # (a) latest driver row = round 2 — stalest first
+    "q00_inmemory_ingest",
+    "table_mor_snapshot",
+    "table_mor_read_optimized",
+    "table_mor_compaction",
+    "table_merge_mixed",
+    "table_delete_snapshot",
+    "table_restore",
+    "table_clean_snapshot",
+    "table_compaction_snapshot",
+    "sql_catalog_attach",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_table_feed",
+    "stream_foreachbatch_upsert",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_matmul_topk",
+    "multimodal_features",
+    "quality_report",
+    "sample_stratified_deterministic",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_normalize",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_redact_pii",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_array_funcs",
+    "agg_collect_list_sorted",
+    "win_running_sum",
+    "win_rank_percent",
+    "win_topk_per_group",
+    # (b) round-3-green backfill: heaviest daily user surfaces
+    "agg_tpch_q1",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_apply_keep_representative",
+    "decontaminate_ngram_overlap",
+    "sim_lsh_ann",
+    "sim_ivf_probe",
+    "table_cdc_changes",
+    "table_schema_evolution",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "text_tfidf_top_terms",
 ]
 
 

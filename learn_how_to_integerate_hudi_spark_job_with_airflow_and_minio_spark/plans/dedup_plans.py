@@ -7,9 +7,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from ..operators.similarity import cosine_pairs
+from ..operators.similarity import cosine_pairs, embedding_lsh_pairs
 from ..session import load_tables
 from .catalog import register
+from .similarity_plans import _LSH_SIG_BRANCHES
 
 # DuckDB shingle expression shared by the jaccard oracles (word 3-grams,
 # distinct, 1-based list comprehension).
@@ -190,12 +191,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) >= 0.45
     """,
     doc="embedding-cosine near-dup pairs at τ=0.45 (rounded to 6 digits "
-    "for cross-engine rank stability); brute pair scan as exactness "
-    "baseline — the scale path buckets via LSH first",
+    "for cross-engine rank stability); brute pair scan — the EXACT "
+    "VERIFICATION BASELINE for dedup_embedding_lsh, not the scale path",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_pairs(e, "vec_id", "embedding", threshold=0.45, round_digits=6)
+
+
+# Exact cosine between the two candidate-pair vectors (aliases a/b),
+# mirroring similarity_plans._COS.
+_COS_AB = """
+round(
+  (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+   FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y))
+  / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+           FROM (SELECT unnest(a.embedding) x)))
+     * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+             FROM (SELECT unnest(b.embedding) y)))),
+  6)
+"""
+
+_EMB_LSH_SQL = f"""
+    WITH sig AS (
+        {_LSH_SIG_BRANCHES}
+    ),
+    cand AS (
+        SELECT DISTINCT ca.vec_id AS id_1, cb.vec_id AS id_2
+        FROM sig ca
+        JOIN sig cb ON ca.tbl = cb.tbl AND ca.sig = cb.sig
+        WHERE ca.vec_id < cb.vec_id
+    )
+    SELECT cand.id_1, cand.id_2, {_COS_AB} AS cosine
+    FROM cand
+    JOIN embeddings a ON a.vec_id = cand.id_1
+    JOIN embeddings b ON b.vec_id = cand.id_2
+    WHERE {_COS_AB} >= 0.45
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    # Full cross-engine oracle (the sim_lsh_ann technique): DuckDB
+    # recomputes the 8×4-bit hyperplane signatures from their literal
+    # coefficients, rebuilds the exact collision-candidate pair set, and
+    # re-scores it with the same rounded cosine — verifying signature
+    # math, candidate completeness, AND the re-score/threshold path.
+    oracle=_EMB_LSH_SQL,
+    doc="bucketed embedding near-dup pairs (8 tables × 4-bit random-"
+    "hyperplane signatures, equi-self-join on (table,sig), exact cosine "
+    "re-score of collisions only) — the 100 TB corpus self-dedup path; "
+    "dedup_embedding_cosine is its exact verification baseline",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_lsh_pairs(
+        e, "vec_id", "embedding", threshold=0.45, dim=64, bits=4, tables=8
+    )
 
 
 # Connected components over the capped Jaccard pair set, computed

@@ -52,6 +52,54 @@ def test_simhash_finds_planted_pairs(spark, documents):
     assert recall >= 0.8, f"simhash recall {recall:.2f} on planted pairs"
 
 
+def test_embedding_lsh_pairs_recall_and_candidate_bound(spark, embeddings):
+    """Quality contract for the bucketed embedding-dedup scale path
+    (mirrors the IVF recall contract): vs the exact all-pairs baseline,
+    (a) precision is 1.0 by construction (candidates are re-scored with
+    the same exact rounded cosine), (b) recall matches the banding
+    theory — for these borderline pairs (cos 0.45-0.51, per-bit
+    collision p≈0.65) 8 tables × 4 bits predicts ≈0.79 at the
+    threshold; assert ≥0.5 — and (c) the candidate set the join ever
+    scores is a small fraction of the N(N-1)/2 pair space (the whole
+    point of the bucketing)."""
+    exact = _pairs(
+        S.cosine_pairs(embeddings, "vec_id", "embedding", threshold=0.45)
+    )
+    lsh = _pairs(
+        S.embedding_lsh_pairs(
+            embeddings, "vec_id", "embedding", threshold=0.45, bits=4, tables=8
+        )
+    )
+    assert exact, "corpus should contain embedding near-dup pairs"
+    assert lsh <= exact, "LSH surfaced a pair the exact baseline rejects"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"embedding-LSH recall {recall:.2f}"
+    # candidate volume: rebuild the candidate set (pre-threshold) and
+    # bound it against the full pair space
+    sig = S._table_signatures(
+        embeddings, "_id", "vec_id", "embedding", 64, 4, 8, 42, "_v"
+    ).select("_id", "table", "sig")
+    import pyspark.sql.functions as F
+
+    a, b = sig.alias("a"), sig.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    n = embeddings.count()
+    all_pairs = n * (n - 1) / 2
+    assert n_cand < 0.5 * all_pairs, (
+        f"candidate set {n_cand} is not a useful reduction of {all_pairs}"
+    )
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, embeddings):
     import pyspark.sql.functions as F
 
