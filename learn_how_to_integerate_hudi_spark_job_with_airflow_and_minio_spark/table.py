@@ -55,6 +55,12 @@ from .storage import fs_for, read_json, write_json
 
 META_COL = "_commit_time"
 
+# Every N commits, _publish also writes a consolidated live-set snapshot
+# (Delta-style checkpoint) so reads replay O(N) tail manifests instead of
+# O(commits): at 100× scale (years of frequent commits × 10⁵ live file
+# entries) full-timeline replay becomes a per-query driver bottleneck.
+CHECKPOINT_EVERY = 10
+
 
 def _utcnow() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
@@ -136,9 +142,21 @@ class Table:
         out = []
         for p in self.fs.list(self._commits_dir()):
             name = posixpath.basename(p)
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.startswith("_"):
                 out.append(name[: -len(".json")])
         return sorted(out)
+
+    def _checkpoints(self) -> list[str]:
+        """Commit ids that carry a live-set checkpoint, ascending."""
+        out = []
+        for p in self.fs.list(self._commits_dir()):
+            name = posixpath.basename(p)
+            if name.startswith("_checkpoint_") and name.endswith(".json"):
+                out.append(name[len("_checkpoint_") : -len(".json")])
+        return sorted(out)
+
+    def _checkpoint_path(self, commit: str) -> str:
+        return posixpath.join(self._commits_dir(), f"_checkpoint_{commit}.json")
 
     def latest_commit(self) -> str | None:
         c = self.commits()
@@ -152,9 +170,22 @@ class Table:
         return read_json(posixpath.join(self._commits_dir(), f"{commit}.json"))
 
     def current_files(self, as_of: str | None = None) -> list[dict]:
-        """Replay manifests → live file entries (path rel to table root)."""
+        """Replay manifests → live file entries (path rel to table root).
+
+        O(tail), not O(commits): load the newest checkpoint ≤ ``as_of``
+        (a consolidated live set written every :data:`CHECKPOINT_EVERY`
+        commits) and replay only the manifests after it.
+        """
         live: dict[str, dict] = {}
+        start: str | None = None
+        cps = [c for c in self._checkpoints() if as_of is None or c <= as_of]
+        if cps:
+            start = cps[-1]
+            cp = read_json(self._checkpoint_path(start))
+            live = {e["path"]: e for e in cp["files"]}
         for c in self.commits():
+            if start is not None and c <= start:
+                continue
             if as_of is not None and c > as_of:
                 break
             m = self._manifest(c)
@@ -841,6 +872,16 @@ class Table:
             "schema": schema.jsonValue() if schema is not None else None,
         }
         write_json(manifest_path, manifest)
+        if int(commit) % CHECKPOINT_EVERY == 0:
+            # consolidated live set as of this commit; itself computed
+            # O(tail) from the previous checkpoint. Written AFTER the
+            # manifest (a lost checkpoint only costs replay speed, never
+            # correctness) and keyed by commit id so readers pinned to an
+            # earlier as_of never see it.
+            write_json(
+                self._checkpoint_path(commit),
+                {"commit": commit, "files": self.current_files(as_of=commit)},
+            )
 
 
 def _jsonable(v):

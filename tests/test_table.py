@@ -220,10 +220,30 @@ def test_concurrent_writer_collision_detected(spark, tpath):
     write_json(f"{tpath}/_commits/{2:020d}.json", {"commit": f"{2:020d}"})
     t2 = Table.load(spark, tpath)
     # t2 computes next id from the timeline (3) — fine; but a writer that
-    # raced to the same id must fail loudly at publish
+    # raced to the same id must fail loudly at publish, naming the commit
     t.fs  # noqa: B018
-    with _pytest.raises(RuntimeError, match="concurrent writer"):
+    with _pytest.raises(RuntimeError, match=f"commit {2:020d}.*concurrent writer"):
         t._publish(f"{2:020d}", "upsert", [], [], None)
+
+
+def test_concurrent_writers_racing_same_commit_id_one_wins(spark, tpath):
+    """Two live Table handles race the SAME _next_commit id: exactly one
+    publish wins; the loser's RuntimeError names the contested commit
+    (the engine is single-writer-per-table by design — the pin is that a
+    violated assumption is loud, never a silent manifest clobber)."""
+    import pytest as _pytest
+
+    t1 = make_table(spark, tpath)
+    t1.upsert(df_of(spark, [(1, 1, "a")]))
+    t2 = Table.load(spark, tpath)
+    c1, c2 = t1._next_commit(), t2._next_commit()
+    assert c1 == c2, "both writers must race the same commit id"
+    t1._publish(c1, "insert", [], [], None)  # writer 1 wins
+    with _pytest.raises(RuntimeError) as exc:
+        t2._publish(c2, "insert", [], [], None)
+    assert c2 in str(exc.value) and "concurrent writer" in str(exc.value)
+    # the winner's manifest is intact (not clobbered by the loser)
+    assert t1._manifest(c1)["action"] == "insert"
 
 
 def test_hive_style_partition_layout(spark, tpath):
@@ -481,3 +501,100 @@ def test_zorder_compaction_tightens_both_columns(spark, tpath):
     # span on EACH dimension well under the full domain
     assert sum(spans_id) / n_files < 1200, spans_id
     assert sum(spans_x) / n_files < 1200, spans_x
+
+
+def test_manifest_checkpoint_bounds_reads_and_matches_full_replay(spark, tpath):
+    """Scale contract for the commit timeline: every CHECKPOINT_EVERY
+    commits _publish writes a consolidated live-set checkpoint, and
+    current_files() loads the newest checkpoint + the tail manifests
+    ONLY — at 100× commit counts full-timeline replay is a per-query
+    driver bottleneck. Manifests are published directly (no Spark
+    writes) so the test isolates timeline mechanics: 25 commits with
+    adds AND removals, then (a) read counts bounded, (b) checkpointed
+    replay equals a from-scratch replay, (c) as_of pinned before a
+    checkpoint ignores later checkpoints."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark import (
+        table as table_mod,
+    )
+
+    t = make_table(spark, tpath)
+    os.makedirs(f"{tpath}/_commits", exist_ok=True)
+    # commit i adds f{i}, removes f{i-5} (so the live set churns)
+    for i in range(1, 26):
+        c = t._next_commit()
+        added = [{"path": f"data/f{i}.parquet", "rows": i, "stats": {}}]
+        removed = [f"data/f{i - 5}.parquet"] if i > 5 else []
+        t._publish(c, "insert", added, removed, None)
+    assert t._checkpoints() == [f"{10:020d}", f"{20:020d}"]
+
+    # (a) count manifest/checkpoint JSON reads during one snapshot replay
+    reads: list[str] = []
+    orig = table_mod.read_json
+
+    def counting_read_json(path):
+        reads.append(path)
+        return orig(path)
+
+    t2 = Table.load(spark, tpath)
+    try:
+        table_mod.read_json = counting_read_json
+        live = t2.current_files()
+    finally:
+        table_mod.read_json = orig
+    manifest_reads = [os.path.basename(p) for p in reads if "_commits/" in p]
+    cp_reads = [p for p in manifest_reads if p.startswith("_checkpoint_")]
+    tail_reads = [p for p in manifest_reads if not p.startswith("_checkpoint_")]
+    assert len(cp_reads) == 1 and cp_reads[0].endswith(f"_checkpoint_{20:020d}.json")
+    # tail = commits 21..25 only, never the 20 before the checkpoint
+    assert len(tail_reads) == 5, tail_reads
+
+    # (b) checkpointed replay == from-scratch replay (checkpoints off)
+    expected: dict[str, dict] = {}
+    for c in t2.commits():
+        m = t2._manifest(c)
+        for rel in m.get("files_removed", []):
+            expected.pop(rel, None)
+        for e in m.get("files_added", []):
+            expected[e["path"]] = e
+    assert live == [expected[k] for k in sorted(expected)]
+    assert {e["path"] for e in live} == {
+        f"data/f{i}.parquet" for i in range(21, 26)
+    }
+
+    # (c) as_of before the first checkpoint must not touch any checkpoint
+    reads.clear()
+    try:
+        table_mod.read_json = counting_read_json
+        old = t2.current_files(as_of=f"{7:020d}")
+    finally:
+        table_mod.read_json = orig
+    assert not any(os.path.basename(p).startswith("_checkpoint_") for p in reads)
+    assert {e["path"] for e in old} == {f"data/f{i}.parquet" for i in range(3, 8)}
+    # and an as_of between checkpoints uses the EARLIER one
+    assert {e["path"] for e in t2.current_files(as_of=f"{15:020d}")} == {
+        f"data/f{i}.parquet" for i in range(11, 16)
+    }
+
+
+def test_checkpointed_table_reads_stay_correct_end_to_end(spark, tpath):
+    """Cross the CHECKPOINT_EVERY boundary with real Spark writes: 12
+    upserts (checkpoint at commit 10), then snapshot, time travel, and
+    incremental reads must all agree with the per-commit ground truth."""
+    t = make_table(spark, tpath)
+    commits = [
+        t.upsert(df_of(spark, [(1, i, f"v{i}"), (i + 2, 1, f"n{i}")]))
+        for i in range(12)
+    ]
+    assert t._checkpoints(), "expected a checkpoint after 12 commits"
+    # keys: 1 (last write v11) + 2..13 from the n-rows → 13 rows
+    snap = rows_of(t.snapshot(), "id", "ver", "val")
+    assert (1, 11, "v11") in snap and len(snap) == 13
+    # time travel to a pre-checkpoint commit: key 1 at v4, n0..n4
+    old = rows_of(t.snapshot(as_of=commits[4]), "id", "val")
+    assert (1, "v4") in old and len(old) == 6
+    # incremental window spanning the checkpoint commit: latest state of
+    # rows whose _commit_time falls in (commits[8], commits[11]] — key
+    # 1's v9/v10 were rewritten within the window, so v11 survives
+    inc = t.incremental(begin=commits[8], end=commits[11])
+    got = {r["val"] for r in inc.collect()}
+    assert got == {"v11", "n9", "n10", "n11"}
