@@ -47,22 +47,9 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: float | None
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    sh = exploded_shingles(df, id_col, text_col, n)
-    if max_df is not None:
-        n_docs = df.count()
-        cap = int(n_docs * max_df)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > cap)
-            .select("shingle")
-        )
-        # stop-shingle cap: drop shingles shared by > max_df of the corpus
-        # (they generate quadratic join fan-out and carry no signal)
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    return sh
+    return exploded_shingles(df, id_col, text_col, n)
 
 
 def ngram_jaccard_pairs(
@@ -77,7 +64,7 @@ def ngram_jaccard_pairs(
     # join/shuffle on the 8-byte shingle hash, not the shingle string —
     # same counts (64-bit collisions are ~1e-11 at any realistic corpus
     # vocabulary), a fraction of the shuffle bytes
-    sh = _shingle_table(df, id_col, text_col, n, None).select(
+    sh = _shingle_table(df, id_col, text_col, n).select(
         "_id", F.xxhash64("shingle").alias("sh")
     )
     # the hashed shingle table is consumed up to 4× (df-cap pass, both
@@ -92,8 +79,12 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         # stop-shingle cap computed on the HASHED table: the df groupBy
         # shuffles 8-byte keys (partial-aggregated map-side), not shingle
-        # strings, and the hot set broadcasts into a left_anti
-        cap = int(df.count() * max_df)
+        # strings, and the hot set broadcasts into a left_anti.
+        # The doc count for the cap comes from the PERSISTED shingle
+        # table (docs that actually have >= n tokens), not df.count() —
+        # one fewer full corpus pass; the first action over `sh` also
+        # materializes the cache every later stage reuses.
+        cap = int(sh.select("_id").distinct().count() * max_df)
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -133,7 +124,7 @@ def minhash_signatures(
     permutation index as seed — k× cheaper than hashing the string k
     times, same min-wise independence (xxhash64 seeded by i acts as the
     i-th permutation)."""
-    sh = _shingle_table(df, id_col, text_col, n, None).select(
+    sh = _shingle_table(df, id_col, text_col, n).select(
         "_id", F.xxhash64("shingle").alias("h0")
     )
     mins = sh.groupBy("_id").agg(

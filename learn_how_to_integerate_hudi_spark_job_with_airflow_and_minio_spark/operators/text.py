@@ -48,21 +48,6 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def ngrams_all(text: Column, n: int) -> Column:
-    """ALL word n-grams, duplicates preserved (vs ``word_shingles``'
-    distinct sets) — the unit for repetition-ratio quality signals.
-
-    PERF: prefer :func:`shingle_column` in plans — inlining this
-    expression re-evaluates the split per ``element_at`` (O(tokens²)
-    per row)."""
-    w = F.split(text, " ")
-    g = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, g).otherwise(F.array().cast("array<string>"))
-
-
 def exploded_shingles(df, id_col: str, text_col: str, n: int = 3,
                       id_out: str = "_id", out: str = "shingle"):
     """(id, shingle) rows: one per distinct word n-gram, with BOTH
@@ -90,8 +75,8 @@ def shingle_column(df, text_col: str, out_col: str, n: int = 3,
     """Append a word n-gram array column with the token array staged
     behind a projection boundary.
 
-    The inline expressions (:func:`word_shingles` / :func:`ngrams_all`)
-    reference the ``split`` result once per ``element_at``, and Catalyst
+    The inline expression (:func:`word_shingles`)
+    references the ``split`` result once per ``element_at``, and Catalyst
     does not share that subexpression — each element access re-splits
     the document, O(tokens²) per row (measured 10× on the sf0.1 shingle
     scan: 3.7s → 0.3s). Staging the token array as its own projected

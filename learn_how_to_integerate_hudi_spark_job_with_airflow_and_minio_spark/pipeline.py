@@ -118,10 +118,14 @@ def build_corpus(
     # same predicates applied row-wise
     rules = [Q.NotNull("text"), Q.Expr("length(text) >= 20", "min_len_20")]
     report = Q.check(docs, rules, unique=["doc_id"])
-    # Each audit .count() below would otherwise re-run the whole lineage
-    # from the bronze snapshot — invisible at sf0.01, several-fold cost at
-    # 100 TB. Persist every stage boundary once; unpersist when the next
-    # stage is materialized.
+    # Persist policy (r4 ADVICE refinement): persist a stage iff its
+    # lineage is traversed more than once. `filtered`, `deduped`, and
+    # `clean` are each referenced on MULTIPLE DAG branches (dedup keeper
+    # + semi-join; bench + train split; src_counts collect + sampling)
+    # — Catalyst does not share those subplans, so they'd recompute the
+    # whole chain per branch even with audit=False. `mixed` is consumed
+    # by exactly one downstream action unless auditing, so it persists
+    # only when audit=True. Unpersist as each stage retires.
     filtered = docs.where(
         F.col("text").isNotNull() & (F.length("text") >= 20)
     ).persist()
@@ -167,9 +171,14 @@ def build_corpus(
         s: math.floor(r * 1_000_000 + 0.5) / 1_000_000
         for s, r in retention_maximizing_rates(src_counts, target).items()
     }
-    mixed = domain_mix_sample(clean, "doc_id", "source", rates).persist()
+    mixed = domain_mix_sample(clean, "doc_id", "source", rates)
+    if audit:
+        mixed = mixed.persist()
     _audit("after_mix", mixed)
-    clean.unpersist()
+    if audit:
+        # the after_mix count materialized mixed's cache, which now
+        # carries the lineage — clean can retire early
+        clean.unpersist()
 
     # --- gold: sequence packing + table write --------------------------
     from pyspark.sql.window import Window as W
@@ -199,7 +208,13 @@ def build_corpus(
         table_name="gold_corpus",
     )
     gold.upsert(packed)
-    mixed.unpersist()
+    if audit:
+        mixed.unpersist()
+    else:
+        # without the audit counts nothing materialized mixed, so the
+        # upsert is the one traversal — it read straight from clean's
+        # cache (populated by the src_counts collect), which retires now
+        clean.unpersist()
     if audit:
         counts["gold"] = gold.snapshot().count()
     return gold, counts, report

@@ -59,13 +59,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by more than max_df of the corpus are dropped BEFORE the self-join
 # (they generate quadratic join fan-out and carry no near-dup signal). The
 # oracle applies the identical cap so both engines measure the same sets.
+# Cap base = COUNT(DISTINCT doc_id) over the exploded shingles (docs with
+# >= n tokens), mirroring the engine, which derives the count from the
+# already-persisted hashed shingle table instead of a second corpus pass.
 _JACCARD_CAPPED_SQL = (
     _SHINGLES
     + """
 , ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 hot AS (
     SELECT g FROM ex GROUP BY g
-    HAVING COUNT(*) > CAST(floor((SELECT COUNT(*) FROM documents) * 0.1) AS BIGINT)
+    HAVING COUNT(*) > CAST(floor((SELECT COUNT(DISTINCT doc_id) FROM ex) * 0.1) AS BIGINT)
 ),
 kept AS (
     SELECT doc_id, list(g) AS s
@@ -260,7 +263,7 @@ _COMPONENTS_SQL = (
 , ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 hot AS (
     SELECT g FROM ex GROUP BY g
-    HAVING COUNT(*) > CAST(floor((SELECT COUNT(*) FROM documents) * 0.1) AS BIGINT)
+    HAVING COUNT(*) > CAST(floor((SELECT COUNT(DISTINCT doc_id) FROM ex) * 0.1) AS BIGINT)
 ),
 kept AS (
     SELECT doc_id, list(g) AS s
@@ -469,9 +472,16 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 )
 def dedup_minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    pairs = D.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
-    )
+    # The pair set under test is the EXACT >= 0.8 set (same enumeration
+    # as the oracle), not the banded-LSH candidates: with b=16/r=4 a
+    # j=0.8 pair is LSH-missed with p≈4e-4, so gating the contract on
+    # LSH output silently asserted 100% LSH recall — a testdata
+    # regeneration could flip this row red with a confusing row-count
+    # mismatch instead of a sketch-quality failure (r4 ADVICE). LSH
+    # candidate completeness is covered by dedup_minhash_lsh, whose
+    # planted pairs sit at j≈0.98 (miss p≈1e-18, robust by construction);
+    # THIS row certifies only the signature→estimate accuracy bound.
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
     sigs = D.minhash_signatures(d, "doc_id", "text", n=3, k=64)
     s1 = sigs.select(F.col("doc_id").alias("id_1"), F.col("signature").alias("_s1"))
     s2 = sigs.select(F.col("doc_id").alias("id_2"), F.col("signature").alias("_s2"))

@@ -27,10 +27,23 @@ from .catalog import register
 from .text2 import _DUCK_MD5_FRAC
 
 _CORPUS_GOLD_SQL = (
+    # The prelude mirrors the bronze KEYED ingest (key=doc_id,
+    # precombine=n_chars): if documents.parquet ever ships duplicate
+    # doc_ids, Spark's bronze upsert keeps max(n_chars) per key
+    # (table.py within-batch row_number dedup) — without this prelude the
+    # oracle would keep both rows and the mismatch would masquerade as a
+    # pipeline bug (r4 ADVICE).
     """
 WITH RECURSIVE
+bronze AS (
+    SELECT * EXCLUDE (_rn) FROM (
+        SELECT d.*, row_number() OVER (
+            PARTITION BY doc_id ORDER BY n_chars DESC) AS _rn
+        FROM documents d
+    ) WHERE _rn = 1
+),
 filtered AS (
-    SELECT * FROM documents WHERE text IS NOT NULL AND length(text) >= 20
+    SELECT * FROM bronze WHERE text IS NOT NULL AND length(text) >= 20
 ),
 keepers AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
 uniq AS (SELECT f.* FROM filtered f SEMI JOIN keepers k ON f.doc_id = k.doc_id),
@@ -44,7 +57,7 @@ sh AS (
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 hot AS (
     SELECT g FROM ex GROUP BY g
-    HAVING COUNT(*) > CAST(floor((SELECT COUNT(*) FROM uniq) * 0.1) AS BIGINT)
+    HAVING COUNT(*) > CAST(floor((SELECT COUNT(DISTINCT doc_id) FROM ex) * 0.1) AS BIGINT)
 ),
 kept AS (
     SELECT doc_id, list(g) AS s

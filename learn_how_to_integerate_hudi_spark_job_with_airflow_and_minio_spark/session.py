@@ -89,9 +89,12 @@ def normalize_event_ts(spark: SparkSession, df, col: str = "ts"):
     - bigint (ns read under ``nanosAsLong``): truncate to µs — exactly
       what DuckDB does natively, so both engines see identical values.
     - timestamp_ntz: reinterpret in the session zone. Value-identical to
-      DuckDB's naive timestamps ONLY under UTC, so the session zone is
-      pinned here rather than assumed (a non-UTC session would silently
-      shift every event time relative to the oracle).
+      DuckDB's naive timestamps ONLY under UTC. ``build_session`` already
+      pins UTC; on a foreign non-UTC session this helper WARNS and repins
+      — a session-wide mutation (timestamp rendering for every other
+      table in that session changes too), surfaced loudly instead of
+      silently because a repin mid-session can change other queries'
+      results depending on load order.
 
     Shared by the batch loader (here) and the streaming loader
     (``streaming/windows.py``) so the two paths can never diverge on the
@@ -103,7 +106,19 @@ def normalize_event_ts(spark: SparkSession, df, col: str = "ts"):
     if dt == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if dt == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            import warnings
+
+            warnings.warn(
+                f"normalize_event_ts: session timeZone is {tz!r}; repinning "
+                "to UTC so NTZ event times keep their face value. This is a "
+                "SESSION-WIDE mutation — other queries on this session now "
+                "render timestamps in UTC. Build sessions with "
+                "build_session() to pin UTC up front.",
+                stacklevel=2,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -49,7 +49,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from .storage import fs_for, read_json, write_json
 
@@ -119,6 +119,71 @@ class Table:
     def load(cls, spark: SparkSession, path: str) -> "Table":
         meta = read_json(posixpath.join(path.rstrip("/"), "_table.json"))
         return cls(spark, path, meta)
+
+    @classmethod
+    def bootstrap(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source_dir: str,
+        key: str,
+        precombine: str,
+        table_name: str | None = None,
+        max_records_per_file: int = 0,
+    ) -> "Table":
+        """Metadata-only bootstrap (Hudi ``METADATA_ONLY`` bootstrap
+        analog): turn an EXISTING directory of parquet files into an
+        engine table without copying or rewriting a byte — at 100 TB the
+        difference between minutes and a full-corpus rewrite.
+
+        The first commit's manifest references the source files in place
+        (absolute paths, ``external: true``) with footer-derived key
+        stats, so snapshot / incremental / time-travel / upsert all work
+        immediately. An upsert whose keys hit an external file rewrites
+        only the AFFECTED rows into engine-managed files and retires the
+        external file from the live set; external files are never
+        physically deleted (the cleaner skips them — they are not
+        engine-owned). Rows not yet rewritten surface ``_commit_time`` =
+        the bootstrap commit via a read-time null-coalesce (the source
+        files have no physical meta column).
+
+        v1 restrictions: unpartitioned tables; ``read_stream`` only sees
+        engine-managed files (externals predate the stream).
+        """
+        files = sorted(
+            p for p in fs_for(source_dir).list(source_dir) if p.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"no parquet files to bootstrap under {source_dir}")
+        src_schema = spark.read.parquet(source_dir).schema
+        missing = [c for c in (key, precombine) if c not in src_schema.fieldNames()]
+        if missing:
+            raise ValueError(f"bootstrap source lacks required column(s) {missing}")
+        t = cls.create(
+            spark,
+            path,
+            key=key,
+            precombine=precombine,
+            table_name=table_name,
+            max_records_per_file=max_records_per_file,
+        )
+        commit = t._next_commit()
+        stats = t._collect_stats(files, src_schema, [key, precombine])
+        entries = [
+            {
+                "path": p,
+                "external": True,
+                **stats.get(p, {"rows": None, "stats": {}}),
+            }
+            for p in files
+        ]
+        schema = StructType(
+            [*src_schema.fields, StructField(META_COL, StringType(), True)]
+        )
+        t.meta["bootstrap_commit"] = commit
+        write_json(posixpath.join(path.rstrip("/"), "_table.json"), t.meta)
+        t._publish(commit, "bootstrap", entries, [], schema)
+        return t
 
     @property
     def key(self) -> str:
@@ -368,16 +433,41 @@ class Table:
         # append) without a mergeSchema footer sweep.
         if not (self.meta.get("partition_fields") or []):
             # unpartitioned: one multi-path scan (single relation, single
-            # listing) — no partition discovery needed
-            reader = self.spark.read.option(
-                "basePath", posixpath.join(self.path, "data")
-            )
-            if schema is not None:
-                reader = reader.schema(schema)
-            df = reader.parquet(*[self._abs(e["path"]) for e in entries])
-            if with_file:
+            # listing) — no partition discovery needed. External
+            # (bootstrapped) files live OUTSIDE the table root, so they
+            # get their own relation without the basePath option; the
+            # explicit schema surfaces their missing meta column as null,
+            # which the coalesce below stamps with the bootstrap commit.
+            ext = [e for e in entries if e.get("external")]
+            managed = [e for e in entries if not e.get("external")]
+            dfs = []
+            for paths, base in (
+                ([self._abs(e["path"]) for e in managed],
+                 posixpath.join(self.path, "data")),
+                ([e["path"] for e in ext], None),
+            ):
+                if not paths:
+                    continue
+                reader = self.spark.read
+                if base is not None:
+                    reader = reader.option("basePath", base)
+                if schema is not None:
+                    reader = reader.schema(schema)
+                part = reader.parquet(*paths)
+                if with_file:
+                    # _metadata resolves on the scan relation, not
+                    # through a Union — attach per branch
+                    part = part.withColumn(
+                        "_file", _norm_file_path(F.col("_metadata.file_path"))
+                    )
+                dfs.append(part)
+            df = dfs[0]
+            for extra in dfs[1:]:
+                df = df.unionByName(extra)
+            bc = self.meta.get("bootstrap_commit")
+            if ext and bc and schema is not None and META_COL in schema.fieldNames():
                 df = df.withColumn(
-                    "_file", _norm_file_path(F.col("_metadata.file_path"))
+                    META_COL, F.coalesce(F.col(META_COL), F.lit(bc))
                 )
             return df
         # Hive-style layout puts partition columns in directory names
@@ -584,6 +674,47 @@ class Table:
         self._publish(commit, "restore", added, removed, self._schema(as_of=as_of))
         return commit
 
+    # -- savepoints ----------------------------------------------------
+
+    def savepoint(self, commit: str | None = None) -> str:
+        """Pin a commit against the cleaner (Hudi savepoint analog:
+        ``hoodie savepoint create``). The files live AS OF the
+        savepointed commit stay readable via ``snapshot(as_of=...)`` /
+        ``restore()`` forever, regardless of the cleaner's retention
+        window, until :meth:`release_savepoint`.
+
+        Metadata-only: one marker JSON in the timeline dir (underscore
+        prefix keeps it invisible to :meth:`commits`).
+        """
+        commit = commit or self.latest_commit()
+        if commit is None:
+            raise ValueError("cannot savepoint an empty table")
+        if commit not in self.commits():
+            raise ValueError(f"cannot savepoint unknown commit {commit}")
+        write_json(
+            self._savepoint_path(commit), {"commit": commit, "ts": _utcnow()}
+        )
+        return commit
+
+    def savepoints(self) -> list[str]:
+        """Savepointed commit ids, ascending."""
+        out = []
+        for p in self.fs.list(self._commits_dir()):
+            name = posixpath.basename(p)
+            if name.startswith("_savepoint_") and name.endswith(".json"):
+                out.append(name[len("_savepoint_") : -len(".json")])
+        return sorted(out)
+
+    def release_savepoint(self, commit: str) -> None:
+        """Unpin ``commit``; its retired files become cleanable again."""
+        path = self._savepoint_path(commit)
+        if not self.fs.exists(path):
+            raise ValueError(f"no savepoint at commit {commit}")
+        self.fs.delete(path)
+
+    def _savepoint_path(self, commit: str) -> str:
+        return posixpath.join(self._commits_dir(), f"_savepoint_{commit}.json")
+
     def merge(self, source: DataFrame, delete_col: str | None = None) -> str:
         """MERGE INTO semantics in one COW commit (the Delta-style
         ``WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
@@ -660,19 +791,32 @@ class Table:
             )
 
     def _dedup_batch(self, df: DataFrame) -> DataFrame:
-        from pyspark.sql.window import Window
-
         # max(precombine) per key wins; equal precombine → last row in
         # batch order wins (deterministic within a run, like Hudi's
         # reduce-by-key over shuffled pairs).
-        w = Window.partitionBy(self.key).orderBy(
-            F.desc(self.precombine), F.desc("_seq")
-        )
+        #
+        # Expressed as a partial-aggregatable max_by, NOT a row_number
+        # window: a window puts every row of a key on one partition, so a
+        # hot-key batch (one key = half the rows — the realistic 100 TB
+        # upsert skew) serializes on a single task and AQE skew handling
+        # can't split it (it only covers sort-merge joins). max_by
+        # map-side-combines each partition down to one row per key BEFORE
+        # the shuffle, so the hot key crosses the wire once per upstream
+        # partition — skew-proof by construction, no salting needed
+        # (pinned by tests/test_table.py hot-key test: no Window node,
+        # partial aggregation present).
+        #
+        # Null precombine ordering matches the old desc-nulls-last window:
+        # Spark's struct ordering ranks a null field below any non-null,
+        # so a null-precombine row only wins if every row for the key is
+        # null-precombined (then max _seq = last in batch order wins).
+        row = F.struct(*[F.col(c) for c in df.columns])
+        order = F.struct(F.col(self.precombine), F.col("_seq"))
         return (
             df.withColumn("_seq", F.monotonically_increasing_id())
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_seq")
+            .groupBy(self.key)
+            .agg(F.max_by(row, order).alias("_best"))
+            .select("_best.*")
         )
 
     def _merge_write(self, df: DataFrame, action: str) -> str:
@@ -729,6 +873,11 @@ class Table:
             if norm.startswith("file:"):
                 norm = "/" + norm.split(":", 1)[1].lstrip("/")
             if not norm.startswith(base):
+                if self.meta.get("bootstrap_commit"):
+                    # external bootstrap file — manifests key it by its
+                    # absolute path, so that IS its live-set identifier
+                    out.append(norm)
+                    continue
                 raise ValueError(f"file {p} outside table root {base}")
             out.append(norm[len(base):])
         return out
@@ -994,12 +1143,18 @@ class TableServices:
         ``snapshot(as_of=...)``/``restore()`` until it ages out of the
         window. Single manifest replay, live-set snapshots at protected
         commits only.
+
+        Savepointed commits (:meth:`Table.savepoint`) are protected
+        unconditionally — their as-of live sets survive any retention
+        window until released, the Hudi savepoint-vs-cleaner contract.
+        External (bootstrapped) files are never engine-owned and are
+        never deleted, live or not.
         """
         t = self.t
         commits = t.commits()
-        if len(commits) <= retain_commits:
+        if len(commits) <= retain_commits and not t.savepoints():
             return []
-        protected = set(commits[-(retain_commits + 1):])
+        protected = set(commits[-(retain_commits + 1):]) | set(t.savepoints())
         live: dict[str, dict] = {}
         ever: set[str] = set()
         needed: set[str] = set()
@@ -1014,6 +1169,8 @@ class TableServices:
                 needed.update(live)
         deleted = []
         for p in sorted(ever - needed):
+            if p.startswith("/"):
+                continue  # external (bootstrapped) file — not engine-owned
             if t.fs.exists(t._abs(p)):
                 t.fs.delete(t._abs(p))
                 deleted.append(p)

@@ -60,6 +60,37 @@ def test_within_batch_precombine(spark, tpath):
     assert rows_of(t.snapshot(), "id", "val") == [(1, "high"), (2, "x")]
 
 
+def test_upsert_hot_key_batch_skew_safe(spark, tpath):
+    """100 TB upsert skew: one key carries 50% of a batch's rows.
+
+    Correctness: the hot key resolves to max(precombine) exactly like any
+    other key. Scale design: the within-batch dedup must NOT be a
+    row_number window (a window shuffles every row of the hot key onto
+    ONE task, and AQE skew handling only splits sort-merge joins) — the
+    plan is pinned to a partial-aggregatable max_by, whose map-side
+    combine collapses the hot key to one row per upstream partition
+    before the shuffle. No salting option is needed because no skewable
+    operator remains in the path.
+    """
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(k, 1, f"base{k}") for k in range(100)]))
+    hot = [(7, v + 2, f"hot{v}") for v in range(500)]  # key 7: 500 rows
+    cold = [(k, 2, f"cold{k}") for k in range(100, 600)]
+    batch = df_of(spark, hot + cold).repartition(16)
+    t.upsert(batch)
+    snap = t.snapshot()
+    got = {r["id"]: (r["ver"], r["val"]) for r in snap.collect()}
+    assert got[7] == (501, "hot499")  # max precombine wins on the hot key
+    assert got[0] == (1, "base0") and got[100] == (2, "cold100")
+    assert snap.count() == 600
+    # plan pin: partial aggregation before the shuffle, no Window node
+    plan = (
+        t._dedup_batch(batch)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
 def test_incoming_wins_on_equal_or_lower_precombine(spark, tpath):
     # Hudi default payload: incoming record replaces stored on upsert,
     # regardless of stored precombine.
@@ -598,3 +629,95 @@ def test_checkpointed_table_reads_stay_correct_end_to_end(spark, tpath):
     inc = t.incremental(begin=commits[8], end=commits[11])
     got = {r["val"] for r in inc.collect()}
     assert got == {"v11", "n9", "n10", "n11"}
+
+
+def test_savepoint_protects_files_from_cleaner(spark, tpath):
+    """Hudi savepoint contract: a savepointed commit's as-of state stays
+    readable through any retention window; releasing it makes the files
+    cleanable again."""
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 1, "v1")]))
+    t.savepoint(c1)
+    for i in range(2, 8):
+        t.upsert(df_of(spark, [(1, i, f"v{i}")]))
+    deleted = TableServices(t).clean(retain_commits=1)
+    # the savepointed state is still fully readable
+    assert rows_of(t.snapshot(as_of=c1), "id", "ver", "val") == [(1, 1, "v1")]
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "v7")]
+    # release → the old file ages out on the next clean
+    t.release_savepoint(c1)
+    deleted2 = TableServices(t).clean(retain_commits=1)
+    c1_files = {e["path"] for e in t.current_files(as_of=c1)}
+    assert c1_files & set(deleted2), "released savepoint files must be GC-able"
+    assert not (c1_files & set(deleted)), "savepointed files must survive clean"
+
+
+def test_savepoint_validation(spark, tpath):
+    import pytest as _pytest
+
+    t = make_table(spark, tpath)
+    with _pytest.raises(ValueError, match="empty table"):
+        t.savepoint()
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    with _pytest.raises(ValueError, match="unknown commit"):
+        t.savepoint("99999999999999999999")
+    with _pytest.raises(ValueError, match="no savepoint"):
+        t.release_savepoint("00000000000000000001")
+    # default savepoint = latest commit
+    assert t.savepoint() == t.latest_commit()
+    assert t.savepoints() == [t.latest_commit()]
+
+
+def test_bootstrap_metadata_only(spark, tmp_path):
+    """Bootstrap registers existing parquet in place: no copy, snapshot
+    == source, meta column = bootstrap commit, upserts rewrite only
+    affected rows, external files never deleted."""
+    src = str(tmp_path / "src")
+    df_of(spark, [(i, 1, f"v{i}") for i in range(100)]).repartition(4).write.parquet(src)
+    src_files = {
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(src)
+        for f in fn
+        if f.endswith(".parquet")
+    }
+    t = Table.bootstrap(
+        spark, str(tmp_path / "tbl"), src, key="id", precombine="ver"
+    )
+    # no data was copied into the table dir
+    assert not os.path.exists(os.path.join(t.path, "data"))
+    snap = t.snapshot()
+    assert rows_of(snap, "id", "ver", "val") == [(i, 1, f"v{i}") for i in range(100)]
+    metas = {r["_commit_time"] for r in snap.collect()}
+    assert metas == {t.meta["bootstrap_commit"]}
+    # incremental from the start sees the bootstrapped rows
+    assert t.incremental(None).count() == 100
+    # upsert: only the affected external file(s) retire; others stay live
+    c2 = t.upsert(df_of(spark, [(7, 2, "v7b")]))
+    snap2 = t.snapshot()
+    got = {r["id"]: (r["ver"], r["val"]) for r in snap2.collect()}
+    assert got[7] == (2, "v7b") and got[6] == (1, "v6")
+    assert snap2.count() == 100
+    live_ext = [e for e in t.current_files() if e.get("external")]
+    assert 0 < len(live_ext) < 4, "only the affected external file retires"
+    # incremental window picks up exactly the upserted key
+    assert rows_of(t.incremental(t.meta["bootstrap_commit"]), "id") == [(7,)]
+    # cleaner never touches external source files
+    TableServices(t).clean(retain_commits=0)
+    for p in src_files:
+        assert os.path.exists(p), "cleaner must never delete external files"
+    # stats-based pruning works off footer stats of external files
+    assert t.snapshot(filters={"id": 5}).where("id = 5").count() == 1
+
+
+def test_bootstrap_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "src2")
+    df_of(spark, [(1, 1, "a")]).write.parquet(src)
+    with _pytest.raises(ValueError, match="required column"):
+        Table.bootstrap(spark, str(tmp_path / "t1"), src, key="nope", precombine="ver")
+    with _pytest.raises(ValueError, match="no parquet files"):
+        Table.bootstrap(
+            spark, str(tmp_path / "t2"), str(tmp_path / "empty"), key="id",
+            precombine="ver",
+        )
