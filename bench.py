@@ -48,6 +48,9 @@ HEADLINE = [
     "text_quality",
     "text_repetition_gopher",
     "table_incremental_between",
+    "table_bootstrap_upsert",
+    "text_dsir_importance",
+    "funnel_steps",
     "multimodal_features",
     "stream_tumbling_window",
     "stream_table_feed",

@@ -61,15 +61,20 @@ _GATE_WINDOW = 50
 #
 # Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
 # every query has a green driver row — the 50 r4-window rows are fresh,
-# so the window is (0) round-5 additions first (standing rule), then
-# (a) ALL 36 queries whose latest driver row is round 2 (the stalest),
-# then (b) 13 round-3-green backfills favoring daily user surfaces
-# (dedup/table/streaming). The 36 r3 queries left outside are exactly
-# 2 rounds old after this round — within the staleness bound — and all
-# 136 stay covered by tests/test_catalog_oracle.py every round.
+# so the window is (0) the 5 round-5 additions first (standing rule),
+# then (a) ALL 36 queries whose latest driver row is round 2 (the
+# stalest), then (b) 9 round-3-green backfills favoring daily user
+# surfaces (dedup/table/streaming). The r3 queries left outside are
+# exactly 2 rounds old after this round — within the staleness bound —
+# and the whole catalog stays covered by tests/test_catalog_oracle.py
+# every round.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
     "dedup_embedding_lsh",
+    "table_savepoint",
+    "table_bootstrap_upsert",
+    "text_dsir_importance",
+    "funnel_steps",
     # (a) latest driver row = round 2 — stalest first
     "q00_inmemory_ingest",
     "table_mor_snapshot",
@@ -117,10 +122,6 @@ _ROUND_PRIORITY: list[str] = [
     "sim_lsh_ann",
     "sim_ivf_probe",
     "table_cdc_changes",
-    "table_schema_evolution",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "text_tfidf_top_terms",
 ]
 
 

@@ -716,3 +716,52 @@ def table_mor_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(_update_batch(orders))
     t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
     return t.changes(begin=c1).drop(META_COL)
+
+
+@register(
+    "table_savepoint",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    doc="savepoint pins a commit against the cleaner (Hudi `savepoint "
+    "create` analog): after savepointing the initial load, two further "
+    "update commits, and an aggressive clean(retain_commits=0) that GCs "
+    "every other retired file, time travel to the savepointed commit "
+    "still returns the original table state — the files it needs were "
+    "unconditionally protected",
+)
+def table_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, c1, _, orders = _build_orders_table(spark, sf_dir)
+    t.savepoint(c1)
+    t.upsert(_update_batch(orders))  # third commit: more files retire
+    TableServices(t).clean(retain_commits=0)
+    return t.snapshot(as_of=c1).drop(META_COL)
+
+
+@register(
+    "table_bootstrap_upsert",
+    oracle=_UPSERTED_SQL,
+    doc="metadata-only bootstrap (Hudi METADATA_ONLY bootstrap analog) "
+    "over the driver's READ-ONLY orders.parquet: the first commit "
+    "references the source file in place (absolute-path external "
+    "manifest entry + footer-derived key stats) — zero bytes copied; "
+    "the subsequent upsert rewrites affected rows into engine-managed "
+    "files and retires the external file from the live set without "
+    "ever writing to (or deleting from) the source location",
+)
+def table_bootstrap_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import posixpath
+
+    path = tempfile.mkdtemp(prefix="engine_bs_")
+    t = Table.bootstrap(
+        spark,
+        path,
+        posixpath.join(sf_dir, "orders.parquet"),
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_bootstrap",
+    )
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    t.upsert(_update_batch(orders))
+    return t.snapshot().select(*_COLS)

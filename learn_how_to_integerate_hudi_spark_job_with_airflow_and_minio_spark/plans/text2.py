@@ -390,3 +390,82 @@ def sample_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "text_dsir_importance",
+    # Laplace-smoothed unigram log importance weights (DSIR, Xie et al.
+    # 2023 "Data Selection for Language Models via Importance
+    # Resampling"): weight(doc) = Σ_tokens ln p_target(w) − ln p_raw(w),
+    # target = the English subset, raw = the whole candidate pool.
+    # Per-token ln values are deterministic given the integer counts;
+    # the per-doc sum is rounded to 6 decimals on both sides (float
+    # summation order differs between engines by ~1e-13).
+    oracle=r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+tgt AS (
+    SELECT t.doc_id, t.w
+    FROM tok t JOIN documents d ON t.doc_id = d.doc_id AND d.lang = 'en'
+),
+cr AS (SELECT w, COUNT(*) AS c_r FROM tok GROUP BY w),
+ct AS (SELECT w, COUNT(*) AS c_t FROM tgt GROUP BY w),
+wt AS (
+    SELECT cr.w,
+           ln((COALESCE(ct.c_t, 0) + 1) * 1.0
+              / ((SELECT SUM(c_t) FROM ct) + (SELECT COUNT(*) FROM cr)))
+         - ln((cr.c_r + 1) * 1.0
+              / ((SELECT SUM(c_r) FROM cr) + (SELECT COUNT(*) FROM cr)))
+               AS lr
+    FROM cr LEFT JOIN ct USING (w)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(SUM(lr), 6) AS dsir_logweight
+FROM tok JOIN wt USING (w)
+GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): per-doc sum of "
+    "smoothed unigram log-probability ratios between a target domain "
+    "(English docs) and the raw pool — the standard pretraining-data "
+    "selection score. Two partial-aggregatable word counts, a "
+    "broadcast 1-row totals join, one word-keyed equi-join; no "
+    "driver-side scalars, no UDFs",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tgt = tok.join(
+        d.where(F.col("lang") == "en").select("doc_id"), "doc_id", "left_semi"
+    )
+    cr = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_r"))
+    ct = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("c_t"))
+    wt = cr.join(ct, "w", "left").na.fill({"c_t": 0})
+    # corpus totals as a broadcast 1-row join, NOT collected scalars —
+    # the plan stays fully distributed
+    totals = wt.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    wt = (
+        wt.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))
+            - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v"))),
+        )
+        .select("w", "lr")
+    )
+    return (
+        tok.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("dsir_logweight"),
+        )
+    )

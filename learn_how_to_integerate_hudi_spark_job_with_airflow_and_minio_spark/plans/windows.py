@@ -278,3 +278,70 @@ def win_ntile_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).cast("long").alias("decile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "funnel_steps",
+    # All step comparisons happen on epoch-microsecond BIGINTs so both
+    # engines order identically regardless of their native timestamp
+    # precision (Spark reads the events ns column truncated to µs).
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+    doc="event funnel (view -> click -> purchase, strictly event-time "
+    "ordered per user): users reaching each step, where step N counts "
+    "only events after the user's earliest step-N-1 time. Three "
+    "filtered min-aggregations chained by user-keyed equi-joins — "
+    "after the first shuffle on user_id every later join is "
+    "co-partitioned, and each stage partial-aggregates map-side",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"].withColumn(
+        "us", F.unix_micros("ts")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def n(df, step):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users"
+        )
+
+    return n(v, "1_view").unionByName(n(c, "2_click")).unionByName(
+        n(p, "3_purchase")
+    )

@@ -150,9 +150,11 @@ class Table:
         v1 restrictions: unpartitioned tables; ``read_stream`` only sees
         engine-managed files (externals predate the stream).
         """
-        files = sorted(
-            p for p in fs_for(source_dir).list(source_dir) if p.endswith(".parquet")
-        )
+        src_fs = fs_for(source_dir)
+        files = sorted(p for p in src_fs.list(source_dir) if p.endswith(".parquet"))
+        if not files and source_dir.endswith(".parquet") and src_fs.exists(source_dir):
+            # a single parquet FILE is a valid (read-only) source too
+            files = [source_dir]
         if not files:
             raise ValueError(f"no parquet files to bootstrap under {source_dir}")
         src_schema = spark.read.parquet(source_dir).schema
