@@ -765,3 +765,28 @@ def table_bootstrap_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
     t.upsert(_update_batch(orders))
     return t.snapshot().select(*_COLS)
+
+
+@register(
+    "table_record_index_upsert",
+    oracle=_UPSERTED_SQL,
+    doc="record-level index (Hudi RLI analog): the table is loaded in "
+    "two interleaved-key-range commits (range stats overlap fully, so "
+    "stats pruning alone keeps every file for any batch), the index is "
+    "built as an async table service (one distributed scan, "
+    "hash-partitioned key->file rows), and the subsequent upsert "
+    "prunes candidates by EXACT key containment before the merge — "
+    "the snapshot still equals source-with-updates",
+)
+def table_record_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_rli_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_rli",
+    )
+    t.upsert(orders.where(F.col("o_orderkey") % 2 == 0))
+    t.upsert(orders.where(F.col("o_orderkey") % 2 == 1))
+    TableServices(t).build_record_index()
+    t.upsert(_update_batch(orders))
+    return t.snapshot().drop(META_COL)

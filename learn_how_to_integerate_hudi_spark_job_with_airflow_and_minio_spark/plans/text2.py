@@ -446,14 +446,17 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = tgt.groupBy("w").agg(F.count(F.lit(1)).alias("c_t"))
     wt = cr.join(ct, "w", "left").na.fill({"c_t": 0})
     # corpus totals as a broadcast 1-row join, NOT collected scalars —
-    # the plan stays fully distributed
+    # the plan stays fully distributed. Joined on a constant key so the
+    # plan is a BroadcastHashJoin, not a nested-loop cross join.
     totals = wt.agg(
         F.sum("c_r").alias("n_r"),
         F.sum("c_t").alias("n_t"),
         F.count(F.lit(1)).alias("v"),
-    )
+    ).withColumn("_one", F.lit(1))
     wt = (
-        wt.crossJoin(F.broadcast(totals))
+        wt.withColumn("_one", F.lit(1))
+        .join(F.broadcast(totals), "_one")
+        .drop("_one")
         .withColumn(
             "lr",
             F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))

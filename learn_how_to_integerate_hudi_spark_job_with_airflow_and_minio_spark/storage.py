@@ -29,6 +29,21 @@ class LocalFS:
         # atomic publish: manifest-last commit protocol relies on this
         os.replace(tmp, path)
 
+    def create_text(self, path: str, data: str) -> None:
+        """Exclusive atomic create: raises ``FileExistsError`` if ``path``
+        already exists. The fully-written temp file is ``os.link``ed onto
+        the target, so the winner of a concurrent race is decided by the
+        filesystem (link is atomic and fails on an existing target) — not
+        by a check-then-write window."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}-{id(data):x}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
+
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
@@ -76,6 +91,30 @@ class S3FS:
         b, k = self._split(path)
         self.client.put_object(Bucket=b, Key=k, Body=data.encode())
 
+    def create_text(self, path: str, data: str) -> None:
+        """Exclusive create via S3 conditional put (``If-None-Match: *``,
+        supported by AWS S3 and MinIO): raises ``FileExistsError`` if the
+        key exists. Where the endpoint/SDK lacks conditional puts, falls
+        back to head-then-put — best-effort only (a racing writer can
+        slip through the check window; the caller documents this)."""
+        b, k = self._split(path)
+        try:
+            self.client.put_object(
+                Bucket=b, Key=k, Body=data.encode(), IfNoneMatch="*"
+            )
+            return
+        except self.client.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code in ("PreconditionFailed", "412"):
+                raise FileExistsError(path) from e
+            if code not in ("NotImplemented", "501"):
+                raise
+        except TypeError:
+            pass  # botocore too old for IfNoneMatch → fallback below
+        if self.exists(path):
+            raise FileExistsError(path)
+        self.write_text(path, data)
+
     def exists(self, path: str) -> bool:
         b, k = self._split(path)
         try:
@@ -117,3 +156,10 @@ def read_json(path: str):
 
 def write_json(path: str, obj) -> None:
     fs_for(path).write_text(path, json.dumps(obj, indent=2, sort_keys=True))
+
+
+def create_json(path: str, obj) -> None:
+    """Exclusive atomic create — raises ``FileExistsError`` if ``path``
+    exists. The commit-manifest publish uses this so exactly one of two
+    racing writers can ever own a commit id."""
+    fs_for(path).create_text(path, json.dumps(obj, indent=2, sort_keys=True))

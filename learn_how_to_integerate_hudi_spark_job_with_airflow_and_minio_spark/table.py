@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from .storage import fs_for, read_json, write_json
+from .storage import create_json, fs_for, read_json, write_json
 
 META_COL = "_commit_time"
 
@@ -523,8 +523,19 @@ class Table:
 
     # -- writes ----------------------------------------------------------
 
-    def upsert(self, df: DataFrame) -> str:
+    def upsert(self, df: DataFrame, occ_retries: int = 0) -> str:
         """Merge a batch: new keys inserted, existing keys replaced (K1/K2).
+
+        ``occ_retries``: optimistic concurrency for multi-writer upserts.
+        The manifest publish is an ATOMIC exclusive create, so two
+        writers racing the same commit id produce exactly one winner;
+        with ``occ_retries > 0`` the loser re-runs the whole merge
+        against the winner's now-current state under a fresh commit id
+        (full re-resolution — every conflict check is implicit because
+        the merge recomputes from the new live set). Orphaned data files
+        from a lost attempt are never referenced by any manifest and are
+        ignored by readers and the cleaner. Default 0 = fail loud
+        (single-writer deployments keep the race a hard error).
 
         COW merge plan (all Spark-side, bounded by affected files):
         1. within-batch dedup: max(precombine) per key wins (Q10 kernel);
@@ -543,7 +554,14 @@ class Table:
         """
         if self.table_type == "mor":
             return self._delta_write(df)
-        return self._merge_write(df, action="upsert")
+        attempts = max(0, occ_retries) + 1
+        for i in range(attempts):
+            try:
+                return self._merge_write(df, action="upsert")
+            except RuntimeError as exc:
+                if "concurrent writer" not in str(exc) or i == attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
 
     def _delta_write(self, df: DataFrame) -> str:
         self._validate_batch(df)
@@ -886,7 +904,9 @@ class Table:
 
     def _prune_by_keys(self, entries: list[dict], keys: DataFrame) -> list[dict]:
         """Key-range file pruning (BLOOM-index analog, K8): skip files whose
-        [min,max] key stats can't contain any batch key."""
+        [min,max] key stats can't contain any batch key; then, when a
+        record-level index exists, exact per-key containment pruning
+        (:meth:`TableServices.build_record_index`)."""
         stats_entries = [e for e in entries if self.key in e.get("stats", {})]
         if len(stats_entries) != len(entries):
             return entries  # some files lack stats → can't prune safely
@@ -901,10 +921,67 @@ class Table:
             fmin, fmax = e["stats"][self.key]
             if fmin is None or fmax is None or not (hi < fmin or lo > fmax):
                 out.append(e)
-        return out
+        return self._prune_by_record_index(out, keys)
+
+    # -- record-level index (Hudi record index analog) -----------------
+
+    def _record_index_paths(self) -> tuple[str, str]:
+        base = posixpath.join(self.path, "_index")
+        return (
+            posixpath.join(base, "record_index"),
+            posixpath.join(base, "record_index_meta.json"),
+        )
+
+    def _prune_by_record_index(
+        self, entries: list[dict], keys: DataFrame
+    ) -> list[dict]:
+        """Exact point-lookup pruning: drop every index-covered file that
+        contains NONE of the batch keys. Range stats keep a file whenever
+        the batch's [min,max] overlaps it — for a scattered point-update
+        batch that is usually EVERY file; the record index reduces it to
+        exactly the files that hold a touched key.
+
+        Staleness-safe by construction: data files are immutable, so a
+        file that was live when the index was built is correctly indexed
+        forever. Files committed after the index build are simply not
+        covered and fall through to the range-stats verdict; rebuilding
+        the index (async table service, like Hudi's indexer) restores
+        exact pruning for them.
+        """
+        idx_dir, meta_path = self._record_index_paths()
+        if not self.fs.exists(meta_path):
+            return entries
+        as_of = read_json(meta_path)["as_of"]
+        covered = {e["path"] for e in self.current_files(as_of=as_of)}
+        if not any(e["path"] in covered for e in entries):
+            return entries
+        idx = self.spark.read.parquet(idx_dir)
+        hits = (
+            idx.join(
+                keys.select(F.col(self.key).alias("_bk")),
+                idx["_k"] == F.col("_bk"),
+                "left_semi",
+            )
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        hit_paths = set(self._to_rel([r["_f"] for r in hits]))
+        return [
+            e
+            for e in entries
+            if e["path"] not in covered or e["path"] in hit_paths
+        ]
 
     def _write_files(self, df: DataFrame, commit: str, kind: str = "base") -> list[dict]:
-        rel_dir = f"data/{commit}"
+        # the write dir carries a per-ATTEMPT token: two writers racing
+        # the same commit id then write disjoint directories, so the race
+        # loser's data can never clobber the winner's files (the manifest
+        # — published via atomic exclusive create — references exact
+        # paths, so readers never see the orphaned loser attempt)
+        import uuid
+
+        rel_dir = f"data/{commit}-{uuid.uuid4().hex[:8]}"
         out_dir = self._abs(rel_dir)
         writer = df
         # tombstone deltas carry only (key, meta) — partition cols absent
@@ -1005,15 +1082,6 @@ class Table:
         schema: StructType | None,
     ) -> None:
         manifest_path = posixpath.join(self._commits_dir(), f"{commit}.json")
-        if self.fs.exists(manifest_path):
-            # single-writer assumption violated (SURVEY §7: v1 documents
-            # no OCC) — fail loudly rather than silently clobbering a
-            # concurrent writer's commit
-            raise RuntimeError(
-                f"commit {commit} already published at {manifest_path}: "
-                "concurrent writer detected (engine v1 is single-writer "
-                "per table)"
-            )
         manifest = {
             "commit": commit,
             "action": action,
@@ -1022,7 +1090,18 @@ class Table:
             "files_removed": removed,
             "schema": schema.jsonValue() if schema is not None else None,
         }
-        write_json(manifest_path, manifest)
+        try:
+            # ATOMIC exclusive create (os.link locally, S3 conditional
+            # put): the filesystem — not a check-then-write window —
+            # decides which of two racing writers owns this commit id, so
+            # a loser can never clobber the winner's manifest.
+            create_json(manifest_path, manifest)
+        except FileExistsError:
+            raise RuntimeError(
+                f"commit {commit} already published at {manifest_path}: "
+                "concurrent writer detected (lost the atomic "
+                "manifest-create race; retryable — see upsert occ_retries)"
+            ) from None
         if int(commit) % CHECKPOINT_EVERY == 0:
             # consolidated live set as of this commit; itself computed
             # O(tail) from the previous checkpoint. Written AFTER the
@@ -1133,6 +1212,42 @@ class TableServices:
 
     def __init__(self, table: Table):
         self.t = table
+
+    def build_record_index(self) -> str:
+        """Build (or rebuild) the record-level index: one distributed
+        scan of the live file set emitting ``(key, file)`` rows, written
+        hash-partitioned on the key (Hudi record-index analog, built
+        async like Hudi's metadata indexer — the write path is never
+        slowed down).
+
+        Point-update pruning this enables: a scattered batch whose
+        [min,max] key range spans the table keeps EVERY file under range
+        stats, but touches only |batch| files under exact containment —
+        at 10⁵ files that is the difference between rewriting the table
+        and rewriting a handful of files. Correct under staleness
+        because data files are immutable: a file live at build time is
+        indexed exactly, forever; newer files fall back to range stats
+        until the next rebuild (see ``_prune_by_record_index``).
+
+        Returns the commit the index is exact as of.
+        """
+        t = self.t
+        as_of = t.latest_commit()
+        if as_of is None:
+            raise ValueError("cannot index an empty table")
+        idx_dir, meta_path = t._record_index_paths()
+        df = t._read_entries(t.current_files(), with_file=True)
+        n = max(1, int(t.spark.conf.get("spark.sql.shuffle.partitions")))
+        (
+            df.select(F.col(t.key).alias("_k"), F.col("_file").alias("_f"))
+            .repartition(n, "_k")
+            .write.mode("overwrite")
+            .parquet(idx_dir)
+        )
+        # meta LAST: a crash mid-build leaves the old meta pointing at
+        # the old (still-consistent) index or no meta at all
+        write_json(meta_path, {"as_of": as_of, "key": t.key})
+        return as_of
 
     def clean(self, retain_commits: int = 5) -> list[str]:
         """Delete data files no snapshot within the retention window needs.

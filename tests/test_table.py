@@ -290,7 +290,10 @@ def test_hive_style_partition_layout(spark, tpath):
         "id long, ver long, state string",
     )
     commit = t.upsert(df)
-    ddir = os.path.join(tpath, "data", commit)
+    # write dirs are data/<commit>-<attempt-token>
+    import glob as _glob
+
+    [ddir] = _glob.glob(os.path.join(tpath, "data", f"{commit}-*"))
     subdirs = sorted(os.listdir(ddir))
     assert "state=Ohio" in subdirs and "state=Texas" in subdirs
     # partition values round-trip through the table read path
@@ -721,3 +724,91 @@ def test_bootstrap_validation(spark, tmp_path):
             spark, str(tmp_path / "t2"), str(tmp_path / "empty"), key="id",
             precombine="ver",
         )
+
+
+def test_localfs_create_text_exclusive(tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.storage import (
+        LocalFS,
+    )
+
+    fs = LocalFS()
+    p = str(tmp_path / "x" / "m.json")
+    fs.create_text(p, "first")
+    with pytest.raises(FileExistsError):
+        fs.create_text(p, "second")
+    assert fs.read_text(p) == "first"  # loser never clobbers the winner
+    # the loser's temp file is cleaned up
+    assert [f for f in os.listdir(tmp_path / "x")] == ["m.json"]
+
+
+def _stale_next_commit(t, stale):
+    """Make t's next _next_commit() return a stale (already-taken) id
+    once, then fall through to the real timeline — simulating a writer
+    that computed its commit id before a peer published."""
+    orig = Table._next_commit
+    calls = []
+
+    def patched(self):
+        calls.append(1)
+        return stale if len(calls) == 1 else orig(self)
+
+    t._next_commit = patched.__get__(t)
+
+
+def test_upsert_occ_retry_wins_after_losing_race(spark, tpath):
+    """Multi-writer OCC: the publish is an atomic exclusive create, and
+    occ_retries re-runs the WHOLE merge under a fresh commit id against
+    the winner's state — both writers' rows land."""
+    t1 = make_table(spark, tpath)
+    t1.upsert(df_of(spark, [(1, 1, "a")]))
+    t2 = Table.load(spark, tpath)
+    stale = t2._next_commit()
+    t1.upsert(df_of(spark, [(2, 1, "b")]))  # t1 wins commit `stale`
+
+    _stale_next_commit(t2, stale)
+    c = t2.upsert(df_of(spark, [(3, 1, "c")]), occ_retries=1)
+    assert int(c) == int(stale) + 1
+    assert rows_of(t2.snapshot(), "id", "val") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_upsert_occ_default_fails_loud(spark, tpath):
+    t1 = make_table(spark, tpath)
+    t1.upsert(df_of(spark, [(1, 1, "a")]))
+    t2 = Table.load(spark, tpath)
+    stale = t2._next_commit()
+    t1.upsert(df_of(spark, [(2, 1, "b")]))
+    _stale_next_commit(t2, stale)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t2.upsert(df_of(spark, [(3, 1, "c")]))  # occ_retries=0 default
+
+
+def test_record_index_exact_pruning(spark, tpath):
+    """Record-level index (Hudi RLI analog): interleaved key ranges make
+    range stats useless (every file overlaps every batch), exact
+    containment prunes to the files actually holding the keys."""
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(k, 1, f"e{k}") for k in range(0, 100, 2)]).coalesce(1))
+    t.upsert(df_of(spark, [(k, 1, f"o{k}") for k in range(1, 100, 2)]).coalesce(1))
+    keys = spark.createDataFrame([(3,)], "id long")
+    assert len(t._prune_by_keys(t.current_files(), keys)) == 2  # ranges overlap
+    TableServices(t).build_record_index()
+    pruned = t._prune_by_keys(t.current_files(), keys)
+    assert len(pruned) == 1  # exact: only the odd-keys file holds key 3
+    # correctness through the indexed upsert path
+    t.upsert(df_of(spark, [(3, 2, "upd")]))
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[3] == "upd" and got[2] == "e2" and got[1] == "o1"
+    assert t.snapshot().count() == 100
+
+
+def test_record_index_stale_is_safe(spark, tpath):
+    """Files committed after the index build are uncovered: they fall
+    back to range stats, so a stale index can never lose an update."""
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(k, 1, f"v{k}") for k in range(10)]))
+    TableServices(t).build_record_index()
+    t.upsert(df_of(spark, [(k, 2, f"n{k}") for k in range(10, 20)]))
+    t.upsert(df_of(spark, [(15, 3, "x"), (5, 3, "y")]))
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[15] == "x" and got[5] == "y" and got[9] == "v9"
+    assert t.snapshot().count() == 20
