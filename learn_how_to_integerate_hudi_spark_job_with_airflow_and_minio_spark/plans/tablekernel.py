@@ -790,3 +790,54 @@ def table_record_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     TableServices(t).build_record_index()
     t.upsert(_update_batch(orders))
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_cdc_before_after",
+    # Three ops against the initial load: mod-5 updates (not mod-7),
+    # brand-new keys (mod-11, shifted by 20M so they can't collide),
+    # mod-7 deletes. The oracle rebuilds each op's before/after images
+    # straight from the raw orders.
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice * 2 AS o_totalprice,
+               o_totalprice AS o_totalprice_before,
+               'update' AS _change_type
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 20000000,
+               o_totalprice + 1,
+               CAST(NULL AS DOUBLE),
+               'insert'
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey,
+               CAST(NULL AS DOUBLE),
+               o_totalprice,
+               'delete'
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    doc="CDC with BEFORE and AFTER images (Hudi cdc "
+    "supplemental-logging data_before_after analog): updates carry "
+    "both values, inserts a null before-image, deletes a null "
+    "after-image — emitted from a keyed full-outer snapshot diff, no "
+    "change log maintained on the write path",
+)
+def table_cdc_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_cdcba_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_cdc",
+    )
+    c1 = t.upsert(orders)
+    inserts = (
+        orders.where(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20000000)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+    t.upsert(_update_batch(orders).unionByName(inserts))
+    t.delete(orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    return t.changes_full(begin=c1).select(
+        "o_orderkey", "o_totalprice", "o_totalprice_before", "_change_type"
+    )

@@ -406,6 +406,55 @@ class Table:
             .select(*out_cols, "_change_type")
         )
 
+    def changes_full(self, begin: str | None, end: str | None = None) -> DataFrame:
+        """CDC with BEFORE and AFTER images (the Hudi cdc query with
+        ``hoodie.table.cdc.supplemental.logging.mode=data_before_after``):
+        one row per changed key carrying ``_change_type``, the new column
+        values, and every data column's prior value as ``<col>_before``
+        (null for inserts; after-image null for deletes).
+
+        Same cost envelope as :meth:`changes` — a keyed full-outer diff
+        of two MVCC snapshots, no change log maintained on the write
+        path (the before image comes from the old snapshot, which the
+        manifest still serves until the cleaner retires it).
+        """
+        new = self.snapshot(as_of=end)
+        data_cols = [c for c in new.columns if c != META_COL]
+        if begin is None:
+            out = new.withColumn("_change_type", F.lit("insert"))
+            for c in data_cols:
+                if c != self.key:
+                    out = out.withColumn(
+                        f"{c}_before", F.lit(None).cast(dict(new.dtypes)[c])
+                    )
+            return out
+        old = self.snapshot(as_of=begin).select(
+            F.col(self.key).alias("_old_key"),
+            F.col(META_COL).alias("_old_commit"),
+            *[
+                F.col(c).alias(f"{c}_before")
+                for c in data_cols
+                if c != self.key
+            ],
+        )
+        joined = new.join(old, new[self.key] == old["_old_key"], "full_outer")
+        change = (
+            F.when(F.col("_old_key").isNull(), F.lit("insert"))
+            .when(new[self.key].isNull(), F.lit("delete"))
+            .when(F.col(META_COL) != F.col("_old_commit"), F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(new[self.key], F.col("_old_key")).alias(self.key)
+            if c == self.key
+            else new[c].alias(c)
+            for c in new.columns
+        ] + [F.col(f"{c}_before") for c in data_cols if c != self.key]
+        return (
+            joined.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     def _read_entries(
         self,
         entries: list[dict],
