@@ -141,3 +141,37 @@ def orderby_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_first("second_order"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "agg_histogram_numeric",
+    # Fixed-width binning is plain integer arithmetic in both engines —
+    # no histogram_numeric()-style approximation, so the comparison is
+    # exact. Two partial-aggregatable groupBys, map-side combined.
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value / 25.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               round(MIN(value), 6) AS bin_min,
+               round(MAX(value), 6) AS bin_max
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+    """,
+    doc="fixed-width numeric histogram per event type (width-25 bins "
+    "with per-bin min/max): the analytics staple for value "
+    "distributions — one partial-aggregatable groupBy on "
+    "(type, floor(value/width)), no sorting, no approximation",
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    bin_col = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+    )

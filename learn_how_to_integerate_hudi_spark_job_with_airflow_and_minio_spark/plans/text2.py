@@ -392,16 +392,7 @@ def sample_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_dsir_importance",
-    # Laplace-smoothed unigram log importance weights (DSIR, Xie et al.
-    # 2023 "Data Selection for Language Models via Importance
-    # Resampling"): weight(doc) = Σ_tokens ln p_target(w) − ln p_raw(w),
-    # target = the English subset, raw = the whole candidate pool.
-    # Per-token ln values are deterministic given the integer counts;
-    # the per-doc sum is rounded to 6 decimals on both sides (float
-    # summation order differs between engines by ~1e-13).
-    oracle=r"""
+_DSIR_SQL = r"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
     FROM documents
@@ -426,7 +417,19 @@ SELECT doc_id,
        round(SUM(lr), 6) AS dsir_logweight
 FROM tok JOIN wt USING (w)
 GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "text_dsir_importance",
+    # Laplace-smoothed unigram log importance weights (DSIR, Xie et al.
+    # 2023 "Data Selection for Language Models via Importance
+    # Resampling"): weight(doc) = Σ_tokens ln p_target(w) − ln p_raw(w),
+    # target = the English subset, raw = the whole candidate pool.
+    # Per-token ln values are deterministic given the integer counts;
+    # the per-doc sum is rounded to 6 decimals on both sides (float
+    # summation order differs between engines by ~1e-13).
+    oracle=_DSIR_SQL,
     doc="DSIR importance weights (Xie et al. 2023): per-doc sum of "
     "smoothed unigram log-probability ratios between a target domain "
     "(English docs) and the raw pool — the standard pretraining-data "
@@ -435,6 +438,10 @@ GROUP BY doc_id
     "driver-side scalars, no UDFs",
 )
 def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights(spark, sf_dir)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
@@ -472,3 +479,23 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr"), 6).alias("dsir_logweight"),
         )
     )
+
+
+@register(
+    "sample_dsir_top_k",
+    # The actual SELECTION step of DSIR: rank the pool by importance
+    # weight and keep the top k. Ordering is on the ROUNDED weight
+    # (ties broken by doc_id) so the k-boundary is identical in both
+    # engines regardless of float summation order.
+    oracle="SELECT doc_id, n_tokens, dsir_logweight FROM ("
+    + _DSIR_SQL
+    + ") ORDER BY dsir_logweight DESC, doc_id LIMIT 100",
+    doc="DSIR selection: top-100 documents by importance weight — "
+    "Spark plans orderBy+limit as TakeOrderedAndProject (per-partition "
+    "top-k, then a k-row merge on one reducer), so the global sort "
+    "never materializes; deterministic tie-break on (rounded weight, "
+    "doc_id)",
+)
+def sample_dsir_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _dsir_weights(spark, sf_dir)
+    return w.orderBy(F.desc("dsir_logweight"), F.asc("doc_id")).limit(100)
