@@ -132,3 +132,40 @@ def test_delete_then_reinstate(spark, tmp_path_factory, rows, del_keys):
         k = sorted(del_keys)[0]
         t.upsert(_df(spark, [(k, 0, "z")]))
         assert _snap(t)[k] == (0, f"z{k}:0")
+
+
+ROW_NULLABLE_VER = st.tuples(
+    st.integers(min_value=0, max_value=7),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    st.sampled_from(["a", "b", "c", "d"]),
+)
+
+
+def expected_single_batch_nullable(rows):
+    """Null precombine ranks below ANY non-null (the max_by struct
+    ordering contract, matching the old desc-nulls-last window); ties —
+    including all-null — resolve to the later row in batch order."""
+    out = {}
+    for k, v, val in rows:
+        tagged = f"{val}{k}:{v}"
+        if k not in out:
+            out[k] = (v, tagged)
+            continue
+        cur = out[k][0]
+        if cur is None or (v is not None and v >= cur):
+            out[k] = (v, tagged)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(ROW_NULLABLE_VER, min_size=1, max_size=12))
+def test_single_upsert_null_precombine_ranks_lowest(
+    spark, tmp_path_factory, rows
+):
+    t = _mk(spark, tmp_path_factory.mktemp("prop"))
+    t.upsert(_df(spark, rows))
+    assert _snap(t) == expected_single_batch_nullable(rows)
