@@ -1000,8 +1000,7 @@ class Table:
         idx_dir, meta_path = self._record_index_paths()
         if not self.fs.exists(meta_path):
             return entries
-        as_of = read_json(meta_path)["as_of"]
-        covered = {e["path"] for e in self.current_files(as_of=as_of)}
+        covered = set(read_json(meta_path)["files"])
         if not any(e["path"] in covered for e in entries):
             return entries
         idx = self.spark.read.parquet(idx_dir)
@@ -1262,12 +1261,19 @@ class TableServices:
     def __init__(self, table: Table):
         self.t = table
 
-    def build_record_index(self) -> str:
-        """Build (or rebuild) the record-level index: one distributed
-        scan of the live file set emitting ``(key, file)`` rows, written
-        hash-partitioned on the key (Hudi record-index analog, built
-        async like Hudi's metadata indexer — the write path is never
-        slowed down).
+    def build_record_index(self, incremental: bool = False) -> str:
+        """Build or extend the record-level index: a distributed scan of
+        (not-yet-indexed) live files emitting ``(key, file)`` rows,
+        written hash-partitioned on the key (Hudi record-index analog,
+        built async like Hudi's metadata indexer — the write path is
+        never slowed down).
+
+        ``incremental=True`` scans ONLY files that joined the live set
+        since the last build and APPENDS them to the index — the steady-
+        state maintenance mode: each run costs O(new data), not O(table).
+        Retired files need no cleanup pass: pruning intersects index
+        hits with the current live set, so dead mappings are inert (and
+        a full rebuild drops them).
 
         Point-update pruning this enables: a scattered batch whose
         [min,max] key range spans the table keeps EVERY file under range
@@ -1276,7 +1282,7 @@ class TableServices:
         and rewriting a handful of files. Correct under staleness
         because data files are immutable: a file live at build time is
         indexed exactly, forever; newer files fall back to range stats
-        until the next rebuild (see ``_prune_by_record_index``).
+        until the next build (see ``_prune_by_record_index``).
 
         Returns the commit the index is exact as of.
         """
@@ -1285,17 +1291,31 @@ class TableServices:
         if as_of is None:
             raise ValueError("cannot index an empty table")
         idx_dir, meta_path = t._record_index_paths()
-        df = t._read_entries(t.current_files(), with_file=True)
-        n = max(1, int(t.spark.conf.get("spark.sql.shuffle.partitions")))
-        (
-            df.select(F.col(t.key).alias("_k"), F.col("_file").alias("_f"))
-            .repartition(n, "_k")
-            .write.mode("overwrite")
-            .parquet(idx_dir)
+        entries = t.current_files()
+        prev: list[str] = []
+        if incremental and t.fs.exists(meta_path):
+            prev = read_json(meta_path)["files"]
+            entries = [e for e in entries if e["path"] not in set(prev)]
+        if entries:
+            df = t._read_entries(entries, with_file=True)
+            n = max(1, int(t.spark.conf.get("spark.sql.shuffle.partitions")))
+            (
+                df.select(F.col(t.key).alias("_k"), F.col("_file").alias("_f"))
+                .repartition(n, "_k")
+                .write.mode("append" if prev else "overwrite")
+                .parquet(idx_dir)
+            )
+        # meta LAST, carrying the exact covered file set: a crash
+        # mid-build leaves the old meta pointing at a subset of what the
+        # index now holds — extra mappings are inert until re-covered
+        write_json(
+            meta_path,
+            {
+                "as_of": as_of,
+                "key": t.key,
+                "files": sorted({*prev, *(e["path"] for e in entries)}),
+            },
         )
-        # meta LAST: a crash mid-build leaves the old meta pointing at
-        # the old (still-consistent) index or no meta at all
-        write_json(meta_path, {"as_of": as_of, "key": t.key})
         return as_of
 
     def clean(self, retain_commits: int = 5) -> list[str]:

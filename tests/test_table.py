@@ -812,3 +812,22 @@ def test_record_index_stale_is_safe(spark, tpath):
     got = {r["id"]: r["val"] for r in t.snapshot().collect()}
     assert got[15] == "x" and got[5] == "y" and got[9] == "v9"
     assert t.snapshot().count() == 20
+
+
+def test_record_index_incremental_maintenance(spark, tpath):
+    """incremental=True indexes only files that joined the live set
+    since the last build (O(new data) steady-state cost) and appends —
+    after it, point pruning is exact across old AND new files."""
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(k, 1, f"a{k}") for k in range(0, 50, 2)]).coalesce(1))
+    TableServices(t).build_record_index()
+    t.upsert(df_of(spark, [(k, 1, f"b{k}") for k in range(1, 50, 2)]).coalesce(1))
+    # stale: the new odd-keys file is uncovered -> kept by fallback
+    keys = spark.createDataFrame([(2,)], "id long")
+    assert len(t._prune_by_keys(t.current_files(), keys)) == 2
+    TableServices(t).build_record_index(incremental=True)
+    assert len(t._prune_by_keys(t.current_files(), keys)) == 1
+    t.upsert(df_of(spark, [(2, 2, "upd")]))
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[2] == "upd" and got[1] == "b1" and got[4] == "a4"
+    assert t.snapshot().count() == 50
