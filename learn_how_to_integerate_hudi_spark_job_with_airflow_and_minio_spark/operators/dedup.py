@@ -468,6 +468,61 @@ def contamination_pairs(
     )
 
 
+def _span_table(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(_id, _h) rows: one per distinct ``window``-token rolling span,
+    hashed to 8 bytes. Token array staged behind a projection (see
+    text.shingle_column: inlining the split re-evaluates it per slice,
+    O(tokens²) per row)."""
+    w = F.col("__tok")
+    spans = F.when(
+        F.size(w) >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - window),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn("__tok", F.split(F.col(text_col), " "))
+        .select(F.col(id_col).alias("_id"), F.explode(spans).alias("_span"))
+        .select("_id", F.xxhash64("_span").alias("_h"))
+    )
+
+
+def contamination_substring(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact-substring decontamination (the Lee et al. 2022 shape,
+    cross-table): flag training documents sharing any verbatim
+    ``window``-token span with an eval/benchmark document — catches the
+    copied-question case that n-gram overlap ratios dilute away in long
+    training docs. Same distributed shape as
+    :func:`substring_window_pairs`: rolling span hashes exploded on both
+    sides, one equi-join on the 8-byte hash (the bench side is small —
+    AQE broadcasts it). Returns (corpus_id, bench_id, shared_windows).
+    """
+    c = _span_table(corpus, corpus_id, text_col, window)
+    b = _span_table(bench, bench_id, text_col, window)
+    return (
+        c.alias("c")
+        .join(b.alias("b"), F.col("c._h") == F.col("b._h"))
+        .groupBy(
+            F.col("c._id").alias("corpus_id"), F.col("b._id").alias("bench_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared)
+    )
+
+
 def substring_window_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -489,23 +544,7 @@ def substring_window_pairs(
     IS the boilerplate signal we're hunting. Returns (id_1, id_2,
     shared_windows).
     """
-    # token array staged behind a projection (see text.shingle_column:
-    # inlining the split re-evaluates it per slice, O(tokens²) per row)
-    w = F.col("__tok")
-    spans = F.when(
-        F.size(w) >= window,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - window),
-                lambda i: F.concat_ws(" ", F.slice(w, i + 1, window)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = (
-        df.withColumn("__tok", F.split(F.col(text_col), " "))
-        .select(F.col(id_col).alias("_id"), F.explode(spans).alias("_span"))
-        .select("_id", F.xxhash64("_span").alias("_h"))
-    )
+    sp = _span_table(df, id_col, text_col, window)
     a, b = sp.alias("a"), sp.alias("b")
     return (
         a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))

@@ -503,3 +503,42 @@ def dedup_minhash_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFra
             (F.abs(est - F.col("jaccard")) <= 0.2).alias("est_within_4sigma"),
         )
     )
+
+
+@register(
+    "decontaminate_exact_substring",
+    # Oracle re-derives the rolling 20-token windows as raw strings on
+    # both splits and joins them directly; the Spark plan joins on
+    # xxhash64(span) — agreement certifies the window construction and
+    # the 8-byte join-key compression, cross-table this time.
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        sp AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+19], ' ')
+                                  for i in range(1, len(w) - 18)]) s
+            FROM toks WHERE len(w) >= 20
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sp),
+        bench AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % 7 = 0),
+        corp AS (SELECT doc_id AS corpus_id, g FROM ex WHERE doc_id % 7 <> 0)
+        SELECT c.corpus_id, b.bench_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_windows
+        FROM corp c JOIN bench b ON c.g = b.g
+        GROUP BY c.corpus_id, b.bench_id
+        HAVING COUNT(*) >= 1
+    """,
+    doc="exact-substring decontamination (Lee et al. 2022 shape, "
+    "cross-table): training docs sharing any verbatim 20-token span "
+    "with an eval doc — the copied-question case that n-gram overlap "
+    "RATIOS dilute away in long training documents; rolling span-hash "
+    "explode on both splits, one equi-join (bench side broadcast by "
+    "AQE)",
+)
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    return D.contamination_substring(
+        corpus, bench, "doc_id", "doc_id", "text", window=20, min_shared=1
+    )
