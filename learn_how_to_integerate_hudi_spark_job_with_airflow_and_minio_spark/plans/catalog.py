@@ -61,9 +61,9 @@ _GATE_WINDOW = 50
 #
 # Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
 # every query has a green driver row — the 50 r4-window rows are fresh,
-# so the window is (0) the 10 round-5 additions first (standing rule),
+# so the window is (0) the 11 round-5 additions first (standing rule),
 # then (a) ALL 36 queries whose latest driver row is round 2 (the
-# stalest), then (b) 4 round-3-green backfills favoring daily user
+# stalest), then (b) 3 round-3-green backfills favoring daily user
 # surfaces (dedup/table/streaming). The r3 queries left outside are
 # exactly 2 rounds old after this round — within the staleness bound —
 # and the whole catalog stays covered by tests/test_catalog_oracle.py
@@ -80,6 +80,7 @@ _ROUND_PRIORITY: list[str] = [
     "sample_dsir_top_k",
     "agg_histogram_numeric",
     "decontaminate_exact_substring",
+    "skyline_pareto_2d",
     # (a) latest driver row = round 2 — stalest first
     "q00_inmemory_ingest",
     "table_mor_snapshot",
@@ -121,7 +122,6 @@ _ROUND_PRIORITY: list[str] = [
     "agg_tpch_q1",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_components",
 ]
 
 

@@ -345,3 +345,42 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n(v, "1_view").unionByName(n(c, "2_click")).unionByName(
         n(p, "3_purchase")
     )
+
+
+@register(
+    "skyline_pareto_2d",
+    # Oracle uses the same distinct-pairs running-max formulation (a
+    # window, not an n-squared NOT EXISTS) — both engines compute the
+    # exact skyline, value-for-value.
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o_totalprice AS x, o_orderdate AS y FROM orders
+        ),
+        flag AS (
+            SELECT x, y,
+                   max(y) OVER (ORDER BY x DESC, y DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS mx
+            FROM pairs
+        ),
+        sky AS (SELECT x, y FROM flag WHERE mx IS NULL OR y > mx)
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+        FROM orders o
+        SEMI JOIN sky s ON o.o_totalprice = s.x AND o.o_orderdate = s.y
+    """,
+    doc="skyline / Pareto-optimal set (Integration of Skyline Queries "
+    "into Spark SQL, EDBT 2023 — PAPERS.md): orders not dominated on "
+    "(totalprice, orderdate), maximize both. Exact two-phase plan: "
+    "distinct pairs -> range-partitioned per-partition running-max "
+    "window (local skylines, parallel) -> one tiny global pass over "
+    "the survivors -> semi-join back; no UDFs, no dominance self-join",
+)
+def skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return skyline_2d(
+        o.select("o_orderkey", "o_totalprice", "o_orderdate"),
+        "o_totalprice",
+        "o_orderdate",
+    )
