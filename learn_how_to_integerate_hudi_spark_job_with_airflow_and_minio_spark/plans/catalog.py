@@ -61,13 +61,12 @@ _GATE_WINDOW = 50
 #
 # Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
 # every query has a green driver row — the 50 r4-window rows are fresh,
-# so the window is (0) the 11 round-5 additions first (standing rule),
+# so the window is (0) the 14 round-5 additions first (standing rule),
 # then (a) ALL 36 queries whose latest driver row is round 2 (the
-# stalest), then (b) 3 round-3-green backfills favoring daily user
-# surfaces (dedup/table/streaming). The r3 queries left outside are
-# exactly 2 rounds old after this round — within the staleness bound —
-# and the whole catalog stays covered by tests/test_catalog_oracle.py
-# every round.
+# stalest). The r3-green backfill slots were ceded to round-5 births;
+# r3 queries are exactly 2 rounds old after this round — within the
+# staleness bound — and the whole catalog stays covered by
+# tests/test_catalog_oracle.py every round.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
     "dedup_embedding_lsh",
@@ -81,6 +80,9 @@ _ROUND_PRIORITY: list[str] = [
     "agg_histogram_numeric",
     "decontaminate_exact_substring",
     "skyline_pareto_2d",
+    "scalar_variant_json",
+    "join_lateral_topk",
+    "sql_recursive_cte",
     # (a) latest driver row = round 2 — stalest first
     "q00_inmemory_ingest",
     "table_mor_snapshot",
@@ -118,10 +120,6 @@ _ROUND_PRIORITY: list[str] = [
     "win_running_sum",
     "win_rank_percent",
     "win_topk_per_group",
-    # (b) round-3-green backfill: heaviest daily user surfaces
-    "agg_tpch_q1",
-    "dedup_exact",
-    "dedup_minhash_lsh",
 ]
 
 

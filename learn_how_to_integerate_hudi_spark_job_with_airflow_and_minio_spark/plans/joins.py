@@ -416,3 +416,75 @@ def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("op"), "n"
     )
     return u.unionByName(i).unionByName(e)
+
+
+@register(
+    "join_lateral_topk",
+    # Same SQL text runs on DuckDB (LATERAL is standard there) — the
+    # oracle IS the query, proving Spark's correlated-lateral planning
+    # against an independent implementation.
+    oracle="""
+        SELECT c.c_custkey, s.o_orderkey, s.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC
+                      LIMIT 2) s
+    """,
+    doc="correlated LATERAL subquery join (Spark 3.2+ LATERAL): top-2 "
+    "orders per customer expressed as a per-row dependent subquery — "
+    "Catalyst decorrelates it into a ranked window join, so the "
+    "executed plan is the same shuffle-once shape as "
+    "win_topk_per_group, but exercised through the SQL decorrelation "
+    "path",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "customer", "orders", views=True)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, s.o_orderkey, s.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC
+                      LIMIT 2) s
+        """
+    )
+
+
+@register(
+    "sql_recursive_cte",
+    # Identical SQL text on both engines (WITH RECURSIVE landed in
+    # Spark 4.0): a 3-row installment ladder per selected order — the
+    # recursion generates rows with data-dependent values rather than
+    # enumerating a constant series.
+    oracle="""
+        WITH RECURSIVE inst(o_orderkey, n, amount) AS (
+            SELECT o_orderkey, 1, round(o_totalprice / 3, 2)
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, n + 1, amount
+            FROM inst WHERE n < 3
+        )
+        SELECT o_orderkey, CAST(n AS INT) AS n, amount FROM inst
+    """,
+    doc="WITH RECURSIVE (Spark 4.0): per-order 3-installment ladder — "
+    "the recursive member re-selects from the working set until the "
+    "guard fails; oracle runs the IDENTICAL SQL text on DuckDB",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders", views=True)
+    return spark.sql(
+        """
+        WITH RECURSIVE inst(o_orderkey, n, amount) AS (
+            SELECT o_orderkey, 1, round(o_totalprice / 3, 2)
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, n + 1, amount
+            FROM inst WHERE n < 3
+        )
+        SELECT o_orderkey, CAST(n AS INT) AS n, amount FROM inst
+        """
+    )

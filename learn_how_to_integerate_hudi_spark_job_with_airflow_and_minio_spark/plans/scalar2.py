@@ -178,3 +178,52 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "scalar_variant_json",
+    # Spark 4 VARIANT type: parse once into the binary-JSON variant,
+    # typed path extraction with variant_get (shredded access — no
+    # per-path string re-parse, unlike get_json_object). The JSON is
+    # synthesized from event columns so the nested/array paths are
+    # non-trivial; DuckDB extracts from the identical string.
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(j, '$.meta.type') AS VARCHAR) AS etype,
+               CAST(json_extract_string(j, '$.meta.uid') AS BIGINT)   AS uid,
+               CAST(json_extract_string(j, '$.vals[1]') AS DOUBLE)    AS second_val,
+               json_extract_string(j, '$.meta.missing')               AS missing
+        FROM (
+            SELECT event_id,
+                   concat('{"meta": {"type": "', event_type,
+                          '", "uid": ', CAST(user_id AS VARCHAR),
+                          '}, "vals": [', CAST(round(value, 3) AS VARCHAR),
+                          ', ', CAST(round(value * 2, 3) AS VARCHAR), ']}') AS j
+            FROM events WHERE value IS NOT NULL
+        )
+    """,
+    doc="Spark 4 VARIANT: parse_json once -> variant_get typed paths "
+    "(nested object, array index, missing path -> null) — the "
+    "shredded semi-structured access path, vs the per-call string "
+    "re-parse of get_json_object (covered by scalar_json_funcs)",
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    j = F.concat(
+        F.lit('{"meta": {"type": "'), F.col("event_type"),
+        F.lit('", "uid": '), F.col("user_id").cast("string"),
+        F.lit('}, "vals": ['), F.round("value", 3).cast("string"),
+        F.lit(", "), F.round(F.col("value") * 2, 3).cast("string"),
+        F.lit("]}"),
+    )
+    return (
+        ev.where(F.col("value").isNotNull())
+        .withColumn("_v", F.parse_json(j))
+        .select(
+            "event_id",
+            F.variant_get("_v", "$.meta.type", "string").alias("etype"),
+            F.variant_get("_v", "$.meta.uid", "long").alias("uid"),
+            F.variant_get("_v", "$.vals[1]", "double").alias("second_val"),
+            F.variant_get("_v", "$.meta.missing", "string").alias("missing"),
+        )
+    )
