@@ -61,7 +61,7 @@ _GATE_WINDOW = 50
 #
 # Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
 # every query has a green driver row — the 50 r4-window rows are fresh,
-# so the window is (0) the 14 round-5 additions first (standing rule),
+# so the window is (0) the 15 round-5 additions first (standing rule),
 # then (a) ALL 36 queries whose latest driver row is round 2 (the
 # stalest). The r3-green backfill slots were ceded to round-5 births;
 # r3 queries are exactly 2 rounds old after this round — within the
@@ -83,6 +83,7 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_variant_json",
     "join_lateral_topk",
     "sql_recursive_cte",
+    "table_archive_timeline",
     # (a) latest driver row = round 2 — stalest first
     "q00_inmemory_ingest",
     "table_mor_snapshot",
@@ -119,7 +120,6 @@ _ROUND_PRIORITY: list[str] = [
     "agg_collect_list_sorted",
     "win_running_sum",
     "win_rank_percent",
-    "win_topk_per_group",
 ]
 
 

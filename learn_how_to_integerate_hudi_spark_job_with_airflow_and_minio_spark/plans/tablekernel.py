@@ -841,3 +841,38 @@ def table_cdc_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.changes_full(begin=c1).select(
         "o_orderkey", "o_totalprice", "o_totalprice_before", "_change_type"
     )
+
+
+@register(
+    "table_archive_timeline",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2048
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="archived timeline (Hudi archive analog): 12 commits (initial "
+    "load + 11 point-update commits doubling mod-97 prices), then "
+    "archive_timeline folds everything at or below the live-set "
+    "checkpoint into ONE consolidated file — the active _commits/ dir "
+    "stays bounded while the snapshot (and deep time travel / CDC / "
+    "cleaner replay) still sees full history",
+)
+def table_archive_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*cols)
+    path = tempfile.mkdtemp(prefix="engine_arch_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_arch",
+    )
+    t.upsert(orders)
+    hot = orders.where(F.col("o_orderkey") % 97 == 0)
+    for _ in range(11):
+        hot = hot.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        t.upsert(hot)
+    archived = TableServices(t).archive_timeline(keep_active=2)
+    assert archived, "nothing archived — checkpoint cadence changed?"
+    return t.snapshot().drop(META_COL)

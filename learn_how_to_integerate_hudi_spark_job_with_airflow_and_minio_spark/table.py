@@ -204,14 +204,32 @@ class Table:
     def _commits_dir(self) -> str:
         return posixpath.join(self.path, "_commits")
 
-    def commits(self) -> list[str]:
-        """Commit ids, ascending (zero-padded strings; lexical == numeric)."""
-        out = []
+    def commits(self, include_archived: bool = False) -> list[str]:
+        """ACTIVE commit ids, ascending (zero-padded strings; lexical ==
+        numeric). The active timeline stays bounded because
+        :meth:`TableServices.archive_timeline` folds old manifests into
+        consolidated archive files; pass ``include_archived=True`` for
+        the full history (audit, deep time travel, cleaner replay) at
+        the cost of one extra read per archive batch."""
+        out = set()
         for p in self.fs.list(self._commits_dir()):
             name = posixpath.basename(p)
             if name.endswith(".json") and not name.startswith("_"):
-                out.append(name[: -len(".json")])
+                out.add(name[: -len(".json")])
+        if include_archived:
+            out.update(self._archived_manifests())
         return sorted(out)
+
+    def _archive_dir(self) -> str:
+        return posixpath.join(self.path, "_archive")
+
+    def _archived_manifests(self) -> dict[str, dict]:
+        """Merged commit→manifest map from every archive batch file."""
+        out: dict[str, dict] = {}
+        for p in sorted(self.fs.list(self._archive_dir())):
+            if p.endswith(".json"):
+                out.update(read_json(p)["manifests"])
+        return out
 
     def _checkpoints(self) -> list[str]:
         """Commit ids that carry a live-set checkpoint, ascending."""
@@ -234,7 +252,13 @@ class Table:
         return f"{(int(last) + 1) if last else 1:020d}"
 
     def _manifest(self, commit: str) -> dict:
-        return read_json(posixpath.join(self._commits_dir(), f"{commit}.json"))
+        path = posixpath.join(self._commits_dir(), f"{commit}.json")
+        if self.fs.exists(path):
+            return read_json(path)
+        archived = self._archived_manifests()
+        if commit in archived:
+            return archived[commit]
+        return read_json(path)  # raise the natural not-found error
 
     def current_files(self, as_of: str | None = None) -> list[dict]:
         """Replay manifests → live file entries (path rel to table root).
@@ -250,12 +274,16 @@ class Table:
             start = cps[-1]
             cp = read_json(self._checkpoint_path(start))
             live = {e["path"]: e for e in cp["files"]}
-        for c in self.commits():
+        # archived manifests are only needed when no checkpoint precedes
+        # as_of (deep time travel past the archive horizon) — one
+        # consolidated read, not O(commits) file opens
+        arch = self._archived_manifests() if start is None else {}
+        for c in sorted({*self.commits(), *arch}):
             if start is not None and c <= start:
                 continue
             if as_of is not None and c > as_of:
                 break
-            m = self._manifest(c)
+            m = arch.get(c) or self._manifest(c)
             for rel in m.get("files_removed", []):
                 live.pop(rel, None)
             for entry in m.get("files_added", []):
@@ -758,7 +786,7 @@ class Table:
         commit = commit or self.latest_commit()
         if commit is None:
             raise ValueError("cannot savepoint an empty table")
-        if commit not in self.commits():
+        if commit not in self.commits(include_archived=True):
             raise ValueError(f"cannot savepoint unknown commit {commit}")
         write_json(
             self._savepoint_path(commit), {"commit": commit, "ts": _utcnow()}
@@ -1261,6 +1289,47 @@ class TableServices:
     def __init__(self, table: Table):
         self.t = table
 
+    def archive_timeline(self, keep_active: int = 20) -> list[str]:
+        """Fold old commit manifests into one consolidated archive file
+        (Hudi archived-timeline analog), keeping the ACTIVE `_commits/`
+        directory bounded — at years-of-commits scale the directory
+        LISTING itself becomes the per-query bottleneck; with archiving,
+        every read lists O(keep_active) manifests + O(archive batches)
+        consolidated files.
+
+        Only commits at or below the newest live-set checkpoint are
+        archivable (snapshot/incremental replay starts from a checkpoint
+        and never needs an archived manifest), and at least
+        ``keep_active`` stay live. Reads past the archive horizon (deep
+        time travel, full-history CDC, cleaner replay) transparently
+        fall back to the archive — one batch read, not O(commits) file
+        opens. Crash-safe: the archive batch is written before the live
+        manifests are deleted; a duplicate id resolves to the live copy.
+
+        Returns the archived commit ids.
+        """
+        t = self.t
+        cps = t._checkpoints()
+        if not cps:
+            return []
+        horizon = cps[-1]
+        keep_active = max(1, keep_active)  # _next_commit needs a live tail
+        active = t.commits()
+        archivable = [c for c in active[:-keep_active] if c <= horizon]
+        if not archivable:
+            return []
+        manifests = {c: t._manifest(c) for c in archivable}
+        write_json(
+            posixpath.join(
+                t._archive_dir(),
+                f"commits_{archivable[0]}-{archivable[-1]}.json",
+            ),
+            {"manifests": manifests},
+        )
+        for c in archivable:
+            t.fs.delete(posixpath.join(t._commits_dir(), f"{c}.json"))
+        return archivable
+
     def build_record_index(self, incremental: bool = False) -> str:
         """Build or extend the record-level index: a distributed scan of
         (not-yet-indexed) live files emitting ``(key, file)`` rows,
@@ -1337,7 +1406,8 @@ class TableServices:
         never deleted, live or not.
         """
         t = self.t
-        commits = t.commits()
+        arch = t._archived_manifests()
+        commits = sorted({*t.commits(), *arch})
         if len(commits) <= retain_commits and not t.savepoints():
             return []
         protected = set(commits[-(retain_commits + 1):]) | set(t.savepoints())
@@ -1345,7 +1415,7 @@ class TableServices:
         ever: set[str] = set()
         needed: set[str] = set()
         for c in commits:
-            m = t._manifest(c)
+            m = arch.get(c) or t._manifest(c)
             for rel in m.get("files_removed", []):
                 live.pop(rel, None)
             for e in m.get("files_added", []):

@@ -831,3 +831,36 @@ def test_record_index_incremental_maintenance(spark, tpath):
     got = {r["id"]: r["val"] for r in t.snapshot().collect()}
     assert got[2] == "upd" and got[1] == "b1" and got[4] == "a4"
     assert t.snapshot().count() == 50
+
+
+def test_archive_timeline_bounds_active_dir(spark, tpath):
+    """Hudi archived-timeline analog: old manifests fold into one
+    consolidated archive file; the active _commits/ dir stays bounded
+    while snapshot, incremental, deep time travel, CDC-from-archive,
+    and the cleaner all still see full history."""
+    t = make_table(spark, tpath)
+    ids = [t.upsert(df_of(spark, [(1, i, f"v{i}"), (i + 10, 1, f"n{i}")]))
+           for i in range(14)]  # crosses the CHECKPOINT_EVERY=10 boundary
+    svc = TableServices(t)
+    archived = svc.archive_timeline(keep_active=3)
+    assert archived and max(archived) <= "{:020d}".format(10)
+    # active dir shrank; full history still enumerable
+    assert len(t.commits()) == 14 - len(archived)
+    assert t.commits(include_archived=True) == ids
+    # reads: current snapshot, deep time travel to an ARCHIVED commit,
+    # CDC spanning the archive horizon
+    assert t.snapshot().count() == 15
+    assert rows_of(t.snapshot(as_of=ids[0]), "id", "val") == [
+        (1, "v0"), (10, "n0")]
+    assert t.changes(begin=ids[0]).count() > 0
+    # new writes continue the timeline (no id reuse)
+    c_new = t.upsert(df_of(spark, [(99, 1, "z")]))
+    assert int(c_new) == 15
+    # cleaner still replays full history correctly (file GC unaffected)
+    deleted = svc.clean(retain_commits=2)
+    assert t.snapshot().count() == 16
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(t.path, rel))
+    # savepointing an archived commit still validates
+    t.savepoint(ids[0])
+    assert t.savepoints() == [ids[0]]
