@@ -51,6 +51,7 @@ HEADLINE = [
     "table_bootstrap_upsert",
     "text_dsir_importance",
     "funnel_steps",
+    "skyline_pareto_2d",
     "multimodal_features",
     "stream_tumbling_window",
     "stream_table_feed",

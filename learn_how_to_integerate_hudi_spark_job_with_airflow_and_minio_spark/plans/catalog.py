@@ -66,7 +66,9 @@ _GATE_WINDOW = 50
 # stalest). The r3-green backfill slots were ceded to round-5 births;
 # r3 queries are exactly 2 rounds old after this round — within the
 # staleness bound — and the whole catalog stays covered by
-# tests/test_catalog_oracle.py every round.
+# tests/test_catalog_oracle.py every round. One r2-stale row
+# (win_topk_per_group) did not fit behind the 15 births — it MUST lead
+# the round-6 window right after any r6 births.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
     "dedup_embedding_lsh",
