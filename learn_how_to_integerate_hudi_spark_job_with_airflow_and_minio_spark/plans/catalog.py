@@ -61,16 +61,20 @@ _GATE_WINDOW = 50
 #
 # Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
 # every query has a green driver row — the 50 r4-window rows are fresh,
-# so the window is (0) the 15 round-5 additions first (standing rule),
-# then (a) ALL 36 queries whose latest driver row is round 2 (the
-# stalest). The r3-green backfill slots were ceded to round-5 births;
-# r3 queries are exactly 2 rounds old after this round — within the
-# staleness bound — and the whole catalog stays covered by
-# tests/test_catalog_oracle.py every round. One r2-stale row
-# (win_topk_per_group) did not fit behind the 15 births — it MUST lead
-# the round-6 window right after any r6 births.
+# so the window is (0) the round-5 additions first (standing rule),
+# then (a) as many round-2-stale rows as fit (the stalest family). The
+# r3-green backfill slots were ceded to round-5 births; r3 queries are
+# exactly 2 rounds old after this round — within the staleness bound —
+# and the whole catalog stays covered by tests/test_catalog_oracle.py
+# every round. ROUND-6 DEBT (r2-stale rows displaced by late round-5
+# births — they MUST lead the round-6 window right after any r6
+# births): win_topk_per_group, win_rank_percent, win_running_sum,
+# agg_collect_list_sorted.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
+    "mv_incremental_refresh",
+    "text_unigram_logprob",
+    "ts_resample_gapfill",
     "dedup_embedding_lsh",
     "table_savepoint",
     "table_bootstrap_upsert",
@@ -119,9 +123,6 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_array_funcs",
-    "agg_collect_list_sorted",
-    "win_running_sum",
-    "win_rank_percent",
 ]
 
 
@@ -164,6 +165,7 @@ def _load_all() -> None:
         formats,
         joins,
         multimodal_plans,
+        mv_plans,
         pandas_udfs,
         pipeline_plans,
         relational,
@@ -174,6 +176,8 @@ def _load_all() -> None:
         tablekernel,
         text_plans,
         text2,
+        text3,
+        timeseries,
         windows,
     )
 

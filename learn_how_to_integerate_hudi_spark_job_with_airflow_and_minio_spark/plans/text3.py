@@ -1,0 +1,104 @@
+"""Third text batch: language-model quality scoring.
+
+The CCNet pipeline (Wenzek et al. 2019) ranks Common-Crawl documents by
+LM perplexity and keeps the low-perplexity head; the engine-portable
+version scores each document under a corpus-level *unigram* LM (Laplace
+smoothed), which needs no external model artifact and is exactly
+reproducible in ANSI SQL. Distinct from text_dsir_importance (text2.py):
+DSIR scores the *ratio* between a target and raw distribution for domain
+selection; this scores absolute likelihood for fluency/quality filtering.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .catalog import register
+
+# Keep threshold: documents in the lower-likelihood half (below the
+# corpus median mean-logprob) are flagged, the CCNet "tail" bucket.
+_UNIGRAM_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+cw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cw),
+lp AS (
+    SELECT cw.w, ln((cw.c + 1) * 1.0 / (tot.n + tot.v)) AS lp
+    FROM cw CROSS JOIN tot
+),
+per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(SUM(lp.lp) / COUNT(*), 6) AS mean_logprob
+    FROM tok JOIN lp USING (w)
+    GROUP BY doc_id
+),
+med AS (
+    SELECT round(median(mean_logprob), 6) AS m FROM per_doc
+)
+SELECT doc_id, n_tokens, mean_logprob,
+       round(-mean_logprob / ln(2), 6) AS bits_per_token,
+       mean_logprob >= med.m AS keep_head
+FROM per_doc CROSS JOIN med
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    # Determinism: the per-token ln is computed from identical integer
+    # counts in both engines (bit-identical doubles); the per-doc mean is
+    # rounded to 6 decimals before anything compares or derives from it,
+    # absorbing float summation-order differences (~1e-13). The median
+    # is taken over the ROUNDED means and itself rounded, so the
+    # keep_head boundary is exact in both engines.
+    oracle=_UNIGRAM_SQL,
+    doc="CCNet-style LM quality score (Wenzek et al. 2019): per-document "
+    "mean token log-probability under the Laplace-smoothed corpus "
+    "unigram LM, bits-per-token, and a keep flag vs the corpus median. "
+    "Two partial-aggregatable counts, one broadcast totals join, one "
+    "word-keyed join, one broadcast median join — no UDFs, no collects",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = cw.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).withColumn(
+        "_one", F.lit(1)
+    )
+    lp = (
+        cw.withColumn("_one", F.lit(1))
+        .join(F.broadcast(totals), "_one")
+        .select("w", F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))).alias("lp"))
+    )
+    per_doc = (
+        tok.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("mean_logprob"),
+        )
+    )
+    med = per_doc.agg(
+        F.round(F.expr("percentile(mean_logprob, 0.5)"), 6).alias("m")
+    ).withColumn("_one", F.lit(1))
+    return (
+        per_doc.withColumn("_one", F.lit(1))
+        .join(F.broadcast(med), "_one")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_logprob",
+            F.round(-F.col("mean_logprob") / F.lit(math.log(2.0)), 6).alias(
+                "bits_per_token"
+            ),
+            (F.col("mean_logprob") >= F.col("m")).alias("keep_head"),
+        )
+    )

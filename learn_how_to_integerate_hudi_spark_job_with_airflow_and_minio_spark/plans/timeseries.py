@@ -1,0 +1,93 @@
+"""Time-series resampling over the events stream.
+
+Regularizing an irregular event stream onto a fixed-interval grid
+(resample + gap-fill) is the standard telemetry/feature-store prep step;
+Spark has no built-in resample, so the engine composes it from
+aggregation, `sequence`+`explode` grid generation, a left join, and an
+IGNORE-NULLS forward-fill window — all Catalyst, no UDFs.
+
+Scale design: the exploded grid is bounded by span/granularity per key
+(720 buckets/user for a 30-day hourly grid), never by event count; the
+grid-to-aggregate join shuffles on (key, bucket); the LOCF window is one
+in-partition sort per key. At 100 TB the hourly aggregate is the big
+side and partial-aggregates map-side; the grid is generated, not stored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_tables
+from .catalog import register
+from .common import dsum, sql_dsum
+
+
+@register(
+    "ts_resample_gapfill",
+    # Determinism: bucket sums are decimal-exact (common.py convention);
+    # the LOCF fill MOVES an already-agreed value, never recomputes it,
+    # so both engines agree bitwise. Grid endpoints come from per-user
+    # min/max truncated to the hour — exact timestamp arithmetic.
+    oracle=f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n_events,
+                   {sql_dsum("value")} AS hour_value
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id,
+                   date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM span
+        )
+        SELECT g.user_id, g.bucket,
+               COALESCE(h.n_events, 0) AS n_events,
+               h.hour_value IS NULL AS is_gap,
+               last_value(h.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+    doc="fixed-interval resample of an irregular event stream: per-user "
+    "hourly grid (sequence+explode over the user's span), decimal-exact "
+    "bucket sums, LOCF fill for empty buckets — the telemetry/feature "
+    "regularization op Spark lacks natively",
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    bucket = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("hour_value"),
+    )
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("hour_value").isNull().alias("is_gap"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
