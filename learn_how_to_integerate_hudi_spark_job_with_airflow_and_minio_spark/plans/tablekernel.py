@@ -876,3 +876,59 @@ def table_archive_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     archived = TableServices(t).archive_timeline(keep_active=2)
     assert archived, "nothing archived — checkpoint cadence changed?"
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_partial_update",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               CASE WHEN o_orderkey % 4 = 1 THEN 'P'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000,
+               CAST(NULL AS BIGINT)  AS o_custkey,
+               'N'                   AS o_orderstatus,
+               CAST(NULL AS DOUBLE)  AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 100 = 17
+    """,
+    doc="partial-column upsert (Hudi PARTIAL_UPDATE payload semantics): "
+    "the batch carries only (key, precombine, status, price); matched "
+    "rows take non-null batch values per column — a NULL price keeps the "
+    "old value, and o_custkey (omitted from the batch entirely) survives "
+    "untouched; unmatched keys insert with nulls for missing columns. "
+    "One key-equi join over affected files only",
+)
+def table_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_pu_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_pu",
+    )
+    t.bulk_insert(orders)
+    # updates: %4==1 keys — status always 'P'; price +1000 only for
+    # %8==1, else NULL (= keep old); o_custkey deliberately absent.
+    updates = orders.where(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.lit("P").alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 8 == 1, F.col("o_totalprice") + 1000.0
+        ).alias("o_totalprice"),
+    )
+    # inserts: brand-new keys carrying only (key, precombine, status).
+    inserts = orders.where(F.col("o_orderkey") % 100 == 17).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_orderdate",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    t.partial_update(updates.unionByName(inserts))
+    return t.snapshot().drop(META_COL)

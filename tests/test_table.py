@@ -864,3 +864,53 @@ def test_archive_timeline_bounds_active_dir(spark, tpath):
     # savepointing an archived commit still validates
     t.savepoint(ids[0])
     assert t.savepoints() == [ids[0]]
+
+
+# -- partial update (column-subset upsert) ----------------------------
+
+
+def test_partial_update_null_keeps_old_and_omitted_cols_survive(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0), (2, 1, "b", 20.0), (3, 1, "c", 30.0)],
+            "id long, ver long, val string, score double",
+        )
+    )
+    # batch omits `score` entirely; val NULL for id=2 keeps old value
+    t.partial_update(
+        spark.createDataFrame(
+            [(1, 2, "a2"), (2, 2, None), (9, 1, "new")],
+            "id long, ver long, val string",
+        )
+    )
+    assert rows_of(t.snapshot(), "id", "ver", "val", "score") == [
+        (1, 2, "a2", 10.0),   # updated val, score kept
+        (2, 2, "b", 20.0),    # NULL val -> old val kept, ver updated
+        (3, 1, "c", 30.0),    # untouched
+        (9, 1, "new", None),  # new key: omitted col is null
+    ]
+
+
+def test_partial_update_untouched_files_not_rewritten(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    c2 = t.upsert(df_of(spark, [(50, 1, "z")]))
+    t.partial_update(df_of(spark, [(1, 2, "a2")]))
+    # key 50's file (disjoint key range) must not be rewritten
+    snap = t.snapshot()
+    commits = {r["id"]: r["_commit_time"] for r in snap.collect()}
+    assert commits[50] == c2
+
+
+def test_partial_update_rejected_on_mor(spark, tpath):
+    t = make_table(spark, tpath, table_type="mor")
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="COPY_ON_WRITE"):
+        t.partial_update(df_of(spark, [(1, 2, "b")]))
+
+
+def test_partial_update_on_empty_table_inserts(spark, tpath):
+    t = make_table(spark, tpath)
+    t.partial_update(df_of(spark, [(1, 1, "a")]))
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a")]
