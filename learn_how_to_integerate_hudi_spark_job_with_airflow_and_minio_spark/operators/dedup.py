@@ -139,6 +139,33 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    sig: DataFrame, id_col: str, k: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH buckets from a signature table: one ``(_id, band,
+    bucket)`` row per band, ``bucket`` = xxhash64 of that band's ``k/bands``
+    signature slots. This is the unit an INDEX stores: the bucket table is
+    upsert-maintained per ingest batch, so steady-state dedup hashes only
+    the new batch and equi-joins it against the stored buckets."""
+    r = k // bands
+    return sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("signature", band * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -156,24 +183,8 @@ def minhash_lsh_pairs(
     P(candidate) = 1-(1-j^r)^b — with k=64, b=16, r=4 a j=0.8 pair is
     caught with p≈0.9996 while j=0.3 pairs stay below 0.13.
     """
-    r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    buckets = sig.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("signature", band * r + j + 1) for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    buckets = minhash_band_buckets(sig, id_col, k, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -188,10 +199,36 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    # verify ONLY the candidates: join each pair to its two (already
-    # distinct) shingle arrays and compute Jaccard with array_intersect —
-    # O(candidates), never the full pair space
-    arrays = shingle_column(df, text_col, "_s", n).select(
+    return exact_jaccard_verify(candidates, df, id_col, text_col, n, threshold)
+
+
+def exact_jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    restrict: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard verification of ``(id_1, id_2)`` candidate pairs:
+    join each pair to its two (already distinct) shingle arrays and
+    compute Jaccard with ``array_intersect`` — O(candidates), never the
+    full pair space.
+
+    ``restrict=True`` semi-joins ``docs`` down to the ids that actually
+    appear in a candidate pair before shingling — right when candidates
+    touch a small slice of the corpus (the incremental-batch path), wrong
+    for whole-corpus self-dedup where most docs are candidates anyway and
+    the extra shuffle buys nothing."""
+    if restrict:
+        ids = (
+            candidates.select(F.col("id_1").alias(id_col))
+            .unionByName(candidates.select(F.col("id_2").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(ids, id_col, "left_semi")
+    arrays = shingle_column(docs, text_col, "_s", n).select(
         F.col(id_col).alias("_aid"), "_s"
     )
     return (
@@ -211,6 +248,54 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
+    )
+
+
+def incremental_lsh_pairs(
+    index_buckets: DataFrame,
+    batch: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an already-indexed corpus —
+    the steady-state shape of corpus dedup at 100 TB: the corpus is never
+    re-shingled, re-hashed, or re-paired; only the day's batch is.
+
+    ``index_buckets`` is the stored ``(_id, band, bucket)`` table built by
+    :func:`minhash_band_buckets` over previous batches (persisted as an
+    engine Table and upsert-maintained per ingest — O(batch) maintenance).
+    The batch is signatured once, its buckets equi-join the index (plus
+    themselves, for intra-batch dups), and only colliding pairs are
+    exact-Jaccard verified against the texts of the ids involved
+    (``restrict=True`` semi-join — the corpus text table is touched only
+    for actual collision partners). Returns ``(id_1, id_2, jaccard)``
+    where at least one side is a batch doc.
+    """
+    new_buckets = minhash_band_buckets(
+        minhash_signatures(batch, id_col, text_col, n, k), id_col, k, bands
+    )
+    others = index_buckets.unionByName(new_buckets)
+    a, b = new_buckets.alias("a"), others.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .select(
+            F.least("a._id", "b._id").alias("id_1"),
+            F.greatest("a._id", "b._id").alias("id_2"),
+        )
+        .distinct()
+    )
+    return exact_jaccard_verify(
+        candidates, docs, id_col, text_col, n, threshold, restrict=True
     )
 
 

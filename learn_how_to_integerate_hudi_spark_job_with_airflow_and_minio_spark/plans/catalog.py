@@ -72,6 +72,7 @@ _GATE_WINDOW = 50
 # agg_collect_list_sorted.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
+    "dedup_incremental_lsh",
     "table_partial_update",
     "mv_incremental_refresh",
     "text_unigram_logprob",

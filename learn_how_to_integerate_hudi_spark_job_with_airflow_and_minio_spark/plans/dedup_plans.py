@@ -542,3 +542,67 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.contamination_substring(
         corpus, bench, "doc_id", "doc_id", "text", window=20, min_shared=1
     )
+
+
+_INCREMENTAL_JACCARD_SQL = (
+    _SHINGLES
+    + """
+SELECT a.doc_id AS id_1,
+       b.doc_id AS id_2,
+       len(list_intersect(a.s, b.s)) * 1.0
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a
+JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+"""
+)
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=_INCREMENTAL_JACCARD_SQL,
+    doc="steady-state incremental dedup: the corpus's MinHash band "
+    "buckets live in a persisted engine Table (built once, upsert-"
+    "maintained per batch); a new batch (doc_id % 10 = 0) is signatured "
+    "alone and equi-joined against the stored index — the corpus is "
+    "never re-shingled or re-paired. Colliding pairs exact-Jaccard "
+    "verified over a semi-joined text slice. Oracle = the exact "
+    "batch-involving pair set (planted pairs sit at j≈0.98, where LSH "
+    "miss probability is (1-j⁴)¹⁶ ≈ 1e-18)",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..table import Table
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    # "yesterday": bucket index of the existing corpus, persisted as an
+    # engine table (in production this table already exists; building it
+    # here is test scaffolding, not part of the measured steady state).
+    idx = Table.create(
+        spark,
+        tempfile.mkdtemp(prefix="engine_lshidx_"),
+        key="_bk",
+        precombine="_ver",
+        table_name="lsh_bucket_index",
+    )
+    corpus_buckets = D.minhash_band_buckets(
+        D.minhash_signatures(corpus, "doc_id", "text", n=3, k=64),
+        "doc_id",
+        k=64,
+        bands=16,
+    )
+    idx.bulk_insert(
+        corpus_buckets.withColumn(
+            "_bk", F.concat_ws(":", "band", "bucket", "_id")
+        )
+    )
+    # "today": only the batch is hashed; the index is READ, not rebuilt.
+    stored = idx.snapshot().select("_id", "band", "bucket")
+    return D.incremental_lsh_pairs(
+        stored, batch, d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+    )

@@ -191,3 +191,84 @@ def test_domain_mix_sample_rate_monotone(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in out2.collect()
     )
+
+
+def test_incremental_lsh_equals_full_recompute_restricted(spark):
+    """incremental_lsh_pairs over a stored index must find exactly the
+    batch-involving pairs a full-corpus minhash_lsh_pairs finds."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        dedup as D,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base + " alpha"),
+        (2, base + " alpha"),           # near-dup of 1
+        (10, base + " alpha beta"),     # batch: near-dup of 1 and 2
+        (20, "totally different words nothing shared here at all folks"),
+        (30, base + " alpha"),          # batch: dup of 1/2 and near 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where("doc_id < 10")
+    batch = docs.where("doc_id >= 10")
+    idx = D.minhash_band_buckets(
+        D.minhash_signatures(corpus, "doc_id", "text", n=3, k=64),
+        "doc_id", k=64, bands=16,
+    )
+    inc = {
+        (r["id_1"], r["id_2"])
+        for r in D.incremental_lsh_pairs(
+            idx, batch, docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["id_1"], r["id_2"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+        if r["id_1"] >= 10 or r["id_2"] >= 10
+    }
+    assert inc == full and inc  # non-empty and identical
+
+
+def test_incremental_lsh_index_maintenance_is_o_batch(spark, tmp_path):
+    """Upserting the batch's buckets keeps the index current: commit 2's
+    incremental read carries ONLY the batch rows (O(batch) maintenance),
+    and the updated index answers the next batch without a rebuild."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        dedup as D,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+    from pyspark.sql import functions as F
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (10, base)],
+        "doc_id long, text string",
+    )
+    corpus, batch = docs.where("doc_id < 10"), docs.where("doc_id >= 10")
+
+    def buckets(df):
+        return D.minhash_band_buckets(
+            D.minhash_signatures(df, "doc_id", "text", n=3, k=64),
+            "doc_id", k=64, bands=16,
+        ).withColumn("_bk", F.concat_ws(":", "band", "bucket", "_id"))
+
+    idx = Table.create(
+        spark, str(tmp_path / "idx"), key="_bk", precombine="_ver",
+        table_name="lsh_idx",
+    )
+    c1 = idx.bulk_insert(buckets(corpus))
+    c2 = idx.upsert(buckets(batch).withColumn("_ver", F.lit(1)))
+    delta = idx.incremental(begin=c1, end=c2)
+    assert {r["_id"] for r in delta.select("_id").distinct().collect()} == {10}
+    # updated index now answers a later batch without touching doc 1/2 text
+    nxt = spark.createDataFrame([(20, base + " x")], "doc_id long, text string")
+    pairs = D.incremental_lsh_pairs(
+        idx.snapshot().select("_id", "band", "bucket"),
+        nxt, docs.unionByName(nxt), "doc_id", "text", threshold=0.5,
+    )
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    assert (1, 20) in got and (10, 20) in got
