@@ -69,3 +69,40 @@ def retention_maximizing_rates(
         s: min(1.0, (t * alpha) / shares[s]) if shares[s] > 0 else 0.0
         for s, t in target.items()
     }
+
+
+def weighted_reservoir_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws a deterministic uniform u ∈ (0,1] from
+    md5(seed|id) and scores key = -ln(u)/w; the k smallest keys are the
+    sample — distributionally identical to sequentially drawing k rows
+    with probability ∝ weight, but expressible as a global top-k.
+
+    Scale shape: the key is a map-only expression; ``orderBy(key).
+    limit(k)`` compiles to Spark's TakeOrderedAndProject — per-partition
+    top-k heaps, then a driver-side merge of p·k rows — no full sort, no
+    shuffle of the corpus. Deterministic across runs and engines: md5 is
+    bit-identical everywhere and u is an exact dyadic rational; ln/÷ are
+    correctly-rounded IEEE doubles, with (key, id) ordering as the
+    tie-break."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_HASH_SPAN)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy(F.asc("_es_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )

@@ -266,3 +266,51 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sim_label_centroid",
+    # Cross-engine float aggregation: a float's exact value times 1e6 is
+    # never a half-integer (binary fractions have no 5s in the
+    # denominator), so round(x*1e6) is unambiguous and identical in both
+    # engines; the per-(label,pos) BIGINT sums are then order-independent
+    # and exact (< 2^53), and the final division is one correctly-rounded
+    # IEEE op. No decimal casts of doubles cross the engine boundary.
+    oracle="""
+        WITH ex AS (
+            SELECT label,
+                   unnest([{'pos': i - 1, 'x': embedding[i]}
+                           for i in range(1, len(embedding) + 1)]) AS px
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(px.pos AS BIGINT) AS pos,
+               CAST(SUM(CAST(round(CAST(px.x AS DOUBLE) * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid,
+               COUNT(*) AS n_vectors
+        FROM ex
+        GROUP BY label, px.pos
+    """,
+    doc="per-label embedding centroid (class prototype / cluster mean): "
+    "posexplode to (label, dim) cells, quantized-integer sums for exact "
+    "cross-engine means. Scale shape: the explode is map-side narrow "
+    "and partial aggregation collapses each partition to |labels|x|dim| "
+    "cells before the shuffle — the shuffle carries centroids, not rows",
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    q = F.round(F.col("x").cast("double") * 1000000.0).cast("long")
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.sum(q).alias("_qs"), F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            (
+                F.col("_qs").cast("double")
+                / (F.col("n_vectors").cast("double") * 1000000.0)
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )

@@ -499,3 +499,49 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_dsir_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _dsir_weights(spark, sf_dir)
     return w.orderBy(F.desc("dsir_logweight"), F.asc("doc_id")).limit(100)
+
+
+def _duck_u(expr: str) -> str:
+    """DuckDB mirror of weighted_reservoir_sample's uniform draw:
+    (first-6-nibble md5 integer + 1) / 2^24 ∈ (0, 1] — exact dyadic."""
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (5 - j)}"
+        for j in range(6)
+    )
+    return f"((({poly}) + 1) / 16777216.0)"
+
+
+@register(
+    "sample_weighted_reservoir",
+    # ln() is the one non-exact op: both engines evaluate it on the SAME
+    # exact double, and a selection flip needs the rank-k/rank-k+1 keys
+    # within an ulp of each other — vanishing at any corpus size, with
+    # (key, doc_id) as the in-engine tie-break.
+    oracle=f"""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   -ln({_duck_u("'7|' || CAST(doc_id AS VARCHAR)")})
+                       / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents
+        )
+        ORDER BY es_key ASC, doc_id ASC
+        LIMIT 50
+    """,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES): deterministic md5 uniform -> key = -ln(u)/weight -> global "
+    "k-smallest. Compiles to TakeOrderedAndProject: per-partition "
+    "top-k heaps + driver merge of p*k rows, never a full sort — the "
+    "length-weighted corpus subsample at 100 TB is one map pass",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_reservoir_sample
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return weighted_reservoir_sample(
+        d.select("doc_id", "source", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=50,
+        seed=7,
+    )

@@ -384,3 +384,66 @@ def skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderdate",
     )
+
+
+@register(
+    "win_gaps_islands",
+    # Interval end = ts + floor(value*60) seconds: floor() because the
+    # two engines' double->int CASTs disagree (Spark truncates, DuckDB
+    # rounds); the product and floor are IEEE-identical. (ts, event_id)
+    # ordering makes the running max — and so island formation —
+    # deterministic under timestamp ties.
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id, ts,
+                   ts + INTERVAL (CAST(floor(value * 60) AS INT)) SECOND AS end_ts
+            FROM events
+        ), flags AS (
+            SELECT user_id, event_id, ts, end_ts,
+                   CASE WHEN max(end_ts) OVER w IS NULL
+                             OR ts > max(end_ts) OVER w
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), isl AS (
+            SELECT user_id, ts, end_ts,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flags
+        )
+        SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+               COUNT(*) AS n_events,
+               min(ts) AS island_start,
+               max(end_ts) AS island_end
+        FROM isl
+        GROUP BY user_id, island_id
+    """,
+    doc="gaps-and-islands: merge overlapping [ts, ts+duration] intervals "
+    "per user via the running-max-end + cumulative-flag pattern — two "
+    "window passes over one (user_id) shuffle, no self-join (the "
+    "classic O(n log n) interval-merge, fully relational)",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    iv = ev.withColumn(
+        "end_ts",
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, CAST(floor(value * 60) AS INT))"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_max = F.max("end_ts").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("ts") > prev_max), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return isl.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("island_start"),
+        F.max("end_ts").alias("island_end"),
+    )
