@@ -314,3 +314,72 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+_QUANT_SQL = f"""
+    WITH ex AS (
+        SELECT vec_id,
+               unnest([{{'pos': i, 'x': embedding[i]}}
+                       for i in range(1, len(embedding) + 1)]) AS px
+        FROM embeddings
+    ),
+    scales AS (
+        SELECT px.pos AS pos,
+               CASE WHEN max(abs(CAST(px.x AS DOUBLE))) > 0
+                    THEN max(abs(CAST(px.x AS DOUBLE))) ELSE 1.0 END AS s
+        FROM ex GROUP BY px.pos
+    ),
+    qv AS (
+        SELECT e.vec_id,
+               list(CAST(round(CAST(e.px.x AS DOUBLE) / sc.s * 127.0) AS BIGINT)
+                    ORDER BY e.px.pos) AS q
+        FROM ex e JOIN scales sc ON e.px.pos = sc.pos
+        GROUP BY e.vec_id
+    ),
+    scores AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               (SELECT SUM(x * y) FROM (SELECT unnest(a.q) x, unnest(b.q) y)) AS qs
+        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qs DESC, neighbor_id ASC) AS r
+            FROM scores
+        ) WHERE r <= 15
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS} AS cosine,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {_COS} DESC, s.neighbor_id ASC
+               ) AS rank
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_quantized_topk",
+    # Every stage is cross-engine exact: int8 codes (round halves go
+    # away-from-zero in both engines and x/s*127 is two correctly-
+    # rounded IEEE ops on identical doubles), integer shortlist scores,
+    # 6-digit-rounded cosine re-rank. The oracle rebuilds all three.
+    oracle=_QUANT_SQL,
+    doc="scalar-quantized ANN: per-dim symmetric int8 codes (4x smaller "
+    "corpus, integer dot products) -> top-15 shortlist per query -> "
+    "exact cosine re-rank to top-5. The memory/IO-bound scale path "
+    "between brute force and IVF; deterministic end to end",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.where(F.col("vec_id") < 10)
+    return S.quantized_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, shortlist=15
+    )

@@ -102,3 +102,74 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_logprob") >= F.col("m")).alias("keep_head"),
         )
     )
+
+
+# -- sentence-splitting UDTF (Spark 4 Python table function surface) --
+
+try:  # pyspark >= 3.5: Python UDTFs; useArrow requires 4.x
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="sent_idx int, sentence string, n_chars int",
+        useArrow=True,
+    )
+    class _SplitSentences:
+        """One output row per sentence of the input text. Split rule is
+        deliberately explicit-ASCII (`[.!?][ \\t\\n\\r]+`) so the DuckDB
+        oracle's RE2 regexp_split_to_array reproduces it byte-for-byte
+        (Python's `\\s` is Unicode-wide, RE2's is not — never use it in
+        a cross-engine contract)."""
+
+        def eval(self, text: str):  # noqa: D102 — contract above
+            import re
+
+            if text is None:
+                return
+            idx = 0
+            for seg in re.split(r"[.!?][ \t\n\r]+", text):
+                if seg.strip(" \t\n\r"):
+                    yield idx, seg, len(seg)
+                    idx += 1
+
+except ImportError:  # pragma: no cover — older pyspark
+    _SplitSentences = None
+
+
+@register(
+    "text_sentence_udtf",
+    oracle=r"""
+        WITH sents AS (
+            SELECT doc_id,
+                   [s for s in regexp_split_to_array(text, '[.!?][ \t\n\r]+')
+                    if trim(s, ' ' || chr(9) || chr(10) || chr(13)) != ''] AS ss
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(px.idx AS INT) AS sent_idx,
+               px.s AS sentence,
+               CAST(length(px.s) AS INT) AS n_chars
+        FROM (
+            SELECT doc_id,
+                   unnest([{'idx': i - 1, 's': ss[i]}
+                           for i in range(1, len(ss) + 1)]) AS px
+            FROM sents
+        )
+    """,
+    doc="Python UDTF (arrow-vectorized, ArrowEvalPythonUDTF — not the "
+    "row-eval path plan-lint bans) exploding documents into sentences "
+    "via LATERAL: the user-defined-table-function surface for "
+    "row-to-many transforms that outgrow explode(); per-doc work, "
+    "map-only, no shuffle",
+)
+def text_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if _SplitSentences is None:  # pragma: no cover
+        raise RuntimeError("Python UDTFs need pyspark >= 3.5")
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    d.createOrReplaceTempView("_docs_for_udtf")
+    spark.udtf.register("split_sentences", _SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM _docs_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -34,6 +34,9 @@ _CARTESIAN_OK = {
     "sim_matmul_topk",
     "sim_ivf_probe",
     "dedup_embedding_cosine",
+    # broadcast query set × corpus scan with an int8 shortlist — the
+    # nested-loop side is the bounded |Q| broadcast by contract
+    "sim_quantized_topk",
 }
 
 SF_SMOKE = "/root/testdata/sf0.001"
