@@ -52,6 +52,11 @@ HEADLINE = [
     "text_dsir_importance",
     "funnel_steps",
     "skyline_pareto_2d",
+    "table_partial_update",
+    "dedup_incremental_lsh",
+    "sim_quantized_topk",
+    "win_gaps_islands",
+    "sample_weighted_reservoir",
     "multimodal_features",
     "stream_tumbling_window",
     "stream_table_feed",
