@@ -52,15 +52,16 @@ def _shingle_table(
     return exploded_shingles(df, id_col, text_col, n)
 
 
-def ngram_jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.8,
     max_df: float | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: (id_1, id_2, jaccard ≥ τ)."""
+    """Shared core of the exact n-gram pair operators: one
+    ``(id_1 < id_2, n_inter, n_1, n_2)`` row per document pair sharing at
+    least one (optionally df-capped) hashed shingle."""
     # join/shuffle on the 8-byte shingle hash, not the shingle string —
     # same counts (64-bit collisions are ~1e-11 at any realistic corpus
     # vocabulary), a fraction of the shuffle bytes
@@ -102,9 +103,20 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("id_1"), F.col("n_sh").alias("n_1"))
     sb = sizes.select(F.col("_id").alias("id_2"), F.col("n_sh").alias("n_2"))
+    return inter.join(sa, "id_1").join(sb, "id_2")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_1, id_2, jaccard ≥ τ)."""
     return (
-        inter.join(sa, "id_1")
-        .join(sb, "id_2")
+        _pair_intersections(df, id_col, text_col, n, max_df)
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter")),
@@ -112,6 +124,35 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Directional containment pairs: ``(id_sub, id_super, containment)``
+    with containment = |A∩B| / |A| ≥ τ — the quote/subset detector
+    symmetric Jaccard dilutes away (a paragraph fully copied into a long
+    document scores tiny Jaccard but containment 1.0; Broder's original
+    resemblance-vs-containment distinction). Each unordered intersection
+    row fans into the two directional checks, so the cost envelope is
+    identical to :func:`ngram_jaccard_pairs`."""
+    pairs = _pair_intersections(df, id_col, text_col, n, max_df)
+    d1 = pairs.select(
+        F.col("id_1").alias("id_sub"),
+        F.col("id_2").alias("id_super"),
+        (F.col("n_inter") / F.col("n_1")).alias("containment"),
+    )
+    d2 = pairs.select(
+        F.col("id_2").alias("id_sub"),
+        F.col("id_1").alias("id_super"),
+        (F.col("n_inter") / F.col("n_2")).alias("containment"),
+    )
+    return d1.unionByName(d2).where(F.col("containment") >= threshold)
 
 
 def minhash_signatures(

@@ -606,3 +606,43 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_lsh_pairs(
         stored, batch, d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
     )
+
+
+_CONTAINMENT_SQL = (
+    _SHINGLES
+    + """
+, pairs AS (
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           len(list_intersect(a.s, b.s)) AS n_inter,
+           len(a.s) AS n_1, len(b.s) AS n_2
+    FROM sh a
+    JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT id_sub, id_super, containment FROM (
+    SELECT id_1 AS id_sub, id_2 AS id_super,
+           n_inter * 1.0 / n_1 AS containment FROM pairs
+    UNION ALL
+    SELECT id_2 AS id_sub, id_1 AS id_super,
+           n_inter * 1.0 / n_2 AS containment FROM pairs
+)
+WHERE containment >= 0.9
+"""
+)
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_SQL,
+    doc="directional n-gram containment pairs at tau=0.9 (|A∩B|/|A| — "
+    "Broder's containment vs resemblance): the quote/subset detector "
+    "for a paragraph copied into a long document, which symmetric "
+    "Jaccard dilutes to ~0. Same hashed-shingle self-join envelope as "
+    "dedup_ngram_jaccard; each unordered pair fans into two directional "
+    "checks",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.9
+    )

@@ -91,3 +91,45 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_value").isNull().alias("is_gap"),
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_date,
+               date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events e
+        JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY f.cohort_date, day_offset
+    """,
+    doc="cohort retention matrix: users bucketed by first-seen date, "
+    "activity counted per (cohort, day-offset) cell — the product-"
+    "analytics staple. Scale shape: the first-seen aggregate and the "
+    "events join both hash-partition on user_id (one shuffle reused), "
+    "then the cell aggregate partial-aggregates map-side to a "
+    "|cohorts|x|offsets| result",
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_date")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
