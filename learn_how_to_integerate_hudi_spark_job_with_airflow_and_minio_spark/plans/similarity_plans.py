@@ -383,3 +383,66 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(
         queries, e, "vec_id", "vec_id", "embedding", k=5, shortlist=15
     )
+
+
+_HARDNEG_SQL = f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               {_COS}   AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS} DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings q
+        JOIN embeddings c
+          ON q.vec_id <> c.vec_id AND q.label <> c.label
+        WHERE q.vec_id < 10
+    )
+    WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_HARDNEG_SQL,
+    doc="hard-negative mining (contrastive-training prep): per query, "
+    "the top-5 most-similar vectors with a DIFFERENT label — the "
+    "near-boundary negatives that make embedding training converge. "
+    "Same broadcast-queries x map-only corpus envelope as "
+    "sim_topk_bruteforce with the label guard fused into the join "
+    "condition, so mismatched pairs never reach the scorer",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_qlabel"),
+        F.col("embedding").alias("_qv"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_clabel"),
+        F.col("embedding").alias("_cv"),
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("_qlabel") != F.col("_clabel")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 5
+    )

@@ -932,3 +932,34 @@ def table_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.partial_update(updates.unionByName(inserts))
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_secondary_index_lookup",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+    """,
+    doc="secondary index on a non-key column (Hudi 1.0 secondary-index "
+    "analog): per-file distinct (value, file) pairs built async; an "
+    "equality filter on o_custkey prunes to exactly the files "
+    "containing that customer. Range stats are blind here — the column "
+    "is uncorrelated with the key-sorted file layout — so without the "
+    "index every file survives pruning",
+)
+def table_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_si_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_si", max_records_per_file=2000,
+    )
+    t.bulk_insert(orders)
+    TableServices(t).build_secondary_index("o_custkey")
+    target = orders.agg(F.min("o_custkey")).first()[0]
+    return (
+        t.snapshot(filters={"o_custkey": target})
+        .where(F.col("o_custkey") == target)  # pruning is file-level
+        .drop(META_COL)
+    )

@@ -324,6 +324,16 @@ class Table:
                 allowed = {self.key, *(self.meta.get("partition_fields") or [])}
                 filters = {k: v for k, v in filters.items() if k in allowed}
             entries = [e for e in entries if _stats_match(e, filters)]
+            if self.table_type != "mor" and as_of is None:
+                # equality predicates additionally consult the secondary
+                # index (exact containment beats min/max range stats for
+                # scattered values); time-traveled reads skip it — the
+                # index describes current coverage, not historic states
+                for col, v in filters.items():
+                    if not isinstance(v, tuple):
+                        entries = self._prune_by_secondary_index(
+                            entries, col, v
+                        )
         df = self._read_entries(entries, as_of=as_of)
         if self.table_type == "mor":
             df = self._merge_view(df)
@@ -1138,6 +1148,45 @@ class Table:
             if e["path"] not in covered or e["path"] in hit_paths
         ]
 
+    def _secondary_index_paths(self, col: str) -> tuple[str, str]:
+        base = posixpath.join(self.path, "_index")
+        return (
+            posixpath.join(base, f"secondary_{col}"),
+            posixpath.join(base, f"secondary_{col}_meta.json"),
+        )
+
+    def _prune_by_secondary_index(
+        self, entries: list[dict], col: str, value
+    ) -> list[dict]:
+        """Exact equality pruning on a NON-key column via its secondary
+        index (Hudi 1.0 secondary-index analog): drop every index-covered
+        file whose per-file distinct-value set lacks ``value``. Range
+        stats are useless for a column uncorrelated with the file layout
+        (a random status column spans its whole domain in every
+        key-sorted file); the value→files map prunes exactly. Same
+        staleness contract as the record index: immutable data files stay
+        correctly indexed forever, uncovered (newer) files fall through
+        to the stats verdict."""
+        idx_dir, meta_path = self._secondary_index_paths(col)
+        if not self.fs.exists(meta_path):
+            return entries
+        covered = set(read_json(meta_path)["files"])
+        if not any(e["path"] in covered for e in entries):
+            return entries
+        idx = self.spark.read.parquet(idx_dir)
+        hits = (
+            idx.where(F.col("_v").eqNullSafe(F.lit(value)))
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        hit_paths = set(self._to_rel([r["_f"] for r in hits]))
+        return [
+            e
+            for e in entries
+            if e["path"] not in covered or e["path"] in hit_paths
+        ]
+
     def _write_files(self, df: DataFrame, commit: str, kind: str = "base") -> list[dict]:
         # the write dir carries a per-ATTEMPT token: two writers racing
         # the same commit id then write disjoint directories, so the race
@@ -1471,6 +1520,54 @@ class TableServices:
             {
                 "as_of": as_of,
                 "key": t.key,
+                "files": sorted({*prev, *(e["path"] for e in entries)}),
+            },
+        )
+        return as_of
+
+    def build_secondary_index(self, col: str, incremental: bool = False) -> str:
+        """Build or extend a secondary index on a NON-key column: a
+        distributed scan of (not-yet-indexed) live files emitting the
+        per-file DISTINCT ``(value, file)`` pairs, written hash-
+        partitioned on the value (Hudi 1.0 secondary-index analog,
+        async like the record indexer). Index size is Σ per-file
+        distinct values — for a low-cardinality column that is
+        O(files·|domain|), a fraction of the record index.
+
+        Enables exact equality pruning where range stats are blind: a
+        status/category column uncorrelated with the file layout spans
+        its whole domain in every file's [min,max], so stats keep
+        everything; the value→files map keeps only true containers
+        (``Table._prune_by_secondary_index``). Same incremental/
+        staleness contract as :meth:`build_record_index`.
+
+        Returns the commit the index is exact as of.
+        """
+        t = self.t
+        as_of = t.latest_commit()
+        if as_of is None:
+            raise ValueError("cannot index an empty table")
+        idx_dir, meta_path = t._secondary_index_paths(col)
+        entries = t.current_files()
+        prev: list[str] = []
+        if incremental and t.fs.exists(meta_path):
+            prev = read_json(meta_path)["files"]
+            entries = [e for e in entries if e["path"] not in set(prev)]
+        if entries:
+            df = t._read_entries(entries, with_file=True)
+            n = max(1, int(t.spark.conf.get("spark.sql.shuffle.partitions")))
+            (
+                df.select(F.col(col).alias("_v"), F.col("_file").alias("_f"))
+                .distinct()
+                .repartition(n, "_v")
+                .write.mode("append" if prev else "overwrite")
+                .parquet(idx_dir)
+            )
+        write_json(
+            meta_path,
+            {
+                "as_of": as_of,
+                "column": col,
                 "files": sorted({*prev, *(e["path"] for e in entries)}),
             },
         )

@@ -914,3 +914,55 @@ def test_partial_update_on_empty_table_inserts(spark, tpath):
     t = make_table(spark, tpath)
     t.partial_update(df_of(spark, [(1, 1, "a")]))
     assert rows_of(t.snapshot(), "id", "val") == [(1, "a")]
+
+
+# -- secondary index (non-key column equality pruning) ----------------
+
+
+def test_secondary_index_prunes_to_containing_files(spark, tpath):
+    from pyspark.sql import functions as F
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+        max_records_per_file=10,
+    )
+    rows = [(i, 1, f"cat{i % 7}") for i in range(100)]
+    t.bulk_insert(
+        spark.createDataFrame(rows, "id long, ver long, cat string")
+    )
+    TableServices(t).build_secondary_index("cat")
+    total = len(t.snapshot().inputFiles())
+    assert total > 3  # enough files for pruning to mean something
+    pruned = t.snapshot(filters={"cat": "cat3"})
+    assert 0 < len(pruned.inputFiles()) < total
+    got = rows_of(pruned.where(F.col("cat") == "cat3"), "id")
+    assert got == [(i,) for i in range(100) if i % 7 == 3]
+    # absent value -> every covered file pruned away
+    assert len(t.snapshot(filters={"cat": "nope"}).inputFiles()) == 0
+
+
+def test_secondary_index_incremental_covers_new_files_only(spark, tpath):
+    from pyspark.sql import functions as F
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "id long, ver long, cat string")
+    )
+    svc = TableServices(t)
+    svc.build_secondary_index("cat")
+    # new commit not covered yet -> falls through pruning (still read)
+    t.insert(
+        spark.createDataFrame([(3, 1, "c")], "id long, ver long, cat string"),
+        dedup_batch=False,
+    )
+    assert rows_of(
+        t.snapshot(filters={"cat": "c"}).where(F.col("cat") == "c"), "id"
+    ) == [(3,)]
+    # incremental build covers it; absent values now prune everything
+    svc.build_secondary_index("cat", incremental=True)
+    assert len(t.snapshot(filters={"cat": "zz"}).inputFiles()) == 0
+    assert rows_of(
+        t.snapshot(filters={"cat": "c"}).where(F.col("cat") == "c"), "id"
+    ) == [(3,)]
