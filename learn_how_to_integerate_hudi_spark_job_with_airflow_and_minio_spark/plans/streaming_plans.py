@@ -348,3 +348,115 @@ def stream_mor_delta_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(latest, output_mode="complete")
+
+
+@register(
+    "stream_mv_refresh",
+    # Deterministic under ANY micro-batch split: the base table's
+    # precombine (_ver) makes its final state arrival-order-independent,
+    # changes_full diffs actual pre/post states per batch, and the MV
+    # maintenance algebra is additive in exact decimals — so the folded
+    # MV equals a full GROUP BY of the final base state bit-for-bit.
+    oracle="""
+        WITH final AS (
+            SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000
+                        ELSE o_custkey END AS g,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS price
+            FROM orders
+        )
+        SELECT g AS o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
+        FROM final
+        GROUP BY g
+    """,
+    doc="streaming materialized-view maintenance: each micro-batch "
+    "upserts the base table, diffs it against the pre-batch commit "
+    "(changes_full CDC), and folds the O(delta) before/after images "
+    "into a grouped-aggregate MV table — group migrations (custkey "
+    "reassignment) and measure updates maintained without ever "
+    "recomputing the base aggregate; the streaming lakehouse MV loop",
+)
+def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.mv import incremental_mv_refresh
+    from ..session import load_tables
+    from ..table import META_COL, Table
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="engine_smv_")
+    src = Table.create(
+        spark, f"{scratch}/src", key="o_orderkey", precombine="_ver",
+        table_name="smv_src",
+    )
+    # coalesce(2): four ~equal source files → four micro-batches at
+    # maxFilesPerTrigger=1 — enough to exercise insert, update, AND
+    # group-migration maintenance without per-file scheduling overhead
+    # dominating the query
+    src.insert(orders.withColumn("_ver", F.lit(1)).coalesce(2))
+    src.insert(
+        orders.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_custkey", F.col("o_custkey") + 1000)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_ver", F.lit(2))
+        .coalesce(2)
+    )
+
+    base = Table.create(
+        spark, f"{scratch}/base", key="o_orderkey", precombine="_ver",
+        table_name="smv_base",
+    )
+    mv = Table.create(
+        spark, f"{scratch}/mv", key="o_custkey", precombine="_refresh_seq",
+        table_name="smv_mv",
+    )
+    # seed the MV's schema with an empty commit so refresh #1 can diff
+    mv.bulk_insert(
+        spark.createDataFrame(
+            [],
+            "o_custkey long, n_orders long, spend decimal(18,2), _refresh_seq string",
+        )
+    )
+
+    def fold(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        prev = base.latest_commit()
+        base.upsert(batch_df.drop(META_COL))
+        changes = base.changes_full(begin=prev).select(
+            "o_custkey",
+            "o_custkey_before",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("spend"),
+            F.col("o_totalprice_before").cast("decimal(18,2)").alias("spend_before"),
+            "_change_type",
+        )
+        incremental_mv_refresh(
+            mv,
+            changes,
+            group_col="o_custkey",
+            measure_cols=["spend"],
+            refresh_seq=base.latest_commit(),
+            count_col="n_orders",
+        )
+
+    q = (
+        src.read_stream(maxFilesPerTrigger=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from .common import as_double
+
+    return mv.snapshot().select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        as_double(F.col("spend")).alias("spend"),
+    )

@@ -589,7 +589,7 @@ class Table:
     def is_empty(self) -> bool:
         return not self.current_files()
 
-    def read_stream(self) -> DataFrame:
+    def read_stream(self, **reader_options) -> DataFrame:
         """Structured-Streaming flavor of the incremental scan (SURVEY
         §3.3): a file-source stream over the commit-partitioned data
         layout — each new commit's files are discovered as they land, and
@@ -604,9 +604,11 @@ class Table:
         schema = self._schema()
         if schema is None:
             raise ValueError(f"table at {self.path} has no commits yet")
-        return self.spark.readStream.schema(schema).parquet(
-            posixpath.join(self.path, "data", "*")
-        )
+        reader = self.spark.readStream.schema(schema)
+        for k, v in reader_options.items():
+            # e.g. maxFilesPerTrigger=1 to bound micro-batch size
+            reader = reader.option(k, v)
+        return reader.parquet(posixpath.join(self.path, "data", "*"))
 
     # -- writes ----------------------------------------------------------
 

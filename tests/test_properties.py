@@ -169,3 +169,26 @@ def test_single_upsert_null_precombine_ranks_lowest(
     t = _mk(spark, tmp_path_factory.mktemp("prop"))
     t.upsert(_df(spark, rows))
     assert _snap(t) == expected_single_batch_nullable(rows)
+
+
+@given(rows=BATCH, upd=BATCH)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_partial_update_with_full_columns_equals_upsert(
+    spark, tmp_path_factory, rows, upd
+):
+    """partial_update degenerates to upsert when the batch carries every
+    column and no nulls — the two write paths must agree on any input."""
+    base = tmp_path_factory.mktemp("prop_pu")
+    t1, t2 = _mk(spark, base), _mk(spark, base)
+    t1.upsert(_df(spark, rows))
+    t2.upsert(_df(spark, rows))
+    t1.upsert(_df(spark, upd))
+    t2.partial_update(_df(spark, upd))
+    cols = ["id", "ver", "val"]
+    a = sorted(tuple(r[c] for c in cols) for r in t1.snapshot().collect())
+    b = sorted(tuple(r[c] for c in cols) for r in t2.snapshot().collect())
+    assert a == b
