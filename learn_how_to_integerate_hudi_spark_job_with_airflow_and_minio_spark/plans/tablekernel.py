@@ -963,3 +963,39 @@ def table_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_custkey") == target)  # pruning is file-level
         .drop(META_COL)
     )
+
+
+@register(
+    "table_drop_column",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="metadata-only DROP COLUMN (Delta/Iceberg shape): a commit whose "
+    "schema omits o_custkey — zero data rewritten, reads project the "
+    "column away via the explicit manifest schema, and a post-drop "
+    "upsert proceeds against the narrowed schema; time travel before "
+    "the drop still sees the column (pinned in pytest)",
+)
+def table_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_dc_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_dc",
+    )
+    t.bulk_insert(orders)
+    t.alter_drop_column("o_custkey")
+    # post-drop writes run against the narrowed schema
+    t.upsert(
+        orders.where(F.col("o_orderkey") % 5 == 0)
+        .drop("o_custkey")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return t.snapshot().drop(META_COL)

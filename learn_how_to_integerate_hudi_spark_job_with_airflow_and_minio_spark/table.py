@@ -875,6 +875,42 @@ class Table:
         self._publish(commit, "merge", added, removed, out.schema)
         return commit
 
+    def alter_drop_column(self, col: str) -> str:
+        """Metadata-only column drop (Delta/Iceberg DROP COLUMN shape —
+        schema evolution beyond the add-on-append the table already
+        does): publishes a commit whose manifest schema omits ``col``.
+        NO data is rewritten — old files keep the bytes, and every read
+        projects them away because ``_read_entries`` scans with the
+        explicit manifest schema (parquet ignores file columns the read
+        schema doesn't name). Time travel to a commit before the drop
+        still surfaces the column (``_schema(as_of)`` walks the
+        timeline); later rewrites (upsert/compaction) physically shed
+        the bytes file by file. Re-adding a same-named column later is
+        ordinary evolution-on-append: old files surface it as null, not
+        as the resurrected old bytes, because any file written before
+        the re-add is read under a schema where the column is new.
+        """
+        reserved = {
+            self.key,
+            self.precombine,
+            META_COL,
+            *(self.meta.get("partition_fields") or []),
+        }
+        if col in reserved:
+            raise ValueError(
+                f"cannot drop {col!r}: key/precombine/meta/partition "
+                "columns are structural"
+            )
+        schema = self._schema()
+        if schema is None or col not in schema.fieldNames():
+            raise ValueError(f"no such column {col!r} in current schema")
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        commit = self._next_commit()
+        self._publish(commit, "alter_drop_column", [], [], new_schema)
+        return commit
+
     def partial_update(self, df: DataFrame) -> str:
         """Column-subset upsert (the Hudi ``PARTIAL_UPDATE`` payload
         surface, admitted by ``hoodie.datasource.write.payload.class`` on

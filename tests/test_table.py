@@ -966,3 +966,31 @@ def test_secondary_index_incremental_covers_new_files_only(spark, tpath):
     assert rows_of(
         t.snapshot(filters={"cat": "c"}).where(F.col("cat") == "c"), "id"
     ) == [(3,)]
+
+
+# -- metadata-only DROP COLUMN ----------------------------------------
+
+
+def test_drop_column_projects_without_rewrite_and_time_travels(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0), (2, 1, "b", 20.0)],
+            "id long, ver long, val string, score double",
+        )
+    )
+    files_before = sorted(t.snapshot().inputFiles())
+    t.alter_drop_column("score")
+    # no rewrite: identical physical file set, column gone from reads
+    assert sorted(t.snapshot().inputFiles()) == files_before
+    assert "score" not in t.snapshot().columns
+    # time travel before the drop still surfaces it
+    assert "score" in t.snapshot(as_of=c1).columns
+    # structural columns are protected
+    with pytest.raises(ValueError, match="structural"):
+        t.alter_drop_column("id")
+    with pytest.raises(ValueError, match="no such column"):
+        t.alter_drop_column("nope")
+    # post-drop upsert works against the narrowed schema
+    t.upsert(df_of(spark, [(3, 1, "c")]))
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a"), (2, "b"), (3, "c")]
