@@ -175,3 +175,67 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("bin_max"),
         )
     )
+
+
+@register(
+    "agg_linear_regression",
+    # Exactness: the five moment sums run in DECIMAL (order-independent,
+    # scale 2 — exact for TPC-H's 2-decimal values, and narrow enough that
+    # cross products stay inside both engines' decimal mul width),
+    # exact), each surfaces to double via the string cast (bit-identical
+    # across engines, common.py convention), and slope/intercept/r2 are
+    # then a fixed dag of IEEE double ops on identical inputs — so the
+    # regression coefficients cross the engine boundary exactly, with no
+    # reliance on regr_* builtins whose internal summation order differs.
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS syy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+               ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        FROM m
+    """,
+    doc="grouped least-squares fit (price ~ quantity per returnflag): "
+    "slope/intercept/r2 from five decimal-exact moment sums — one "
+    "partial-aggregatable pass over the table, coefficients derived in "
+    "a fixed IEEE dag so both engines produce identical doubles "
+    "(regr_slope/regr_r2 builtins are NOT cross-engine stable)",
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import as_double
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    dx = F.col("l_quantity").cast("decimal(12,2)")
+    dy = F.col("l_extendedprice").cast("decimal(14,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(dx)).alias("sx"),
+        as_double(F.sum(dy)).alias("sy"),
+        as_double(F.sum(dx * dy)).alias("sxy"),
+        as_double(F.sum(dx * dx)).alias("sxx"),
+        as_double(F.sum(dy * dy)).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )

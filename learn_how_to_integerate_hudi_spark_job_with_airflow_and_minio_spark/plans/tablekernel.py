@@ -999,3 +999,43 @@ def table_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("U"))
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_write_constraints_quarantine",
+    # _violation order = constraint declaration order (min_price first),
+    # mirrored by the oracle's CASE concatenation.
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE
+                   WHEN o_totalprice <= 50000 AND o_orderstatus = 'P'
+                       THEN 'min_price,no_pending'
+                   WHEN o_totalprice <= 50000 THEN 'min_price'
+                   ELSE 'no_pending'
+               END AS _violation
+        FROM orders
+        WHERE o_totalprice <= 50000 OR o_orderstatus = 'P'
+    """,
+    doc="write-side expectations with quarantine (Delta-DLT shape): rows "
+    "failing any declared SQL constraint (false OR null) divert to the "
+    "table's quarantine store with the failed-constraint names; only "
+    "clean rows reach the merge. The gated result is the quarantine "
+    "content itself; the clean snapshot is pinned in pytest",
+)
+def table_write_constraints_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_cq_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_cq",
+        constraints={
+            "min_price": "o_totalprice > 50000",
+            "no_pending": "o_orderstatus <> 'P'",
+        },
+    )
+    t.upsert(orders)
+    return t.quarantine().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "_violation"
+    )

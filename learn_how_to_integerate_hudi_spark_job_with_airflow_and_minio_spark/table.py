@@ -94,6 +94,7 @@ class Table:
         max_records_per_file: int = 0,
         exists_ok: bool = False,
         table_type: str = "cow",
+        constraints: dict[str, str] | None = None,
     ) -> "Table":
         if table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
@@ -110,6 +111,11 @@ class Table:
             "partition_fields": partition_fields or [],
             "max_records_per_file": max_records_per_file,
             "table_type": table_type,
+            # declarative write-side expectations ({name: SQL boolean
+            # expr}); rows failing any (false OR null) are diverted to
+            # the quarantine store instead of the table — see
+            # _gate_constraints
+            "constraints": constraints or {},
             "created_at": _utcnow(),
         }
         write_json(meta_path, meta)
@@ -654,6 +660,7 @@ class Table:
 
     def _delta_write(self, df: DataFrame) -> str:
         self._validate_batch(df)
+        df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
         added = self._write_files(batch, commit, kind="delta")
@@ -663,6 +670,7 @@ class Table:
     def insert(self, df: DataFrame, dedup_batch: bool = True) -> str:
         """Append without merging into existing keys (Hudi 'insert' op)."""
         self._validate_batch(df, need_precombine=dedup_batch)
+        df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df) if dedup_batch else df
         stamped = batch.withColumn(META_COL, F.lit(commit))
@@ -674,6 +682,7 @@ class Table:
         """Sorted bulk load (Hudi 'bulk_insert'): key-sorted files →
         tight key-range stats → better pruning on later upserts."""
         self._validate_batch(df, need_precombine=False)
+        df = self._gate_constraints(df)
         commit = self._next_commit()
         stamped = df.withColumn(META_COL, F.lit(commit)).sortWithinPartitions(
             self.key
@@ -693,6 +702,7 @@ class Table:
         files stay readable for time travel until cleaned.
         """
         self._validate_batch(df, need_precombine=False)
+        df = self._gate_constraints(df)
         commit = self._next_commit()
         stamped = df.withColumn(META_COL, F.lit(commit))
         parts = self.meta.get("partition_fields") or []
@@ -849,7 +859,7 @@ class Table:
             self._delta_write(source.where(~flag).drop(delete_col))
             return self.delete(source.where(flag).select(self.key))
         upserts = self._dedup_batch(
-            source.where(~flag).drop(delete_col)
+            self._gate_constraints(source.where(~flag).drop(delete_col))
         )
         commit = self._next_commit()
         batch = upserts.withColumn(META_COL, F.lit(commit))
@@ -938,6 +948,7 @@ class Table:
                 "read path merges whole rows (newest wins), not columns"
             )
         self._validate_batch(df)
+        df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df)
         table_schema = self._schema()
@@ -1024,6 +1035,52 @@ class Table:
                 "'_deleted'; use delete()/merge(delete_col=...) instead"
             )
 
+    def _quarantine_dir(self) -> str:
+        return posixpath.join(self.path, "_quarantine")
+
+    def quarantine(self) -> DataFrame:
+        """Rows diverted by write-side constraints: the batch columns
+        plus ``_violation`` (comma-joined failed-constraint names, in
+        declaration order) and ``_quarantined_at``."""
+        qd = self._quarantine_dir()
+        if not self.fs.exists(qd):
+            raise ValueError(f"no quarantined rows at {qd}")
+        return self.spark.read.parquet(qd)
+
+    def _gate_constraints(self, df: DataFrame) -> DataFrame:
+        """Delta-expectations-style ingest gate: evaluate every declared
+        constraint (SQL boolean expr) per row; rows failing ANY — false
+        or NULL, the strict ingest-quality reading, unlike SQL CHECK
+        where NULL passes — are appended to the quarantine store with
+        the failed names, and only clean rows continue to the write.
+        One extra pass over the batch (the quarantine write) only when
+        violations exist; the flag evaluation itself fuses into the
+        batch's first projection."""
+        cons = self.meta.get("constraints") or {}
+        if not cons:
+            return df
+        flags = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name)
+                    )
+                    for name, expr in cons.items()
+                ]
+            )
+        )
+        tagged = df.withColumn("_viol", flags)
+        bad = tagged.where(F.size("_viol") > 0)
+        if not bad.isEmpty():
+            (
+                bad.withColumn("_violation", F.array_join("_viol", ","))
+                .withColumn("_quarantined_at", F.lit(_utcnow()))
+                .drop("_viol")
+                .write.mode("append")
+                .parquet(self._quarantine_dir())
+            )
+        return tagged.where(F.size("_viol") == 0).drop("_viol")
+
     def _dedup_batch(self, df: DataFrame) -> DataFrame:
         # max(precombine) per key wins; equal precombine → last row in
         # batch order wins (deterministic within a run, like Hudi's
@@ -1055,6 +1112,7 @@ class Table:
 
     def _merge_write(self, df: DataFrame, action: str) -> str:
         self._validate_batch(df)
+        df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
         entries = self.current_files()

@@ -994,3 +994,42 @@ def test_drop_column_projects_without_rewrite_and_time_travels(spark, tpath):
     # post-drop upsert works against the narrowed schema
     t.upsert(df_of(spark, [(3, 1, "c")]))
     assert rows_of(t.snapshot(), "id", "val") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# -- write-side constraints / quarantine ------------------------------
+
+
+def test_constraints_divert_violations_and_keep_table_clean(spark, tpath):
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+        constraints={"pos": "score > 0", "named": "val IS NOT NULL"},
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [
+                (1, 1, "a", 5.0),      # clean
+                (2, 1, "b", -1.0),     # pos fails
+                (3, 1, None, 2.0),     # named fails
+                (4, 1, None, None),    # both fail (null score -> pos fails)
+            ],
+            "id long, ver long, val string, score double",
+        )
+    )
+    assert rows_of(t.snapshot(), "id") == [(1,)]
+    q = {r["id"]: r["_violation"] for r in t.quarantine().collect()}
+    assert q == {2: "pos", 3: "named", 4: "pos,named"}
+    # a later clean batch is unaffected; quarantine is append-only
+    t.upsert(
+        spark.createDataFrame(
+            [(5, 1, "e", 1.0)], "id long, ver long, val string, score double"
+        )
+    )
+    assert rows_of(t.snapshot(), "id") == [(1,), (5,)]
+    assert sorted(q) == [2, 3, 4]
+
+
+def test_constraints_absent_no_quarantine_dir(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="no quarantined rows"):
+        t.quarantine()
