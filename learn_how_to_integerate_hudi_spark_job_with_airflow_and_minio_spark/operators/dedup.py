@@ -701,3 +701,81 @@ def keep_representative(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 20
+) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2022):
+    every occurrence of a ``window``-token span that repeats anywhere in
+    the corpus — beyond the first occurrence in (doc, pos) order — has
+    its covered token positions cut out of the document; the first copy
+    survives, so no content is lost, only repetition. Returns
+    ``(id, text_clean, n_removed_tokens)`` for EVERY input document.
+
+    Distributed shape: positions ride along with the rolling span
+    hashes; a row_number window partitioned by the 8-byte hash finds
+    non-first occurrences (rn > 1 already implies a duplicate — no
+    count pass); their covered positions explode (bounded by
+    window × dup occurrences), and one anti-join filters the token
+    table before per-doc reassembly. Hazard at 100 TB: a stop-phrase
+    span repeated millions of times piles its occurrences into one hash
+    partition — cap with a df-style hot-span filter (as in
+    ngram_jaccard's max_df) if the corpus has degenerate boilerplate.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("__tok")
+    )
+    spans = F.when(
+        F.size("__tok") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tok") - window),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice("__tok", i + 1, window))).alias(
+                    "h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    occ = toks.select("_id", F.explode(spans).alias("o")).select(
+        "_id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("_id", "pos")
+    dup = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias(
+                "p"
+            ),
+        )
+        .distinct()
+    )
+    words = toks.select("_id", F.posexplode("__tok").alias("p", "word"))
+    kept = words.join(dup, ["_id", "p"], "left_anti")
+    cleaned = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    removed = dup.groupBy("_id").agg(F.count(F.lit(1)).alias("n_removed_tokens"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(cleaned, "_id", "left")
+        .join(removed, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+    )

@@ -646,3 +646,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         d, "doc_id", "text", n=3, threshold=0.9
     )
+
+
+@register(
+    "dedup_remove_spans",
+    # Engine groups occurrences by the 64-bit span hash, the oracle by
+    # the span string — identical removal decisions modulo hash
+    # collisions (~1e-11 at this span count). (doc_id, pos) ordering
+    # makes "first occurrence survives" deterministic in both engines.
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        occ AS (
+            SELECT doc_id, px.p AS pos, px.s AS span
+            FROM (
+                SELECT doc_id,
+                       unnest([{'p': i - 1,
+                                's': array_to_string(w[i:i+19], ' ')}
+                               for i in range(1, len(w) - 18)]) AS px
+                FROM toks
+                WHERE len(w) >= 20
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, pos) AS rn
+            FROM occ
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, unnest(range(pos, pos + 20)) AS p
+            FROM ranked WHERE rn > 1
+        ),
+        words AS (
+            SELECT doc_id, wx.p AS p, wx.word
+            FROM (
+                SELECT doc_id,
+                       unnest([{'p': i - 1, 'word': w[i]}
+                               for i in range(1, len(w) + 1)]) AS wx
+                FROM toks
+            )
+        ),
+        kept AS (SELECT * FROM words ANTI JOIN covered USING (doc_id, p)),
+        cleaned AS (
+            SELECT doc_id,
+                   array_to_string(list(word ORDER BY p), ' ') AS text_clean
+            FROM kept GROUP BY doc_id
+        ),
+        removed AS (
+            SELECT doc_id, COUNT(*) AS n_removed_tokens
+            FROM covered GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.text_clean, '') AS text_clean,
+               COALESCE(r.n_removed_tokens, 0) AS n_removed_tokens
+        FROM documents d
+        LEFT JOIN cleaned c USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
+    """,
+    doc="exact-substring REMOVAL (the Lee et al. 2022 step the pair "
+    "detectors stop short of): every repeated 20-token span keeps its "
+    "first (doc,pos) occurrence and is cut everywhere else — repetition "
+    "gone, content kept. Rolling span hashes carry positions, one "
+    "row_number window finds non-first occurrences, one anti-join "
+    "filters the token table, per-doc reassembly restores order",
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return D.remove_duplicate_spans(d, "doc_id", "text", window=20)

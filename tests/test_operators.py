@@ -272,3 +272,29 @@ def test_incremental_lsh_index_maintenance_is_o_batch(spark, tmp_path):
     )
     got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
     assert (1, 20) in got and (10, 20) in got
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(5))  # 5-token repeated span
+    docs = spark.createDataFrame(
+        [
+            (1, span + " tail one two"),      # first occurrence -> intact
+            (2, "lead " + span + " end"),     # repeat -> span removed
+            (3, "short doc"),                 # < window -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(docs, "doc_id", "text", window=5).collect()
+    }
+    assert out[1] == (span + " tail one two", 0)
+    assert out[3] == ("short doc", 0)
+    clean2, removed2 = out[2]
+    # the repeated span is gone from doc 2; its unique words survive
+    assert "w0" not in clean2 and "lead" in clean2 and "end" in clean2
+    assert removed2 >= 5
