@@ -488,3 +488,80 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, CAST(n AS INT) AS n, amount FROM inst
         """
     )
+
+
+@register(
+    "join_tpch_q8",
+    # Share = ratio of two decimal-exact sums, each surfaced to double
+    # via the string cast, divided once in IEEE — cross-engine identical.
+    oracle="""
+        WITH vol AS (
+            SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o    ON l.l_orderkey = o.o_orderkey
+            JOIN part p      ON l.l_partkey  = p.p_partkey
+            JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+            JOIN customer c  ON o.o_custkey  = c.c_custkey
+            JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+            JOIN region r    ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        )
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE CAST(0 AS DECIMAL(18,6))
+                             END) AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE)
+                   AS mkt_share
+        FROM vol
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): an 8-table star join — "
+    "region/nation filters reach the small dims, AQE broadcasts every "
+    "dimension into the lineitem scan so the fact table shuffles only "
+    "for the final year aggregate; share computed from two decimal-"
+    "exact sums",
+)
+def join_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import as_double, dec
+
+    t = load_tables(
+        spark, sf_dir,
+        "lineitem", "orders", "part", "supplier", "customer", "nation", "region",
+    )
+    li, o, p, s, c = t["lineitem"], t["orders"], t["part"], t["supplier"], t["customer"]
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    r = t["region"]
+    vol = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p.where(F.col("p_type") == "PROMO"), li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n1, c["c_nationkey"] == F.col("n1.n_nationkey"))
+        .join(
+            r.where(F.col("r_name") == "AMERICA"),
+            F.col("n1.n_regionkey") == r["r_regionkey"],
+        )
+        .join(n2, s["s_nationkey"] == F.col("n2.n_nationkey"))
+        .select(
+            F.year(o["o_orderdate"]).cast("long").alias("o_year"),
+            (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return vol.groupBy("o_year").agg(
+        (
+            as_double(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                )
+            )
+            / as_double(F.sum("volume"))
+        ).alias("mkt_share")
+    )
