@@ -54,9 +54,16 @@ HEADLINE = [
     "skyline_pareto_2d",
     "table_partial_update",
     "dedup_incremental_lsh",
+    "dedup_remove_spans",
     "sim_quantized_topk",
     "win_gaps_islands",
     "sample_weighted_reservoir",
+    "agg_retention_cohorts",
+    "join_tpch_q8",
+    # stream_mv_refresh is deliberately NOT a headline row: four
+    # maxFilesPerTrigger=1 micro-batches each running upsert + CDC diff
+    # + MV merge is a correctness showcase (~13 s at sf0.1), not a
+    # throughput query; it stays driver-gated for correctness.
     "multimodal_features",
     "stream_tumbling_window",
     "stream_table_feed",

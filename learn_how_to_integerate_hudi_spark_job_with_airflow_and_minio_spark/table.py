@@ -1669,6 +1669,49 @@ class TableServices:
         )
         return as_of
 
+    def vacuum_orphans(self, older_than_seconds: float = 86400.0) -> list[str]:
+        """Delete data files NO manifest has ever referenced — the
+        garbage a lost OCC race or a crash between file write and
+        manifest publish leaves behind (each attempt writes a unique
+        ``data/<commit>-<token>/`` dir, so orphans never collide with
+        live data). Referenced = union of ``files_added`` across the
+        whole timeline including the archive; everything else under
+        ``data/`` older than ``older_than_seconds`` goes.
+
+        The age guard is the correctness boundary: an IN-FLIGHT writer
+        has files on disk before its manifest exists, indistinguishable
+        from garbage — a threshold comfortably above any write duration
+        (default 24 h, Delta VACUUM's posture) makes the race
+        impossible. Returns deleted paths.
+        """
+        import os as _os
+        import time as _time
+
+        t = self.t
+        referenced: set[str] = set()
+        for c in t.commits(include_archived=True):
+            m = t._manifest(c)
+            for e in m.get("files_added", []):
+                if not e.get("external"):
+                    referenced.add(e["path"])
+        data_root = posixpath.join(t.path, "data")
+        if not t.fs.exists(data_root):
+            return []
+        now = _time.time()
+        deleted: list[str] = []
+        for p in t.fs.list(data_root):
+            rel = posixpath.join("data", _os.path.relpath(p, data_root))
+            if rel in referenced or not p.endswith(".parquet"):
+                continue
+            try:
+                age = now - _os.path.getmtime(p)
+            except OSError:
+                continue  # already gone (concurrent vacuum)
+            if age >= older_than_seconds:
+                t.fs.delete(p)
+                deleted.append(rel)
+        return deleted
+
     def clean(self, retain_commits: int = 5) -> list[str]:
         """Delete data files no snapshot within the retention window needs.
 

@@ -1033,3 +1033,28 @@ def test_constraints_absent_no_quarantine_dir(spark, tpath):
     t.upsert(df_of(spark, [(1, 1, "a")]))
     with pytest.raises(ValueError, match="no quarantined rows"):
         t.quarantine()
+
+
+# -- orphan vacuum ----------------------------------------------------
+
+
+def test_vacuum_orphans_removes_unreferenced_attempt_dirs(spark, tpath):
+    import os
+
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    # simulate a lost write attempt: a data dir no manifest references
+    orphan_dir = os.path.join(tpath, "data", "00000001-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet")
+    before = rows_of(t.snapshot(), "id", "val")
+    deleted = TableServices(t).vacuum_orphans(older_than_seconds=0)
+    assert deleted == ["data/00000001-deadbeef/part-orphan.parquet"]
+    assert not os.path.exists(orphan)
+    # live data untouched; age guard protects fresh files
+    assert rows_of(t.snapshot(), "id", "val") == before
+    with open(orphan, "wb") as f:
+        f.write(b"fresh in-flight attempt")
+    assert TableServices(t).vacuum_orphans(older_than_seconds=3600) == []
