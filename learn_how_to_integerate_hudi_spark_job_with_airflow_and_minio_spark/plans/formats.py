@@ -131,3 +131,47 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(ev, dim, "event_type", salt=16, salt_on="event_id")
     return joined.groupBy("event_type", "weight").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "source_csv_corrupt_records",
+    # The malformed lines are fixed literals, so the expected parse is a
+    # VALUES table — the oracle does not need a CSV reader at all.
+    oracle="""
+        SELECT * FROM (VALUES
+            (1,                   'alpha',              10.5,  FALSE),
+            (2,                   'beta',               20.0,  FALSE),
+            (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), TRUE),
+            (4,                   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), TRUE),
+            (5,                   'comma,inside',       50.25, FALSE)
+        ) AS t(id, name, score, is_corrupt)
+    """,
+    doc="malformed-input handling at ingest (PERMISSIVE mode + "
+    "columnNameOfCorruptRecord): type-garbage and arity-garbage rows "
+    "surface as corrupt records with null fields instead of failing the "
+    "job — the bad-data posture a 100 TB ingest needs (badRecordsPath / "
+    "DROPMALFORMED are the same machinery); quoted separators parse "
+    "clean",
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="engine_badcsv_")
+    lines = [
+        "1,alpha,10.5",            # clean
+        "2,beta,20.0",             # clean
+        "x,gamma,oops",            # id AND score unparseable -> corrupt
+        "4,delta,not_a_number",    # score unparseable -> corrupt
+        '5,"comma,inside",50.25',  # quoted separator -> clean
+    ]
+    with open(f"{path}/data.csv", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    df = spark.read.schema(
+        "id long, name string, score double, _corrupt_record string"
+    ).options(
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record"
+    ).csv(path)
+    return df.select(
+        "id",
+        F.when(F.col("_corrupt_record").isNull(), F.col("name")).alias("name"),
+        "score",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )

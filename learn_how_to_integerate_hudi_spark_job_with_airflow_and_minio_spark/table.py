@@ -1757,6 +1757,35 @@ class TableServices:
                 deleted.append(p)
         return deleted
 
+    def should_compact(
+        self, max_delta_commits: int = 5, max_delta_row_ratio: float = 0.2
+    ) -> bool:
+        """MOR compaction trigger (the Hudi NUM_COMMITS / by-size
+        scheduling policy, decided from manifest metadata alone — zero
+        data reads): compact when the live set carries more than
+        ``max_delta_commits`` distinct delta commits OR delta rows exceed
+        ``max_delta_row_ratio`` of base rows (read-side merge cost grows
+        with both). COW tables never need it — always False."""
+        t = self.t
+        if t.table_type != "mor":
+            return False
+        entries = t.current_files()
+        delta = [e for e in entries if e.get("kind") == "delta"]
+        if not delta:
+            return False
+        delta_commits = {e["path"].split("/")[1].split("-")[0] for e in delta}
+        if len(delta_commits) > max_delta_commits:
+            return True
+        base_rows = sum(
+            e.get("rows") or 0 for e in entries if e.get("kind", "base") == "base"
+        )
+        if base_rows == 0:
+            # base-less table (never compacted): the ratio is undefined —
+            # only the commit-count rule applies, like Hudi's NUM_COMMITS
+            return False
+        delta_rows = sum(e.get("rows") or 0 for e in delta)
+        return delta_rows > max_delta_row_ratio * base_rows
+
     def compact(
         self,
         sort_cols: list[str] | None = None,

@@ -1058,3 +1058,20 @@ def test_vacuum_orphans_removes_unreferenced_attempt_dirs(spark, tpath):
     with open(orphan, "wb") as f:
         f.write(b"fresh in-flight attempt")
     assert TableServices(t).vacuum_orphans(older_than_seconds=3600) == []
+
+
+def test_should_compact_policy_from_manifest_metadata(spark, tpath):
+    t = make_table(spark, tpath, table_type="mor")
+    svc = TableServices(t)
+    t.upsert(df_of(spark, [(i, 1, "a") for i in range(100)]))
+    assert not svc.should_compact()  # base-less: ratio rule is undefined
+    # small delta trickle: commits trigger the NUM_COMMITS policy
+    for v in range(2, 9):
+        t.upsert(df_of(spark, [(1, v, "x")]))
+    assert svc.should_compact(max_delta_commits=5)
+    assert not svc.should_compact(max_delta_commits=50, max_delta_row_ratio=10.0)
+    svc.compact()
+    assert not svc.should_compact()
+    # one big delta (vs compacted base) trips the row-ratio policy
+    t.upsert(df_of(spark, [(i, 9, "y") for i in range(50)]))
+    assert svc.should_compact(max_delta_commits=50, max_delta_row_ratio=0.2)
