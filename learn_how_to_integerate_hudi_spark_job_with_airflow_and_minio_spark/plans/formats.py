@@ -175,3 +175,58 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+def _duck_md5_int(expr: str, lo: int, hi: int) -> str:
+    """DuckDB integer from md5 hex nibbles [lo, hi) (0-based), mirroring
+    python's int(h[lo:hi], 16)."""
+    width = hi - lo
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {lo + j + 1}, 1)) - 1)"
+        f" * {16 ** (width - 1 - j)}"
+        for j in range(width)
+    )
+    return f"({poly})"
+
+
+@register(
+    "source_python_datasource",
+    # Every field is md5-derived, so DuckDB regenerates the connector's
+    # exact output from range(): the oracle verifies a source that reads
+    # from nothing.
+    oracle=f"""
+        WITH g AS (
+            SELECT i,
+                   CAST(i // 125 AS BIGINT) AS part_id,
+                   md5('cust|42|' || CAST(i AS VARCHAR)) AS h,
+                   {_duck_md5_int("'cust|42|' || CAST(i AS VARCHAR)", 0, 6)} AS s6,
+                   {_duck_md5_int("'cust|42|' || CAST(i AS VARCHAR)", 6, 12)} AS s12
+            FROM range(0, 1000) t(i)
+        )
+        SELECT i, part_id,
+               substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+               substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+               substr(h, 21, 12) AS customer_id,
+               ['Ohio', 'Texas', 'California', 'Nevada', 'Oregon',
+                'Iowa', 'Maine'][(s6 % 7) + 1] AS state,
+               CAST(s12 % 100000 AS BIGINT) AS acct
+        FROM g
+    """,
+    doc="custom Python data source (Spark 4 DataSource API): a connector "
+    "registered from pure Python becomes a first-class "
+    "spark.read.format(...) with partitioned executor-side reads — the "
+    "extensibility path the reference's source dispatcher reserves "
+    "(source_type DYNAMODB comment). Rows stream from a generator in "
+    "Arrow batches; partition boundaries surface as part_id",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    return (
+        spark.read.format("synthetic_customers")
+        .option("n", 1000)
+        .option("partitions", 8)
+        .option("seed", 42)
+        .load()
+    )

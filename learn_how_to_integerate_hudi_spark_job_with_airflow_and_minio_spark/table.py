@@ -1041,7 +1041,10 @@ class Table:
     def quarantine(self) -> DataFrame:
         """Rows diverted by write-side constraints: the batch columns
         plus ``_violation`` (comma-joined failed-constraint names, in
-        declaration order) and ``_quarantined_at``."""
+        declaration order) and ``_quarantined_at``. Append-only: a write
+        retried under ``occ_retries`` re-evaluates the batch and may
+        re-append the same violators — dedup downstream on the key if
+        exactly-once quarantine rows matter."""
         qd = self._quarantine_dir()
         if not self.fs.exists(qd):
             raise ValueError(f"no quarantined rows at {qd}")
@@ -1682,7 +1685,10 @@ class TableServices:
         has files on disk before its manifest exists, indistinguishable
         from garbage — a threshold comfortably above any write duration
         (default 24 h, Delta VACUUM's posture) makes the race
-        impossible. Returns deleted paths.
+        impossible. Returns deleted paths. Ages come from local-fs
+        mtimes; on object stores the equivalent is a LastModified check
+        or a bucket lifecycle rule on un-referenced prefixes (files a
+        getmtime can't stat are skipped, never deleted).
         """
         import os as _os
         import time as _time
