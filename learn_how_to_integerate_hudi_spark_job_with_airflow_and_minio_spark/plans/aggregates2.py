@@ -239,3 +239,33 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="EXACT distinct counting via two-level bitmaps (the ClickHouse/"
+    "Doris bitmap path Spark ships as bitmap_construct_agg/bitmap_count): "
+    "keys bucket into 32k-bit bitmaps, per-(group, bucket) partial "
+    "bitmaps OR map-side, counts sum exactly — distinct-at-scale without "
+    "the count-distinct expand and without HLL error. Result equals "
+    "COUNT(DISTINCT) by construction, which is the oracle",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    level1 = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("_bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias(
+            "_bm"
+        )
+    )
+    return level1.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("_bm")).alias("exact_distinct")
+    )

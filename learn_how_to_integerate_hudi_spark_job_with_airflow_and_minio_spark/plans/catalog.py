@@ -69,7 +69,8 @@ _GATE_WINDOW = 50
 # every round. ROUND-6 DEBT (r2-stale rows displaced by late round-5
 # births — they MUST lead the round-6 window right after any r6
 # births): win_topk_per_group, win_rank_percent, win_running_sum,
-# agg_collect_list_sorted, stream_table_feed,
+# agg_collect_list_sorted, stream_sliding_window,
+# stream_session_window, stream_table_feed,
 # stream_foreachbatch_upsert,
 # dedup_ngram_jaccard, dedup_simhash,
 # sim_topk_bruteforce,
@@ -83,6 +84,8 @@ _GATE_WINDOW = 50
 # scalar_string_funcs, scalar_date_funcs, scalar_array_funcs.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
+    "stream_python_datasource",
+    "agg_bitmap_distinct",
     "source_python_datasource",
     "source_csv_corrupt_records",
     "join_tpch_q8",
@@ -132,8 +135,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_compaction_snapshot",
     "sql_catalog_attach",
     "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
 ]
 
 

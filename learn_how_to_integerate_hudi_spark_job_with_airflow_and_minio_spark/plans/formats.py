@@ -189,12 +189,7 @@ def _duck_md5_int(expr: str, lo: int, hi: int) -> str:
     return f"({poly})"
 
 
-@register(
-    "source_python_datasource",
-    # Every field is md5-derived, so DuckDB regenerates the connector's
-    # exact output from range(): the oracle verifies a source that reads
-    # from nothing.
-    oracle=f"""
+_PYDS_ORACLE = f"""
         WITH g AS (
             SELECT i,
                    CAST(i // 125 AS BIGINT) AS part_id,
@@ -211,7 +206,15 @@ def _duck_md5_int(expr: str, lo: int, hi: int) -> str:
                 'Iowa', 'Maine'][(s6 % 7) + 1] AS state,
                CAST(s12 % 100000 AS BIGINT) AS acct
         FROM g
-    """,
+    """
+
+
+@register(
+    "source_python_datasource",
+    # Every field is md5-derived, so DuckDB regenerates the connector's
+    # exact output from range(): the oracle verifies a source that reads
+    # from nothing.
+    oracle=_PYDS_ORACLE,
     doc="custom Python data source (Spark 4 DataSource API): a connector "
     "registered from pure Python becomes a first-class "
     "spark.read.format(...) with partitioned executor-side reads — the "

@@ -19,6 +19,7 @@ from ..streaming.windows import (
     tumbling_counts,
 )
 from .catalog import register
+from .formats import _PYDS_ORACLE
 
 
 @register(
@@ -460,3 +461,42 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         as_double(F.col("spend")).alias("spend"),
     )
+
+
+@register(
+    "stream_python_datasource",
+    # Same deterministic md5 rows as the batch connector; batch=125 makes
+    # the micro-batch index equal the batch reader's part_id, so one
+    # oracle covers both surfaces.
+    oracle=_PYDS_ORACLE,
+    doc="custom Python STREAMING data source (Spark 4 "
+    "SimpleDataSourceStreamReader): row-index offsets, one batch per "
+    "trigger, readBetweenOffsets replays any committed range exactly — "
+    "determinism makes the exactly-once replay contract trivial. The "
+    "drained stream equals the batch connector's full output",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthetic_customers")
+        .option("n", 1000)
+        .option("batch", 125)
+        .option("seed", 42)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="engine_pyds_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -21,9 +21,33 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 STATES = ["Ohio", "Texas", "California", "Nevada", "Oregon", "Iowa", "Maine"]
+
+
+def _gen_rows(seed: int, lo: int, hi: int, step: int) -> list[tuple]:
+    """The deterministic row function both readers share: every field a
+    pure function of (seed, i), identical in hashlib / Spark SQL /
+    DuckDB md5."""
+    out = []
+    for i in range(lo, hi):
+        h = hashlib.md5(f"cust|{seed}|{i}".encode()).hexdigest()
+        out.append(
+            (
+                i,
+                i // step,
+                f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}",
+                STATES[int(h[:6], 16) % len(STATES)],
+                int(h[6:12], 16) % 100000,
+            )
+        )
+    return out
 
 
 class _RangePartition(InputPartition):
@@ -45,15 +69,33 @@ class _SyntheticCustomersReader(DataSourceReader):
         ]
 
     def read(self, part: _RangePartition):
-        for i in range(part.start, part.end):
-            h = hashlib.md5(f"cust|{self.seed}|{i}".encode()).hexdigest()
-            yield (
-                i,
-                part.pid,
-                f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}",
-                STATES[int(h[:6], 16) % len(STATES)],
-                int(h[6:12], 16) % 100000,
-            )
+        step = max(1, (self.n + self.p - 1) // self.p)
+        yield from _gen_rows(self.seed, part.start, part.end, step)
+
+
+class _SyntheticCustomersStreamReader(SimpleDataSourceStreamReader):
+    """Bounded micro-batch stream over the same rows: offsets are plain
+    row indices ({"i": next}), ``read`` advances one batch, and
+    ``readBetweenOffsets`` regenerates any committed range exactly (the
+    replay contract — determinism makes exactly-once trivial). Rows are
+    returned as a materialized iterator because the simple reader
+    pickles them driver-side; batch size bounds that memory."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 100))
+        self.batch = max(1, int(options.get("batch", 25)))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.batch, self.n)
+        return iter(_gen_rows(self.seed, lo, hi, self.batch)), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(_gen_rows(self.seed, start["i"], end["i"], self.batch))
 
 
 class SyntheticCustomersSource(DataSource):
@@ -69,6 +111,9 @@ class SyntheticCustomersSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticCustomersReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticCustomersStreamReader(self.options)
 
 
 def register_python_sources(spark) -> None:
