@@ -10,6 +10,8 @@ from datetime import datetime
 
 import pandas as pd
 import pytest
+
+from .conftest import SF_DIR
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -194,3 +196,45 @@ def test_apply_in_pandas_with_state_running_count(spark, tmp_path):
     for r in rows:
         latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["running"])
     assert latest == {1: 3, 2: 1}  # state carried across micro-batches
+
+
+def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend: the same applyInPandasWithState operator
+    produces identical folded results under RocksDBStateStoreProvider
+    (disk-backed, changelog-checkpointed state — the provider a large
+    deployment runs) as under the default HDFS-backed in-memory provider.
+    Conf is restored afterwards so other tests keep the default."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+        stateful_user_stats,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+
+    def folded():
+        out = run_stream_to_memory(
+            stateful_user_stats(events_stream(spark, SF_DIR)),
+            output_mode="update",
+        )
+        return sorted(
+            (r["user_id"], r["n_events"], r["max_value"])
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("max_value").alias("max_value"),
+            )
+            .collect()
+        )
+
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = folded()
+    finally:
+        spark.conf.set(key, default)
+    assert rocks == folded() and rocks  # identical, non-empty
