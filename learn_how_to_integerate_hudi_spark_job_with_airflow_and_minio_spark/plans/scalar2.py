@@ -227,3 +227,51 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.variant_get("_v", "$.meta.missing", "string").alias("missing"),
         )
     )
+
+
+@register(
+    "scalar_try_functions",
+    # DuckDB lacks Spark's try_* family; the oracle reproduces each
+    # null-on-error contract explicitly (CASE guards / TRY_CAST), which
+    # doubles as documentation of exactly what the functions swallow.
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity > 25 THEN NULL
+                    ELSE round(l_extendedprice / l_quantity, 6)
+               END AS safe_ratio,
+               CAST(NULL AS DOUBLE) AS div_by_zero,
+               TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+               CAST(NULL AS BIGINT) AS overflow_add,
+               TRY_CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+    """,
+    doc="ANSI-safe error-handling scalars (try_divide / try_cast / "
+    "try_add): errors become NULL instead of failing the job — "
+    "division by a data-dependent zero, non-numeric casts, bigint "
+    "overflow — the posture that keeps a 100 TB batch alive through "
+    "dirty cells while ANSI mode stays ON for genuine bugs",
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].where(
+        F.col("l_orderkey") % 100 == 0
+    )
+    denom = F.when(F.col("l_quantity") > 25, F.lit(0.0)).otherwise(
+        F.col("l_quantity")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), denom), 6).alias(
+            "safe_ratio"
+        ),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") * 0.0).alias(
+            "div_by_zero"
+        ),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"),
+            F.ceil(F.col("l_quantity")).cast("long"),
+        ).alias("overflow_add"),
+        F.expr("try_cast(CAST(l_shipdate AS STRING) AS DATE)").alias("ship_date"),
+    )

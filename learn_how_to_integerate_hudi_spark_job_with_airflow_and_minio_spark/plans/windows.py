@@ -447,3 +447,55 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("island_start"),
         F.max("end_ts").alias("island_end"),
     )
+
+
+@register(
+    "win_pattern_match",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(event_type, 2) OVER w AS t2,
+                   lag(event_type, 1) OVER w AS t1,
+                   lag(event_id, 2)   OVER w AS id2,
+                   lag(event_id, 1)   OVER w AS id1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id,
+               id2 AS view_id,
+               id1 AS click_id,
+               event_id AS purchase_id,
+               ts AS purchase_ts
+        FROM seq
+        WHERE t2 = 'view' AND t1 = 'click' AND event_type = 'purchase'
+    """,
+    doc="sequence pattern detection (MATCH_RECOGNIZE emulation — the "
+    "Flink/Trino CEP surface Spark lacks natively): strictly-"
+    "consecutive view->click->purchase runs per user via lag columns — "
+    "one (user_id) shuffle, one sort, no joins; arbitrary fixed "
+    "patterns compile to the same lag-conjunction shape",
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_id", 2).over(w).alias("id2"),
+        F.lag("event_id", 1).over(w).alias("id1"),
+    )
+    return seq.where(
+        (F.col("t2") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        F.col("id2").alias("view_id"),
+        F.col("id1").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
