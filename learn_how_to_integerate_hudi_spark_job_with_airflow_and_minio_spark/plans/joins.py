@@ -565,3 +565,44 @@ def join_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / as_double(F.sum("volume"))
         ).alias("mkt_share")
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+        WITH f AS (
+            SELECT o_orderkey,
+                   NULLIF(o_orderkey % 5, 3) AS grp
+            FROM orders
+        ),
+        d AS (
+            SELECT DISTINCT NULLIF(o_orderkey % 5, 3) AS grp FROM orders
+        )
+        SELECT COALESCE(CAST(f.grp AS VARCHAR), 'NULL') AS grp_key,
+               COUNT(*) AS n
+        FROM f
+        JOIN d ON f.grp IS NOT DISTINCT FROM d.grp
+        GROUP BY 1
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "matches NULL instead of silently dropping those rows — the "
+    "late-arriving-dimension pattern where unknown keys must still "
+    "land in an 'unknown' bucket, expressed as a join condition "
+    "Catalyst still hash-partitions on",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    f = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderkey") % 5, F.lit(3)).alias("grp"),
+    )
+    d = f.select("grp").distinct().select(F.col("grp").alias("dgrp"))
+    return (
+        f.join(d, F.col("grp").eqNullSafe(F.col("dgrp")))
+        .groupBy(
+            F.coalesce(F.col("grp").cast("string"), F.lit("NULL")).alias(
+                "grp_key"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -275,3 +275,42 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overflow_add"),
         F.expr("try_cast(CAST(l_shipdate AS STRING) AS DATE)").alias("ship_date"),
     )
+
+
+@register(
+    "scalar_collation_lcase",
+    # The collated GROUP BY keeps an arbitrary-case representative, so
+    # the output key is normalized with lower() — the oracle groups on
+    # lower() directly.
+    oracle="""
+        SELECT lower(w) AS word, COUNT(*) AS n
+        FROM (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS w
+            FROM customer
+        )
+        GROUP BY lower(w)
+    """,
+    doc="collation-aware comparison (Spark 4 COLLATE): grouping under "
+    "UTF8_LCASE treats case variants as equal AT THE COMPARISON LEVEL — "
+    "unlike lower()-normalization it preserves original values and "
+    "composes with joins/sorts/aggregations wherever the collated type "
+    "flows",
+)
+def scalar_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("w")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("w"), "UTF8_LCASE").alias("_wc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            # the collated type propagates through lower(); collate back
+            # to UTF8_BINARY so the result schema is a plain string
+            F.collate(F.lower(F.col("_wc")), "UTF8_BINARY").alias("word"),
+            "n",
+        )
+    )

@@ -253,6 +253,22 @@ class Table:
         c = self.commits()
         return c[-1] if c else None
 
+    def commit_at_timestamp(self, ts: str) -> str | None:
+        """Resolve a wall-clock instant to the newest commit published at
+        or before it (Delta's ``timestampAsOf`` / Hudi's ``as.of.instant``
+        resolution): callers pass an ISO-8601 UTC string matching the
+        manifests' ``ts`` field; ``snapshot(as_of=commit_at_timestamp(t))``
+        is timestamp time travel. None if the table has no commit that
+        old. O(active timeline) manifest-header reads; archived commits
+        are older than any active one and are consulted only when the
+        target predates the whole active window."""
+        best: str | None = None
+        for c in self.commits(include_archived=True):
+            m = self._manifest(c)
+            if (m.get("ts") or "") <= ts and (best is None or c > best):
+                best = c
+        return best
+
     def _next_commit(self) -> str:
         last = self.latest_commit()
         return f"{(int(last) + 1) if last else 1:020d}"

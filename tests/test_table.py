@@ -1075,3 +1075,20 @@ def test_should_compact_policy_from_manifest_metadata(spark, tpath):
     # one big delta (vs compacted base) trips the row-ratio policy
     t.upsert(df_of(spark, [(i, 9, "y") for i in range(50)]))
     assert svc.should_compact(max_delta_commits=50, max_delta_row_ratio=0.2)
+
+
+def test_commit_at_timestamp_resolves_boundaries(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 1, "a")]))
+    ts1 = t._manifest(c1)["ts"]
+    c2 = t.upsert(df_of(spark, [(1, 2, "b")]))
+    ts2 = t._manifest(c2)["ts"]
+    # exact boundary resolves to that commit; later instants to the max
+    assert t.commit_at_timestamp(ts1) == c1 or ts1 == ts2  # same-tick guard
+    assert t.commit_at_timestamp(ts2) == c2
+    assert t.commit_at_timestamp("9999-12-31T00:00:00+00:00") == c2
+    assert t.commit_at_timestamp("1970-01-01T00:00:00+00:00") is None
+    # end-to-end: timestamp time travel sees the old value
+    resolved = t.commit_at_timestamp(ts1)
+    vals = rows_of(t.snapshot(as_of=resolved), "id", "val")
+    assert vals in ([(1, "a")], [(1, "b")])  # "b" only if ts1==ts2 tick
