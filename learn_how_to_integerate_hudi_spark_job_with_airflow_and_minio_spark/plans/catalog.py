@@ -69,7 +69,7 @@ _GATE_WINDOW = 50
 # every round. ROUND-6 DEBT (r2-stale rows displaced by late round-5
 # births — they MUST lead the round-6 window right after any r6
 # births): win_topk_per_group, win_rank_percent, win_running_sum,
-# agg_collect_list_sorted, table_clean_snapshot,
+# agg_collect_list_sorted, table_restore, table_clean_snapshot,
 # table_compaction_snapshot, sql_catalog_attach,
 # stream_tumbling_window, stream_sliding_window,
 # stream_session_window, stream_table_feed,
@@ -86,6 +86,7 @@ _GATE_WINDOW = 50
 # scalar_string_funcs, scalar_date_funcs, scalar_array_funcs.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
+    "ts_ewma",
     "scalar_collation_lcase",
     "join_null_safe_eq",
     "win_pattern_match",
@@ -136,7 +137,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_mor_compaction",
     "table_merge_mixed",
     "table_delete_snapshot",
-    "table_restore",
 ]
 
 

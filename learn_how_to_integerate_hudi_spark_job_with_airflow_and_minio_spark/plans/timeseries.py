@@ -133,3 +133,63 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "ts_ewma",
+    # alpha = 0.5 makes every weight (1-alpha)^k = 2^-k exactly dyadic,
+    # and both engines LEFT-FOLD the weighted sums in prefix order
+    # (F.aggregate ≡ DuckDB list_sum over an ordered comprehension), so
+    # the EWMA doubles are bit-identical with no pow() parity risk.
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prefix
+            FROM events
+        )
+        SELECT user_id, event_id, ts,
+               round(
+                   list_sum([prefix[i] * 0.5 ^ (len(prefix) - i)
+                             for i in range(1, len(prefix) + 1)])
+                   / list_sum([0.5 ^ (len(prefix) - i)
+                               for i in range(1, len(prefix) + 1)]),
+                   6
+               ) AS ewma
+        FROM seq
+    """,
+    doc="exponentially weighted moving average per user (adjust-mode "
+    "EWMA, alpha=0.5): Spark has no recursive window, so the prefix "
+    "array is collected per row and folded with exact dyadic weights — "
+    "right for bounded per-key series; unbounded series route through "
+    "applyInPandas (the grouped-map surface already gated)",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prefix = F.collect_list("value").over(w)
+    weights = F.transform(
+        F.sequence(F.lit(1), F.size("prefix")),
+        lambda i: F.pow(F.lit(0.5), (F.size("prefix") - i).cast("double")),
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("prefix"), weights, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        ev.withColumn("prefix", prefix)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(num / den, 6).alias("ewma"),
+        )
+    )

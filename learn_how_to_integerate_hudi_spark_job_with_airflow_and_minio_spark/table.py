@@ -608,6 +608,52 @@ class Table:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def files_df(self, as_of: str | None = None) -> DataFrame:
+        """The live file set as a DataFrame (Iceberg ``table.files`` /
+        Delta detail analog): path, kind, rows, partition values, and
+        per-column min/max stats flattened to JSON — metadata-only
+        observability for debugging pruning and sizing decisions."""
+        import json as _json
+
+        rows = [
+            (
+                e["path"],
+                e.get("kind", "base"),
+                e.get("rows"),
+                _json.dumps(e.get("partition")) if e.get("partition") else None,
+                _json.dumps(e.get("stats") or {}, sort_keys=True),
+                bool(e.get("external")),
+            )
+            for e in self.current_files(as_of=as_of)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, kind string, rows long, partition string, "
+            "stats string, external boolean",
+        )
+
+    def history_df(self) -> DataFrame:
+        """The commit timeline as a DataFrame (Delta DESCRIBE HISTORY
+        analog): commit id, action, wall-clock ts, files added/removed —
+        driver-side manifest headers only, no data reads."""
+        rows = []
+        for c in self.commits(include_archived=True):
+            m = self._manifest(c)
+            rows.append(
+                (
+                    c,
+                    m.get("action"),
+                    m.get("ts"),
+                    len(m.get("files_added") or []),
+                    len(m.get("files_removed") or []),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "commit string, action string, ts string, "
+            "n_files_added long, n_files_removed long",
+        )
+
     def is_empty(self) -> bool:
         return not self.current_files()
 

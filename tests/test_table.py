@@ -1092,3 +1092,20 @@ def test_commit_at_timestamp_resolves_boundaries(spark, tpath):
     resolved = t.commit_at_timestamp(ts1)
     vals = rows_of(t.snapshot(as_of=resolved), "id", "val")
     assert vals in ([(1, "a")], [(1, "b")])  # "b" only if ts1==ts2 tick
+
+
+def test_files_and_history_dataframes(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    c2 = t.upsert(df_of(spark, [(1, 2, "a2")]))
+    t.delete(df_of(spark, [(2, 9, "x")]).select("id"))
+    hist = {r["commit"]: r for r in t.history_df().collect()}
+    assert [hist[c]["action"] for c in sorted(hist)] == [
+        "upsert", "upsert", "delete",
+    ]
+    assert hist[c2]["n_files_removed"] >= 1  # c1's file rewritten
+    files = t.files_df().collect()
+    assert all(r["kind"] == "base" for r in files)
+    assert sum(r["rows"] for r in files) == 1  # key 2 deleted
+    # as-of view matches the historic file set
+    assert sum(r["rows"] for r in t.files_df(as_of=c1).collect()) == 2
