@@ -606,3 +606,46 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "join_tpch_q14",
+    oracle="""
+        SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+                   * 100.0
+                   / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                          AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share): one month of lineitem "
+    "joined to part — the shipdate range predicate pushes into the fact "
+    "scan, part broadcasts, and the whole query is one conditional "
+    "aggregate with a decimal-exact ratio; a single-row global result",
+)
+def join_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import as_double, dec
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    month = li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    joined = month.join(p, month["l_partkey"] == p["p_partkey"]).select(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(zero).alias("promo_vol"),
+        vol.alias("vol"),
+    )
+    return joined.agg(
+        (
+            as_double(F.sum("promo_vol")) * 100.0 / as_double(F.sum("vol"))
+        ).alias("promo_revenue_pct")
+    )
