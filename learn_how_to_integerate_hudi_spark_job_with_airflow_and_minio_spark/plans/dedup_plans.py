@@ -648,13 +648,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_remove_spans",
-    # Engine groups occurrences by the 64-bit span hash, the oracle by
-    # the span string — identical removal decisions modulo hash
-    # collisions (~1e-11 at this span count). (doc_id, pos) ordering
-    # makes "first occurrence survives" deterministic in both engines.
-    oracle="""
+_REMOVE_SPANS_SQL = """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         occ AS (
             SELECT doc_id, px.p AS pos, px.s AS span
@@ -702,7 +696,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d
         LEFT JOIN cleaned c USING (doc_id)
         LEFT JOIN removed r USING (doc_id)
-    """,
+"""
+
+
+@register(
+    "dedup_remove_spans",
+    # Engine groups occurrences by the 64-bit span hash, the oracle by
+    # the span string — identical removal decisions modulo hash
+    # collisions (~1e-11 at this span count). (doc_id, pos) ordering
+    # makes "first occurrence survives" deterministic in both engines.
+    oracle=_REMOVE_SPANS_SQL,
     doc="exact-substring REMOVAL (the Lee et al. 2022 step the pair "
     "detectors stop short of): every repeated 20-token span keeps its "
     "first (doc,pos) occurrence and is cut everywhere else — repetition "

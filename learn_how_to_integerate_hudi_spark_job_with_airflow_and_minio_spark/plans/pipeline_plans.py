@@ -21,9 +21,12 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..session import load_tables
 from ..table import META_COL
 from .catalog import register
+from .dedup_plans import _REMOVE_SPANS_SQL
 from .text2 import _DUCK_MD5_FRAC
 
 _CORPUS_GOLD_SQL = (
@@ -149,3 +152,47 @@ def pipeline_llm_corpus_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"),
         "pack_id",
     )
+
+
+@register(
+    "pipeline_span_clean_gold",
+    oracle=(
+        "SELECT doc_id, text_clean, n_removed_tokens FROM ("
+        + _REMOVE_SPANS_SQL
+        + ") WHERE n_removed_tokens * 4 <= length(text_clean) - length(replace(text_clean, ' ', '')) + 1"
+        "   AND length(text_clean) >= 50"
+    ),
+    doc="span-clean corpus stage composed end-to-end: exact-substring "
+    "REMOVAL (keep-first) -> repetition gate (removed tokens <= 25% of "
+    "surviving tokens) -> length floor -> keyed gold table write -> "
+    "snapshot. The write path proves the cleaned text survives the "
+    "table kernel byte-identically",
+)
+def pipeline_span_clean_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import remove_duplicate_spans
+    from ..table import Table
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    cleaned = remove_duplicate_spans(d, "doc_id", "text", window=20)
+    # surviving token count = spaces + 1 (documents are single-space
+    # delimited; identical arithmetic on the oracle side)
+    surv_tokens = (
+        F.length("text_clean")
+        - F.length(F.regexp_replace("text_clean", " ", ""))
+        + 1
+    )
+    gated = cleaned.where(
+        (F.col("n_removed_tokens") * 4 <= surv_tokens)
+        & (F.length("text_clean") >= 50)
+    )
+    gold = Table.create(
+        spark,
+        tempfile.mkdtemp(prefix="engine_spanclean_"),
+        key="doc_id",
+        precombine="n_removed_tokens",
+        table_name="span_clean_gold",
+    )
+    gold.bulk_insert(gated)
+    return gold.snapshot().drop(META_COL)
