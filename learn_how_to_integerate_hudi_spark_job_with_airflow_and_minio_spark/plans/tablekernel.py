@@ -1039,3 +1039,25 @@ def table_write_constraints_quarantine(
     return t.quarantine().select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "_violation"
     )
+
+
+@register(
+    "table_partition_evolution",
+    oracle=_UPSERTED_SQL,
+    doc="partition-spec evolution (Iceberg shape): the table starts "
+    "unpartitioned, evolves to hive-partitioning on o_orderstatus, and "
+    "the update batch lands under the new spec while the original files "
+    "stay untouched — one snapshot reads both vintages (old files carry "
+    "the column in data, new files in directory names)",
+)
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_pe_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_pe",
+    )
+    t.bulk_insert(orders)
+    t.alter_partition_spec(["o_orderstatus"])
+    t.upsert(_update_batch(orders))
+    return t.snapshot().drop(META_COL)

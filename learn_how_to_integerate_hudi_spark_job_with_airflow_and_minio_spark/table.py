@@ -787,11 +787,14 @@ class Table:
 
             def entry_part(e: dict):
                 pd_ = e.get("partition")
-                if pd_ is None:
-                    # pre-``partition``-field manifest entry: can't
-                    # attribute it to a partition → conservatively keep
-                    # (duplicates are recoverable; deleting an unrelated
-                    # partition's data is not)
+                if pd_ is None or any(c not in pd_ for c in parts):
+                    # pre-``partition``-field manifest entry, or a file
+                    # written under an OLDER partition spec (evolution):
+                    # can't attribute it to a current-spec partition →
+                    # conservatively keep (duplicates are recoverable;
+                    # deleting another spec's data is not). The missing-
+                    # key check matters: ``.get`` would surface None,
+                    # which collides with the hive null sentinel.
                     return None
                 return tuple(pd_.get(c) for c in parts)
 
@@ -945,6 +948,35 @@ class Table:
         # deleted keys simply don't reappear in the rewrite
         added = self._write_files(out, commit)
         self._publish(commit, "merge", added, removed, out.schema)
+        return commit
+
+    def alter_partition_spec(self, fields: list[str]) -> str:
+        """Partition-spec evolution (Iceberg's signature capability): new
+        writes lay out hive-style by ``fields``; ALREADY-WRITTEN files
+        are untouched and stay readable — their rows still carry the
+        column in the data (they were written under the old spec), while
+        new files surface it from directory names, and the per-commit
+        basePath read branches resolve each vintage correctly. Pruning
+        degrades gracefully across vintages: new files prune by their
+        recorded partition values, old files lack those stats and are
+        conservatively kept (`_stats_match`), and dynamic
+        insert_overwrite refuses to attribute old-spec files to a new-
+        spec partition (it keeps them — duplicates are recoverable,
+        deleting another spec's data is not). ``compact()`` rewrites the
+        whole table under the current spec — the migration finisher.
+        """
+        schema = self._schema()
+        for c in fields:
+            if schema is not None and c not in schema.fieldNames():
+                raise ValueError(f"unknown partition column {c!r}")
+            if c in (self.key, self.precombine, META_COL):
+                raise ValueError(
+                    f"cannot partition on structural column {c!r}"
+                )
+        self.meta["partition_fields"] = list(fields)
+        write_json(posixpath.join(self.path, "_table.json"), self.meta)
+        commit = self._next_commit()
+        self._publish(commit, "alter_partition_spec", [], [], schema)
         return commit
 
     def alter_drop_column(self, col: str) -> str:

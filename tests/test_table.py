@@ -1109,3 +1109,52 @@ def test_files_and_history_dataframes(spark, tpath):
     assert sum(r["rows"] for r in files) == 1  # key 2 deleted
     # as-of view matches the historic file set
     assert sum(r["rows"] for r in t.files_df(as_of=c1).collect()) == 2
+
+
+# -- partition-spec evolution -----------------------------------------
+
+
+def test_partition_spec_evolution_mixed_vintages(spark, tpath):
+    from pyspark.sql import functions as F
+
+    t = make_table(spark, tpath)  # unpartitioned
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", "x"), (2, 1, "b", "y")],
+            "id long, ver long, val string, cat string",
+        )
+    )
+    t.alter_partition_spec(["cat"])
+    t.upsert(
+        spark.createDataFrame(
+            [(3, 1, "c", "x"), (4, 1, "d", "z")],
+            "id long, ver long, val string, cat string",
+        )
+    )
+    # both vintages readable in one snapshot, cat resolved per vintage
+    assert rows_of(t.snapshot(), "id", "cat") == [
+        (1, "x"), (2, "y"), (3, "x"), (4, "z"),
+    ]
+    # filter pruning: new hive files prune by dir/partition stats, old
+    # files are conservatively kept
+    pruned = t.snapshot(filters={"cat": "x"}).where(F.col("cat") == "x")
+    assert rows_of(pruned, "id") == [(1,), (3,)]
+    # dynamic overwrite of cat=x must NOT delete old-spec files
+    t.insert_overwrite(
+        spark.createDataFrame(
+            [(9, 1, "nine", "x")], "id long, ver long, val string, cat string"
+        ),
+        dynamic=True,
+    )
+    snap = rows_of(t.snapshot(), "id", "cat")
+    assert (1, "x") in snap and (2, "y") in snap  # old vintage intact
+    assert (9, "x") in snap and (3, "x") not in snap  # new-spec x replaced
+    # structural guard
+    with pytest.raises(ValueError, match="structural"):
+        t.alter_partition_spec(["id"])
+    # compaction migrates everything to the current spec
+    TableServices(t).compact()
+    assert all(e.get("partition") for e in t.current_files())
+    assert rows_of(t.snapshot(), "id", "cat") == [
+        (1, "x"), (2, "y"), (4, "z"), (9, "x"),
+    ]
