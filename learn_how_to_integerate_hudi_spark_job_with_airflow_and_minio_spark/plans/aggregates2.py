@@ -269,3 +269,29 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level1.groupBy("l_returnflag").agg(
         F.sum(F.bitmap_count("_bm")).alias("exact_distinct")
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="grouping() / grouping_id() over CUBE: the bitmask that tells a "
+    "rolled-up NULL apart from a NULL data value — without it every "
+    "cube/rollup consumer misattributes subtotal rows. Same single-pass "
+    "expand as agg_cube",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping_id("o_orderstatus", "o_orderpriority")
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )

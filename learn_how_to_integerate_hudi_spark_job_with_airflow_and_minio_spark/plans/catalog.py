@@ -69,7 +69,8 @@ _GATE_WINDOW = 50
 # every round. ROUND-6 DEBT (r2-stale rows displaced by late round-5
 # births — they MUST lead the round-6 window right after any r6
 # births): win_topk_per_group, win_rank_percent, win_running_sum,
-# agg_collect_list_sorted, table_mor_compaction, table_merge_mixed,
+# agg_collect_list_sorted, table_mor_read_optimized,
+# table_mor_compaction, table_merge_mixed,
 # table_delete_snapshot, table_restore,
 # table_clean_snapshot,
 # table_compaction_snapshot, sql_catalog_attach,
@@ -88,6 +89,7 @@ _GATE_WINDOW = 50
 # scalar_string_funcs, scalar_date_funcs, scalar_array_funcs.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 5 — gate on first appearance (standing rule)
+    "agg_grouping_id",
     "table_partition_evolution",
     "pipeline_span_clean_gold",
     "join_tpch_q14",
@@ -138,7 +140,6 @@ _ROUND_PRIORITY: list[str] = [
     # (a) latest driver row = round 2 — stalest first
     "q00_inmemory_ingest",
     "table_mor_snapshot",
-    "table_mor_read_optimized",
 ]
 
 
