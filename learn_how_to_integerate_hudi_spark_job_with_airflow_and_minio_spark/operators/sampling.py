@@ -86,7 +86,14 @@ def weighted_reservoir_sample(
     shuffle of the corpus. Deterministic across runs and engines: md5 is
     bit-identical everywhere and u is an exact dyadic rational; ln/÷ are
     correctly-rounded IEEE doubles, with (key, id) ordering as the
-    tie-break."""
+    tie-break.
+
+    Non-positive and NULL weights are EXCLUDED up front: probability ∝
+    weight means weight 0 must never be drawn, but its raw key -ln(u)/0
+    is NULL in Spark SQL (and -ln(u)/w < 0 for w < 0), and ``F.asc``
+    sorts NULLS FIRST — without the filter, exactly the rows that should
+    never be sampled would win every slot (e.g. empty documents under a
+    length weight)."""
     u = (
         F.conv(
             F.substring(
@@ -101,7 +108,8 @@ def weighted_reservoir_sample(
     ) / F.lit(_HASH_SPAN)
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("_es_key", key)
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("_es_key", key)
         .orderBy(F.asc("_es_key"), F.asc(id_col))
         .limit(k)
         .drop("_es_key")

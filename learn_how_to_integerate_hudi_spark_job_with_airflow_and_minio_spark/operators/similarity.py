@@ -432,13 +432,22 @@ def quantization_scales(df: DataFrame, vec_col: str) -> list[float]:
     map-side narrow; the shuffle carries |dim| cells). At 100 TB this
     is computed once per corpus build and stored with the index — the
     64-float result is driver-side by design, like the seeded
-    hyperplane literals."""
+    hyperplane literals.
+
+    Raises ``ValueError`` on an empty corpus / all-null vector column —
+    there is no dimensionality to index (the old ``max()`` of an empty
+    collect crashed unhelpfully, r5 advice)."""
     rows = (
         df.select(F.posexplode(vec_col).alias("pos", "x"))
         .groupBy("pos")
         .agg(F.max(F.abs(F.col("x").cast("double"))).alias("s"))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"quantization_scales: no vectors to index — {vec_col!r} is "
+            "empty or all-NULL in the corpus"
+        )
     scales = [1.0] * (max(r["pos"] for r in rows) + 1)
     for r in rows:
         scales[r["pos"]] = r["s"] if (r["s"] or 0.0) > 0 else 1.0
@@ -479,14 +488,32 @@ def quantized_topk(
     final top-k is reproducible cross-engine (the DuckDB oracle
     rebuilds codes, shortlist, and re-rank bit-identically)."""
     scales = quantization_scales(corpus, vec_col)
+
+    # Quantize only vectors of the indexed dimensionality; any other
+    # length fails LOUD per row (zip_with would null-pad a longer query
+    # vector, the int8 dot would go NULL, and the row would silently
+    # vanish from the shortlist — r5 advice). raise_error costs nothing
+    # unless a mismatched row exists: no validation job, no extra pass.
+    dim = len(scales)
+    def _quantize_checked(col: Column) -> Column:
+        return F.when(F.size(col) == dim, quantize_vec(col, scales)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("quantized_topk: vector of length "),
+                    F.size(col).cast("string"),
+                    F.lit(f" does not match the indexed dimensionality {dim}"),
+                )
+            )
+        )
+
     q = queries.select(
         F.col(query_id).alias("query_id"),
-        quantize_vec(F.col(vec_col), scales).alias("_qq"),
+        _quantize_checked(F.col(vec_col)).alias("_qq"),
         F.col(vec_col).alias("_qv"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
-        quantize_vec(F.col(vec_col), scales).alias("_cq"),
+        _quantize_checked(F.col(vec_col)).alias("_cq"),
         F.col(vec_col).alias("_cv"),
     )
     qscore = F.aggregate(

@@ -524,6 +524,7 @@ def _duck_u(expr: str) -> str:
                    -ln({_duck_u("'7|' || CAST(doc_id AS VARCHAR)")})
                        / CAST(n_chars AS DOUBLE) AS es_key
             FROM documents
+            WHERE CAST(n_chars AS DOUBLE) > 0
         )
         ORDER BY es_key ASC, doc_id ASC
         LIMIT 50

@@ -60,6 +60,10 @@ META_COL = "_commit_time"
 # O(commits): at 100× scale (years of frequent commits × 10⁵ live file
 # entries) full-timeline replay becomes a per-query driver bottleneck.
 CHECKPOINT_EVERY = 10
+# Range-prune only pays for itself past this many live files: under it the
+# prune's one-job min/max agg exceeds what an unpruned (column-pruned)
+# affected-files scan costs. See Table._prune_by_keys.
+PRUNE_MIN_FILES = 16
 
 
 def _utcnow() -> str:
@@ -253,20 +257,39 @@ class Table:
         c = self.commits()
         return c[-1] if c else None
 
-    def commit_at_timestamp(self, ts: str) -> str | None:
+    def commit_at_timestamp(self, ts: str) -> str:
         """Resolve a wall-clock instant to the newest commit published at
         or before it (Delta's ``timestampAsOf`` / Hudi's ``as.of.instant``
         resolution): callers pass an ISO-8601 UTC string matching the
         manifests' ``ts`` field; ``snapshot(as_of=commit_at_timestamp(t))``
-        is timestamp time travel. None if the table has no commit that
-        old. O(active timeline) manifest-header reads; archived commits
-        are older than any active one and are consulted only when the
-        target predates the whole active window."""
+        is timestamp time travel.
+
+        Raises ``ValueError`` when ``ts`` predates the FIRST commit —
+        like Delta's ``timestampAsOf``. Returning a sentinel here would
+        be a correctness trap: ``snapshot(as_of=None)`` means LATEST, so
+        the documented composition would silently read the newest state,
+        the opposite of what the caller asked for (r5 advice).
+
+        O(active timeline) manifest-header reads in the common case;
+        archive batches are loaded only when no ACTIVE commit is old
+        enough (deep time travel past the archive horizon)."""
         best: str | None = None
-        for c in self.commits(include_archived=True):
+        for c in self.commits():
             m = self._manifest(c)
             if (m.get("ts") or "") <= ts and (best is None or c > best):
                 best = c
+        if best is None:
+            # target predates the active window → consult the archives
+            arch = self._archived_manifests()
+            for c in sorted(arch):
+                if (arch[c].get("ts") or "") <= ts and (best is None or c > best):
+                    best = c
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {ts!r}: the table's first commit "
+                "is newer (Delta timestampAsOf semantics — refusing to "
+                "fall through to the latest snapshot)"
+            )
         return best
 
     def _next_commit(self) -> str:
@@ -1027,6 +1050,12 @@ class Table:
         missing columns. A null in a carried batch column means "keep the
         old value", exactly the partial-update payload contract.
 
+        Ordering is by PRECOMBINE against the stored row, like Hudi's
+        payload: a matched batch row whose precombine is older than the
+        stored row's is discarded whole (the stored row survives
+        unchanged, original ``_commit_time`` kept) — late-arriving data
+        can't clobber newer state. Equal precombine → incoming wins.
+
         Same cost envelope as :meth:`upsert` — stats-pruned candidates,
         one semi-join to find affected files, one rewrite of those files
         only. The column merge is a single key-equi join between the
@@ -1075,7 +1104,22 @@ class Table:
         # One full-outer join on the key merges columns: batch-carried
         # columns coalesce (batch non-null wins), omitted columns come
         # from the old row (null for brand-new keys).
+        #
+        # PRECOMBINE-ORDERED, like Hudi's partial-update payload (r5
+        # advice): a matched batch row only applies when its precombine
+        # is >= the stored row's — a late-arriving older batch can never
+        # overwrite newer data. Null precombine ranks below any non-null
+        # (same contract as _dedup_batch); equal precombine → incoming
+        # wins (the engine's upsert tie bias). A losing matched row is
+        # rewritten byte-identical, keeping its original _commit_time.
         o, n = matched_old.alias("_o"), batch.alias("_n")
+        old_pc, new_pc = (
+            F.col(f"_o.{self.precombine}"),
+            F.col(f"_n.{self.precombine}"),
+        )
+        batch_wins = F.col(f"_o.{self.key}").isNull() | F.coalesce(
+            new_pc >= old_pc, old_pc.isNull()
+        )
         merged_cols = []
         table_cols = [f.name for f in table_schema.fields]
         for c in table_cols:
@@ -1084,17 +1128,28 @@ class Table:
                     F.coalesce(F.col(f"_o.{c}"), F.col(f"_n.{c}")).alias(c)
                 )
             elif c == META_COL:
-                merged_cols.append(F.lit(commit).alias(c))
+                merged_cols.append(
+                    F.when(batch_wins, F.lit(commit))
+                    .otherwise(F.col(f"_o.{c}"))
+                    .alias(c)
+                )
             elif c in update_cols:
                 merged_cols.append(
-                    F.coalesce(F.col(f"_n.{c}"), F.col(f"_o.{c}")).alias(c)
+                    F.when(
+                        batch_wins, F.coalesce(F.col(f"_n.{c}"), F.col(f"_o.{c}"))
+                    )
+                    .otherwise(F.col(f"_o.{c}"))
+                    .alias(c)
                 )
             else:
                 merged_cols.append(F.col(f"_o.{c}").alias(c))
         # schema evolution: batch columns the table has never seen append
+        # (null for rows whose batch update lost the precombine order)
         for c in update_cols:
             if c not in table_cols:
-                merged_cols.append(F.col(f"_n.{c}").alias(c))
+                merged_cols.append(
+                    F.when(batch_wins, F.col(f"_n.{c}")).alias(c)
+                )
         merged = o.join(n, F.col(f"_o.{self.key}") == F.col(f"_n.{self.key}"), "full_outer").select(*merged_cols)
         out = (
             merged
@@ -1166,7 +1221,13 @@ class Table:
                 ]
             )
         )
-        tagged = df.withColumn("_viol", flags)
+        # Materialize the tagged batch ONCE (eager local checkpoint)
+        # before splitting it: the quarantine branch and the clean branch
+        # below are separate actions, and re-running a non-deterministic
+        # source lineage (sample(), uuid(), unstable limit) for each
+        # could quarantine a row AND write it, or drop it from both
+        # (r5 advice). Only constrained writes pay this pass.
+        tagged = df.withColumn("_viol", flags).localCheckpoint(eager=True)
         bad = tagged.where(F.size("_viol") > 0)
         if not bad.isEmpty():
             (
@@ -1275,7 +1336,17 @@ class Table:
         """Key-range file pruning (BLOOM-index analog, K8): skip files whose
         [min,max] key stats can't contain any batch key; then, when a
         record-level index exists, exact per-key containment pruning
-        (:meth:`TableServices.build_record_index`)."""
+        (:meth:`TableServices.build_record_index`).
+
+        The range prune costs one Spark job (``keys.agg(min,max)``), so it
+        only runs when the live set is big enough for pruning to beat the
+        job it spends: below :data:`PRUNE_MIN_FILES` files, the downstream
+        affected-files semi-join scans a key-column-pruned handful of
+        footers anyway, and the agg job is pure per-commit overhead (r6
+        A/B at sf0.1: merge commit 1.07 s → 0.81 s with the gate). At the
+        10⁵-file scale the prune exists for, the gate never triggers."""
+        if len(entries) <= PRUNE_MIN_FILES:
+            return self._prune_by_record_index(entries, keys)
         stats_entries = [e for e in entries if self.key in e.get("stats", {})]
         if len(stats_entries) != len(entries):
             return entries  # some files lack stats → can't prune safely

@@ -187,3 +187,32 @@ def test_ivf_probe_prunes_partitions_and_recalls(spark, embeddings, tmp_path):
     recall = len(a & b) / len(b)
     assert recall >= 0.3, f"IVF probe recall {recall:.2f}"
 
+
+
+def test_quantization_guards(spark):
+    """r5 advice: empty/all-null corpus raises a clear error instead of
+    max()-of-empty; a query vector of the wrong dimensionality fails
+    loud instead of null-padding into a silently-NULL shortlist score."""
+    import pytest
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.similarity import (
+        quantization_scales,
+        quantized_topk,
+    )
+
+    empty = spark.createDataFrame([], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        quantization_scales(empty, "embedding")
+    allnull = spark.createDataFrame([(1, None)], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        quantization_scales(allnull, "embedding")
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(5)],
+        "id long, embedding array<float>",
+    )
+    bad_queries = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0])], "id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="does not match the indexed dim"):
+        quantized_topk(bad_queries, corpus, "id", "id", k=2).collect()

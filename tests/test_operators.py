@@ -298,3 +298,26 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     # the repeated span is gone from doc 2; its unique words survive
     assert "w0" not in clean2 and "lead" in clean2 and "end" in clean2
     assert removed2 >= 5
+
+
+def test_weighted_reservoir_excludes_nonpositive_weights(spark):
+    """P(select) ∝ weight ⇒ weight ≤ 0 / NULL rows must NEVER be drawn.
+
+    Regression (r5 advice): key = -ln(u)/w is NULL for w = 0 (Spark
+    division by zero) and negative for w < 0, and asc ordering put both
+    AHEAD of every valid row — empty docs under a length weight would
+    have won every slot."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(1, 0.0), (2, None), (3, -5.0)] + [(i, 10.0) for i in range(4, 12)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_reservoir_sample(df, "id", "w", k=5).collect()}
+    assert len(got) == 5
+    assert got.isdisjoint({1, 2, 3})
+    # k >= eligible rows -> exactly the eligible set, nothing else
+    all_got = {
+        r["id"] for r in weighted_reservoir_sample(df, "id", "w", k=50).collect()
+    }
+    assert all_got == set(range(4, 12))

@@ -181,8 +181,16 @@ def test_partial_update_with_full_columns_equals_upsert(
     spark, tmp_path_factory, rows, upd
 ):
     """partial_update degenerates to upsert when the batch carries every
-    column and no nulls — the two write paths must agree on any input."""
+    column, no nulls, AND a precombine newer than anything stored — the
+    two write paths must agree on any such input. (The paths diverge by
+    design on OLDER precombine: upsert is overwrite-latest like Hudi's
+    OverwriteWithLatestAvroPayload, partial_update is precombine-ordered
+    like Hudi's partial-update payload — covered by
+    test_partial_update_older_precombine_loses.)"""
     base = tmp_path_factory.mktemp("prop_pu")
+    # shift the update batch's precombine above every stored value so
+    # precombine ordering always lets the batch through
+    upd = [(k, v + 6, val) for k, v, val in upd]
     t1, t2 = _mk(spark, base), _mk(spark, base)
     t1.upsert(_df(spark, rows))
     t2.upsert(_df(spark, rows))

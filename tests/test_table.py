@@ -801,6 +801,40 @@ def test_record_index_exact_pruning(spark, tpath):
     assert t.snapshot().count() == 100
 
 
+def test_range_prune_gated_on_file_count(spark, tpath):
+    """Range prune spends one Spark job (keys min/max agg), so it is
+    gated on live-set size: at or under PRUNE_MIN_FILES files the gate
+    returns everything unpruned (the affected-files semi-join is cheaper
+    than the agg job — r6 A/B: 1.07 s → 0.81 s per merge commit); past
+    the gate, stats pruning kicks in — the 10⁵-file scale path."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        PRUNE_MIN_FILES,
+    )
+
+    t = make_table(spark, tpath)
+    # disjoint single-file commits: [0..9], [10..19], ... — range stats
+    # alone can prune any single-key batch down to exactly one file
+    for i in range(PRUNE_MIN_FILES + 2):
+        t.insert(
+            df_of(
+                spark, [(k, 1, f"v{k}") for k in range(i * 10, i * 10 + 10)]
+            ).coalesce(1),
+            dedup_batch=False,
+        )
+    entries = t.current_files()
+    assert len(entries) == PRUNE_MIN_FILES + 2
+    keys = spark.createDataFrame([(25,)], "id long")
+    pruned = t._prune_by_keys(entries, keys)
+    assert len(pruned) == 1  # above the gate: range stats prune to 1 file
+    # at/below the gate: unpruned (no agg job spent on a small live set)
+    small = entries[: PRUNE_MIN_FILES - 1]
+    assert t._prune_by_keys(small, keys) == small
+    # correctness through the gated path (small table upsert still merges)
+    t.upsert(df_of(spark, [(25, 2, "upd")]))
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[25] == "upd" and got[24] == "v24"
+
+
 def test_record_index_stale_is_safe(spark, tpath):
     """Files committed after the index build are uncovered: they fall
     back to range stats, so a stale index can never lose an update."""
@@ -901,6 +935,26 @@ def test_partial_update_untouched_files_not_rewritten(spark, tpath):
     snap = t.snapshot()
     commits = {r["id"]: r["_commit_time"] for r in snap.collect()}
     assert commits[50] == c2
+
+
+def test_partial_update_older_precombine_loses(spark, tpath):
+    """Hudi partial-update payloads order by precombine (r5 advice): a
+    late-arriving batch row with an OLDER precombine than the stored row
+    must be discarded whole — stored values survive, original
+    _commit_time kept; equal precombine → incoming wins (engine tie
+    bias); newer wins as usual."""
+    t = make_table(spark, tpath)
+    c1 = t.upsert(df_of(spark, [(1, 5, "new5"), (2, 5, "b5"), (3, 5, "c5")]))
+    c2 = t.partial_update(
+        df_of(spark, [(1, 3, "late3"), (2, 5, "tie5"), (3, 7, "newer7")])
+    )
+    snap = {r["id"]: (r["ver"], r["val"], r["_commit_time"]) for r in t.snapshot().collect()}
+    assert snap[1] == (5, "new5", c1)     # older batch row discarded whole
+    assert snap[2] == (5, "tie5", c2)     # tie -> incoming wins
+    assert snap[3] == (7, "newer7", c2)   # newer wins
+    # a losing row must not resurrect later: another newer update applies
+    t.partial_update(df_of(spark, [(1, 9, "v9")]))
+    assert {r["id"]: r["val"] for r in t.snapshot().collect()}[1] == "v9"
 
 
 def test_partial_update_rejected_on_mor(spark, tpath):
@@ -1028,6 +1082,34 @@ def test_constraints_divert_violations_and_keep_table_clean(spark, tpath):
     assert sorted(q) == [2, 3, 4]
 
 
+def test_constraints_nondeterministic_batch_split_is_consistent(spark, tpath):
+    """The quarantine branch and the clean branch must split ONE
+    materialized evaluation of the batch: with a non-deterministic
+    source (uuid() here), independent re-evaluation per branch could
+    quarantine a row AND write it, or drop it from both (r5 advice —
+    fixed by an eager localCheckpoint before the split)."""
+    import pyspark.sql.functions as F
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+        constraints={"even": "abs(hash(tag)) % 2 = 0"},
+    )
+    batch = (
+        spark.range(200)
+        .select(
+            F.col("id"),
+            F.lit(1).alias("ver"),
+            F.expr("uuid()").alias("tag"),  # re-rolls on every evaluation
+        )
+    )
+    t.upsert(batch)
+    table_ids = {r["id"] for r in t.snapshot().collect()}
+    quar_ids = {r["id"] for r in t.quarantine().collect()}
+    # every input row lands in exactly one of {table, quarantine}
+    assert table_ids | quar_ids == set(range(200))
+    assert table_ids.isdisjoint(quar_ids)
+
+
 def test_constraints_absent_no_quarantine_dir(spark, tpath):
     t = make_table(spark, tpath)
     t.upsert(df_of(spark, [(1, 1, "a")]))
@@ -1087,7 +1169,10 @@ def test_commit_at_timestamp_resolves_boundaries(spark, tpath):
     assert t.commit_at_timestamp(ts1) == c1 or ts1 == ts2  # same-tick guard
     assert t.commit_at_timestamp(ts2) == c2
     assert t.commit_at_timestamp("9999-12-31T00:00:00+00:00") == c2
-    assert t.commit_at_timestamp("1970-01-01T00:00:00+00:00") is None
+    # ts before the first commit RAISES (Delta timestampAsOf semantics);
+    # a None fall-through would make snapshot(as_of=None) read LATEST
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.commit_at_timestamp("1970-01-01T00:00:00+00:00")
     # end-to-end: timestamp time travel sees the old value
     resolved = t.commit_at_timestamp(ts1)
     vals = rows_of(t.snapshot(as_of=resolved), "id", "val")
