@@ -59,87 +59,70 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-5 window (stalest-green rule, r4 verdict item 3): after round 4
-# every query has a green driver row — the 50 r4-window rows are fresh,
-# so the window is (0) the round-5 additions first (standing rule),
-# then (a) as many round-2-stale rows as fit (the stalest family). The
-# r3-green backfill slots were ceded to round-5 births; r3 queries are
-# exactly 2 rounds old after this round — within the staleness bound —
-# and the whole catalog stays covered by tests/test_catalog_oracle.py
-# every round. ROUND-6 DEBT (r2-stale rows displaced by late round-5
-# births — they MUST lead the round-6 window right after any r6
-# births): win_topk_per_group, win_rank_percent, win_running_sum,
-# agg_collect_list_sorted, table_mor_read_optimized,
-# table_mor_compaction, table_merge_mixed,
-# table_delete_snapshot, table_restore,
-# table_clean_snapshot,
-# table_compaction_snapshot, sql_catalog_attach,
-# stream_tumbling_window, stream_sliding_window,
-# stream_session_window, stream_table_feed,
-# stream_foreachbatch_upsert,
-# dedup_ngram_jaccard, dedup_simhash,
-# sim_topk_bruteforce,
-# sim_matmul_topk,
-# multimodal_features,
-# quality_report,
-# sample_stratified_deterministic,
-# text_token_stats, text_quality,
-# text_langid, text_normalize,
-# text_fingerprint, text_bpe_token_count, text_redact_pii,
-# scalar_string_funcs, scalar_date_funcs, scalar_array_funcs.
+# Round-6 window (stalest-green rule, r5 verdict item 2): (0) round-6
+# births first (standing rule), then (a) ALL 34 queries whose latest
+# driver row dates from round 2 (the full r2-stale debt carried from the
+# r5 rotation — staleness computed from CORRECTNESS_r0{2..5}.json key
+# sets), then (b) r3-stale backfill to 50, table-kernel / streaming /
+# dedup families first. After this round no query's latest driver row
+# is older than r3 (49 r3-stale remain minus the 15 gated here; they're
+# 3 rounds old at r7 and lead the r7 window after any r7 births). The
+# whole catalog stays covered by tests/test_catalog_oracle.py every
+# round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 5 — gate on first appearance (standing rule)
-    "agg_grouping_id",
-    "table_partition_evolution",
-    "pipeline_span_clean_gold",
-    "join_tpch_q14",
-    "ts_ewma",
-    "scalar_collation_lcase",
-    "join_null_safe_eq",
-    "win_pattern_match",
-    "scalar_try_functions",
-    "stream_python_datasource",
-    "agg_bitmap_distinct",
-    "source_python_datasource",
-    "source_csv_corrupt_records",
-    "join_tpch_q8",
-    "dedup_remove_spans",
-    "table_write_constraints_quarantine",
-    "agg_linear_regression",
-    "table_drop_column",
-    "stream_mv_refresh",
-    "table_secondary_index_lookup",
-    "sim_hard_negatives",
-    "dedup_containment",
-    "agg_retention_cohorts",
-    "sim_quantized_topk",
-    "text_sentence_udtf",
-    "win_gaps_islands",
-    "sim_label_centroid",
-    "sample_weighted_reservoir",
-    "dedup_incremental_lsh",
-    "table_partial_update",
-    "mv_incremental_refresh",
-    "text_unigram_logprob",
-    "ts_resample_gapfill",
-    "dedup_embedding_lsh",
-    "table_savepoint",
-    "table_bootstrap_upsert",
-    "text_dsir_importance",
-    "funnel_steps",
-    "table_record_index_upsert",
-    "table_cdc_before_after",
-    "sample_dsir_top_k",
-    "agg_histogram_numeric",
-    "decontaminate_exact_substring",
-    "skyline_pareto_2d",
-    "scalar_variant_json",
-    "join_lateral_topk",
-    "sql_recursive_cte",
-    "table_archive_timeline",
-    # (a) latest driver row = round 2 — stalest first
-    "q00_inmemory_ingest",
-    "table_mor_snapshot",
+    # (0) born round 6 — gate on first appearance (standing rule)
+    "ts_ewma_grouped",
+    # (a) latest driver row = round 2 — the complete stale set
+    "win_topk_per_group",
+    "win_rank_percent",
+    "win_running_sum",
+    "agg_collect_list_sorted",
+    "table_mor_read_optimized",
+    "table_mor_compaction",
+    "table_merge_mixed",
+    "table_delete_snapshot",
+    "table_restore",
+    "table_clean_snapshot",
+    "table_compaction_snapshot",
+    "sql_catalog_attach",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_table_feed",
+    "stream_foreachbatch_upsert",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_matmul_topk",
+    "multimodal_features",
+    "quality_report",
+    "sample_stratified_deterministic",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_normalize",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_redact_pii",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_array_funcs",
+    # (b) latest driver row = round 3 — kernel/stream/dedup families first
+    "agg_tpch_q1",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_components",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "table_cdc_changes",
+    "table_insert_overwrite_dynamic",
+    "table_mor_partitioned_pruning",
+    "table_schema_evolution",
+    "table_zorder_compaction",
+    "sim_lsh_ann",
+    "sim_ivf_probe",
+    "skew_salted_join",
 ]
 
 

@@ -135,13 +135,12 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_ewma",
-    # alpha = 0.5 makes every weight (1-alpha)^k = 2^-k exactly dyadic,
-    # and both engines LEFT-FOLD the weighted sums in prefix order
-    # (F.aggregate ≡ DuckDB list_sum over an ordered comprehension), so
-    # the EWMA doubles are bit-identical with no pow() parity risk.
-    oracle="""
+# alpha = 0.5 makes every weight (1-alpha)^k = 2^-k exactly dyadic, and
+# both engines LEFT-FOLD the weighted sums in prefix order (F.aggregate
+# ≡ DuckDB list_sum over an ordered comprehension), so the EWMA doubles
+# are bit-identical with no pow() parity risk. Shared by ts_ewma and
+# ts_ewma_grouped — same semantics, two execution strategies.
+_EWMA_ORACLE = """
         WITH seq AS (
             SELECT user_id, event_id, ts, value,
                    list(value) OVER (
@@ -159,12 +158,64 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    6
                ) AS ewma
         FROM seq
-    """,
+"""
+
+
+@register(
+    "ts_ewma_grouped",
+    # same dyadic-alpha oracle as ts_ewma: the grouped recurrence
+    # num_t = num_{t-1}*0.5 + x_t is Horner's form of the oracle's
+    # oldest-first weighted fold, and halving is EXACT in binary floating
+    # point, so the two evaluation orders round identically at every
+    # addition — bit-equal doubles, no pow() parity risk.
+    oracle=_EWMA_ORACLE,
+    doc="scale-safe EWMA (r5 verdict item 4): applyInPandas grouped-map "
+    "recurrence — O(n) time and O(1) state per key instead of ts_ewma's "
+    "O(n²) per-key prefix arrays, so a key with millions of events "
+    "streams through one Arrow batch chain instead of materializing "
+    "length-k lists on every row. THE unbounded-series path; ts_ewma's "
+    "array formulation stays as the bounded-series whole-stage-codegen "
+    "variant",
+)
+def ts_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"].select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def _ewma(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(dtype="float64")
+        out = np.empty(len(vals))
+        num = 0.0
+        den = 0.0
+        for i, x in enumerate(vals):
+            # Horner, oldest-first: num = Σ x_i·0.5^(t-i) exactly as the
+            # oracle's fold (×0.5 is exponent arithmetic — no rounding)
+            num = num * 0.5 + x
+            den = den * 0.5 + 1.0
+            out[i] = num / den
+        return pdf.assign(ewma=out)[["user_id", "event_id", "ts", "ewma"]]
+
+    raw = ev.groupBy("user_id").applyInPandas(
+        _ewma, schema="user_id bigint, event_id bigint, ts timestamp, ewma double"
+    )
+    # round JVM-side with F.round (half-up), the same rounding ts_ewma
+    # and the DuckDB oracle use — np.round is half-EVEN and could flip a
+    # tie at the 6th digit
+    return raw.withColumn("ewma", F.round("ewma", 6))
+
+
+@register(
+    "ts_ewma",
+    oracle=_EWMA_ORACLE,
     doc="exponentially weighted moving average per user (adjust-mode "
     "EWMA, alpha=0.5): Spark has no recursive window, so the prefix "
     "array is collected per row and folded with exact dyadic weights — "
-    "right for bounded per-key series; unbounded series route through "
-    "applyInPandas (the grouped-map surface already gated)",
+    "right for BOUNDED per-key series (the prefix arrays are O(n²) per "
+    "key); unbounded series route through ts_ewma_grouped, the "
+    "applyInPandas O(n) recurrence",
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]

@@ -941,11 +941,34 @@ class Table:
         # branches evaluate to NULL and the row silently vanishes.
         flag = F.coalesce(F.col(delete_col), F.lit(False))
         if self.table_type == "mor":
-            # MOR merge = one upsert delta + one tombstone delta (two
-            # append-only commits, no rewrite); the read-side merge
-            # reconciles. Documented v1 shape: not a single atomic commit.
-            self._delta_write(source.where(~flag).drop(delete_col))
-            return self.delete(source.where(flag).select(self.key))
+            # MOR merge = ONE delta commit carrying both the upsert rows
+            # and the tombstones (one file set, one manifest): an
+            # incremental reader can never observe a torn merge where
+            # updates landed but deletes haven't (the old two-commit
+            # shape, removed r6). The read-side merge reconciles; no
+            # rewrite. A key both flagged and unflagged in the source
+            # resolves to DELETE (the order the two commits used to
+            # apply), enforced by the anti-join below.
+            upserts = source.where(~flag).drop(delete_col)
+            self._validate_batch(upserts)
+            upserts = self._gate_constraints(upserts)
+            commit = self._next_commit()
+            batch = self._dedup_batch(upserts).withColumn(
+                META_COL, F.lit(commit)
+            )
+            tomb_keys = source.where(flag).select(self.key).distinct()
+            batch = batch.join(tomb_keys, self.key, "left_anti")
+            tomb = tomb_keys.withColumn(META_COL, F.lit(commit)).withColumn(
+                "_deleted", F.lit(True)
+            )
+            out = batch.withColumn("_deleted", F.lit(False)).unionByName(
+                tomb, allowMissingColumns=True
+            )
+            added = self._write_files(out, commit, kind="delta")
+            # manifest schema stays tombstone-free (the MOR read path
+            # widens it, _read_entries) — same contract as delete()
+            self._publish(commit, "deltacommit", added, [], batch.schema)
+            return commit
         upserts = self._dedup_batch(
             self._gate_constraints(source.where(~flag).drop(delete_col))
         )

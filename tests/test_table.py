@@ -404,6 +404,39 @@ def test_mor_merge_mixed(spark, tpath):
     assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
 
 
+def test_mor_merge_is_single_commit(spark, tpath):
+    """r5 verdict item 5: MOR merge with deletes must be ONE delta
+    commit (one file set, one manifest) — the old upsert-then-tombstone
+    two-commit shape let an incremental reader between them observe a
+    torn merge (updates applied, deletes not)."""
+    t = make_mor(spark, tpath)
+    c0 = t.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    src = spark.createDataFrame(
+        [(1, 2, "a2", False), (2, 2, "x", True), (3, 1, "c", False)],
+        "id long, ver long, val string, _del boolean",
+    )
+    cm = t.merge(src, delete_col="_del")
+    # exactly one commit for the whole merge
+    assert t.commits() == [c0, cm]
+    assert int(cm) == int(c0) + 1
+    # incremental over the boundary sees the full merge atomically
+    inc = rows_of(t.incremental(begin=c0), "id", "val")
+    assert inc == [(1, "a2"), (3, "c")]
+    # CDC view over the same window shows update+insert+delete TOGETHER
+    ch = {r["id"]: r["_change_type"] for r in t.changes_full(begin=c0).collect()}
+    assert ch == {1: "update", 2: "delete", 3: "insert"}
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
+    # a key flagged BOTH ways in one source resolves to delete
+    t2 = make_mor(spark, str(tpath) + "2")
+    t2.bulk_insert(df_of(spark, [(7, 1, "z")]))
+    both = spark.createDataFrame(
+        [(7, 2, "upd", False), (7, 3, "del", True)],
+        "id long, ver long, val string, _del boolean",
+    )
+    t2.merge(both, delete_col="_del")
+    assert rows_of(t2.snapshot(), "id") == []
+
+
 def test_mor_partitioned_snapshot(spark, tpath):
     t = Table.create(
         spark, tpath, key="id", precombine="ver",
