@@ -68,6 +68,7 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_table_feed",
     "ts_ewma_grouped",
+    "text_chunk_sliding",
 ]
 
 

@@ -64,14 +64,16 @@ _GATE_WINDOW = 50
 # driver row dates from round 2 (the full r2-stale debt carried from the
 # r5 rotation — staleness computed from CORRECTNESS_r0{2..5}.json key
 # sets), then (b) r3-stale backfill to 50, table-kernel / streaming /
-# dedup families first. After this round no query's latest driver row
-# is older than r3 (49 r3-stale remain minus the 15 gated here; they're
-# 3 rounds old at r7 and lead the r7 window after any r7 births). The
-# whole catalog stays covered by tests/test_catalog_oracle.py every
-# round regardless of the window.
+# dedup families first (entries past position 50 spill to the r7
+# window). After this round no query's latest driver row is older than
+# r3; the remaining r3-stale rows lead the r7 window after any r7
+# births. The whole catalog stays covered by
+# tests/test_catalog_oracle.py every round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
     # (0) born round 6 — gate on first appearance (standing rule)
     "ts_ewma_grouped",
+    "text_chunk_sliding",
+    "ts_anomaly_zscore",
     # (a) latest driver row = round 2 — the complete stale set
     "win_topk_per_group",
     "win_rank_percent",

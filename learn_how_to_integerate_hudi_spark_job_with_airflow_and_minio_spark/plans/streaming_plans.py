@@ -132,8 +132,11 @@ def stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Table.create(
         spark, path, key="o_orderkey", precombine="o_orderkey", table_name="orders_feed"
     )
-    t.insert(orders.where(F.col("o_orderkey") % 4 == 0))
-    t.insert(orders.where(F.col("o_orderkey") % 4 != 0))
+    # append-only feed of unique-keyed rows: skip the precombine dedup
+    # shuffle, exactly Hudi's combine.before.insert=false default — one
+    # job per commit instead of two
+    t.insert(orders.where(F.col("o_orderkey") % 4 == 0), dedup_batch=False)
+    t.insert(orders.where(F.col("o_orderkey") % 4 != 0), dedup_batch=False)
     agg = (
         t.read_stream()
         .groupBy(F.col("o_orderstatus").alias("status"))
@@ -170,8 +173,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{scratch}/src", key="o_orderkey", precombine="o_orderkey",
         table_name="src",
     )
-    src.insert(orders.where(F.col("o_orderkey") % 2 == 0))
-    src.insert(orders.where(F.col("o_orderkey") % 2 != 0))
+    src.insert(orders.where(F.col("o_orderkey") % 2 == 0), dedup_batch=False)
+    src.insert(orders.where(F.col("o_orderkey") % 2 != 0), dedup_batch=False)
 
     gold = Table.create(
         spark, f"{scratch}/gold", key="o_orderkey", precombine="o_orderkey",
@@ -398,13 +401,16 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maxFilesPerTrigger=1 — enough to exercise insert, update, AND
     # group-migration maintenance without per-file scheduling overhead
     # dominating the query
-    src.insert(orders.withColumn("_ver", F.lit(1)).coalesce(2))
+    src.insert(
+        orders.withColumn("_ver", F.lit(1)).coalesce(2), dedup_batch=False
+    )
     src.insert(
         orders.where(F.col("o_orderkey") % 5 == 0)
         .withColumn("o_custkey", F.col("o_custkey") + 1000)
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         .withColumn("_ver", F.lit(2))
-        .coalesce(2)
+        .coalesce(2),
+        dedup_batch=False,
     )
 
     base = Table.create(

@@ -173,3 +173,58 @@ def text_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _docs_for_udtf d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+_CHUNK_W, _CHUNK_S = 32, 16
+
+@register(
+    "text_chunk_sliding",
+    # Both engines slice the SAME token array with the SAME start
+    # sequence (multiples of S up to max(n-W, 0)), so chunks are
+    # string-identical; everything is integer/string — no float parity
+    # surface at all.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        st AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - {_CHUNK_W}, 0) + 1,
+                                {_CHUNK_S})) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               s // {_CHUNK_S} AS chunk_id,
+               CAST(len(t[s + 1 : s + {_CHUNK_W}]) AS BIGINT) AS n_tokens,
+               array_to_string(t[s + 1 : s + {_CHUNK_W}], ' ') AS chunk
+        FROM st
+    """,
+    doc=f"sliding-window document chunking for RAG / training-sequence "
+    f"prep: split each doc into overlapping {_CHUNK_W}-token windows at "
+    f"stride {_CHUNK_S} (last window truncates). Scale shape: pure "
+    "map-only Catalyst — split + sequence + posexplode + slice, no "
+    "shuffle, no UDF; 100 TB of text chunks at scan speed and the "
+    "output is Σceil(n/S) rows partitioned exactly like the input",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - _CHUNK_W, F.lit(0)),
+        F.lit(_CHUNK_S),
+    )
+    return (
+        d.select("doc_id", toks.alias("_t"), F.posexplode(starts).alias("_pos", "_s"))
+        .select(
+            "doc_id",
+            F.col("_pos").cast("long").alias("chunk_id"),
+            F.slice("_t", F.col("_s") + 1, F.lit(_CHUNK_W)).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk"),
+        )
+    )

@@ -169,36 +169,49 @@ _EWMA_ORACLE = """
     # point, so the two evaluation orders round identically at every
     # addition — bit-equal doubles, no pow() parity risk.
     oracle=_EWMA_ORACLE,
-    doc="scale-safe EWMA (r5 verdict item 4): applyInPandas grouped-map "
-    "recurrence — O(n) time and O(1) state per key instead of ts_ewma's "
-    "O(n²) per-key prefix arrays, so a key with millions of events "
-    "streams through one Arrow batch chain instead of materializing "
-    "length-k lists on every row. THE unbounded-series path; ts_ewma's "
-    "array formulation stays as the bounded-series whole-stage-codegen "
-    "variant",
+    doc="scale-safe EWMA (r5 verdict item 4): partition-sorted "
+    "mapInPandas recurrence — O(n) time and O(1) state per key instead "
+    "of ts_ewma's O(n²) per-key prefix arrays. mapInPandas over a "
+    "hash-repartitioned, key-sorted partition rather than "
+    "applyInPandas: grouped-map dispatches one Python call PER KEY "
+    "(r6 measured 3.6 s at sf0.1, ~1500 tiny groups), while this shape "
+    "streams whole Arrow batches through one carry-across-batches scan "
+    "(1500 groups → ~32 partition scans). THE unbounded-series path; "
+    "ts_ewma's array formulation stays as the bounded-series "
+    "whole-stage-codegen variant",
 )
 def ts_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"].select(
         "user_id", "event_id", "ts", "value"
     )
+    # one shuffle + in-partition sort — the same cost a groupBy pays,
+    # but every key's series arrives contiguous and ordered, so the scan
+    # below is a single sequential pass with per-key state resets
+    sorted_ev = ev.repartition(F.col("user_id")).sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
 
-    def _ewma(pdf):
+    def _ewma(batches):
         import numpy as np
 
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vals = pdf["value"].to_numpy(dtype="float64")
-        out = np.empty(len(vals))
-        num = 0.0
-        den = 0.0
-        for i, x in enumerate(vals):
-            # Horner, oldest-first: num = Σ x_i·0.5^(t-i) exactly as the
-            # oracle's fold (×0.5 is exponent arithmetic — no rounding)
-            num = num * 0.5 + x
-            den = den * 0.5 + 1.0
-            out[i] = num / den
-        return pdf.assign(ewma=out)[["user_id", "event_id", "ts", "ewma"]]
+        # carry (num, den, key) across Arrow batch boundaries: a key's
+        # series may span batches, but batches arrive in partition order
+        cur_key, num, den = None, 0.0, 0.0
+        for pdf in batches:
+            users = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            out = np.empty(len(vals))
+            for i in range(len(vals)):
+                if users[i] != cur_key:
+                    cur_key, num, den = users[i], 0.0, 0.0
+                # Horner, oldest-first: num = Σ x_i·0.5^(t-i) exactly as
+                # the oracle's fold (×0.5 is exponent math — no rounding)
+                num = num * 0.5 + vals[i]
+                den = den * 0.5 + 1.0
+                out[i] = num / den
+            yield pdf.assign(ewma=out)[["user_id", "event_id", "ts", "ewma"]]
 
-    raw = ev.groupBy("user_id").applyInPandas(
+    raw = sorted_ev.mapInPandas(
         _ewma, schema="user_id bigint, event_id bigint, ts timestamp, ewma double"
     )
     # round JVM-side with F.round (half-up), the same rounding ts_ewma
@@ -242,5 +255,75 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts",
             F.round(num / den, 6).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    # Determinism without rounding tricks on the STATISTICS: the trailing
+    # window's Σv and Σv² are DECIMAL (exact, order-independent — value
+    # has 2 fractional digits, so DECIMAL(18,2) and its square at scale 4
+    # are lossless); mean/variance/z then derive from those exact inputs
+    # through the SAME double formula text on both sides, so every
+    # intermediate double is bit-identical. Only the final z is rounded.
+    oracle="""
+        WITH win AS (
+            SELECT user_id, event_id, ts, value,
+                   SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s,
+                   SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS sq,
+                   COUNT(value) OVER w AS n
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+            )
+        ),
+        stats AS (
+            SELECT user_id, event_id, ts, value, n,
+                   CAST(s AS DOUBLE) / n AS mean,
+                   (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       / (n - 1) AS var
+            FROM win
+            WHERE n >= 12
+        )
+        SELECT user_id, event_id, ts,
+               round((value - mean) / sqrt(var), 6) AS zscore,
+               abs((value - mean) / sqrt(var)) > 2.0 AS is_anomaly
+        FROM stats
+        WHERE var > 0
+    """,
+    doc="rolling z-score anomaly detection per key: each event scored "
+    "against the mean/stddev of its 20 trailing events (excluding "
+    "itself — no self-masking), flagged at |z| > 2. The telemetry "
+    "outlier staple. Scale shape: one hash shuffle on the key, "
+    "whole-stage-codegen window sums, no UDF; decimal window sums keep "
+    "the statistics exact at any partition order",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    s = F.sum(vdec).over(w)
+    sq = F.sum(vdec * vdec).over(w)
+    n = F.count(vdec).over(w)
+    mean = s.cast("double") / n
+    var = (sq.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "value",
+            n.alias("n"), mean.alias("mean"), var.alias("var"),
+        )
+        .where(F.col("n") >= 12)
+        .where(F.col("var") > 0)
+        .select(
+            "user_id", "event_id", "ts",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )

@@ -753,7 +753,13 @@ class Table:
         return commit
 
     def insert(self, df: DataFrame, dedup_batch: bool = True) -> str:
-        """Append without merging into existing keys (Hudi 'insert' op)."""
+        """Append without merging into existing keys (Hudi 'insert' op).
+
+        ``dedup_batch=True`` (engine default, safe-by-default) resolves
+        within-batch key duplicates by max(precombine) at the cost of one
+        shuffle job; pass ``False`` for unique-keyed append feeds — that
+        is Hudi's own default (``hoodie.combine.before.insert=false``)
+        and makes the commit a single map-only write job."""
         self._validate_batch(df, need_precombine=dedup_batch)
         df = self._gate_constraints(df)
         commit = self._next_commit()
