@@ -541,3 +541,62 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): partition the
+    corpus into semantic clusters, keep ONE representative per cluster,
+    and drop every other member whose cosine to the representative
+    clears ``threshold`` — removing semantically-redundant training
+    documents rather than near-literal duplicates.
+
+    Deterministic engine-portable variant: the cluster is the corpus's
+    seeded random-hyperplane LSH bucket (the paper's k-means step is
+    non-deterministic; same-bucket ⇒ all ``bits`` sign agreements, a
+    cosine-similarity proxy), and the representative is the bucket's
+    MINIMUM id — reproducible bit-for-bit in any engine, no trained
+    artifact to ship.
+
+    Returns one row per input vector: (vec_id, sig, rep_id, cos_rep,
+    kept) — ``cos_rep`` is NULL for representatives; ``kept`` is true
+    for representatives and members below the threshold.
+
+    Scale shape: signatures are map-only literal arithmetic; the per-
+    bucket min is partial-aggregatable; representatives (≤ 2^bits rows)
+    broadcast to both joins; the cosine touches each vector ONCE
+    (member × its rep), never pairwise — O(N) total at any corpus size.
+    """
+    planes = hyperplanes(dim, bits, seed)
+    s = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    reps = s.groupBy("sig").agg(F.min("vec_id").alias("rep_id"))
+    rep_vecs = (
+        s.join(reps, s["vec_id"] == reps["rep_id"], "left_semi")
+        .select(F.col("vec_id").alias("rep_id"), F.col("_v").alias("_rv"))
+    )
+    cos = F.round(cosine(F.col("_v"), F.col("_rv")), round_digits)
+    return (
+        s.join(F.broadcast(reps), "sig")
+        .join(F.broadcast(rep_vecs), "rep_id")
+        .select(
+            "vec_id",
+            "sig",
+            "rep_id",
+            F.when(F.col("vec_id") != F.col("rep_id"), cos).alias("cos_rep"),
+            (
+                (F.col("vec_id") == F.col("rep_id")) | (cos < threshold)
+            ).alias("kept"),
+        )
+    )

@@ -74,6 +74,9 @@ _ROUND_PRIORITY: list[str] = [
     "ts_ewma_grouped",
     "text_chunk_sliding",
     "ts_anomaly_zscore",
+    "dedup_semantic_prune",
+    "table_delete_where",
+    "table_update_where",
     # (a) latest driver row = round 2 — the complete stale set
     "win_topk_per_group",
     "win_rank_percent",
@@ -109,7 +112,9 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_array_funcs",
-    # (b) latest driver row = round 3 — kernel/stream/dedup families first
+    # (b) latest driver row = round 3 — kernel/stream/dedup families
+    # first, filling the window to exactly 50 (the rest of the r3 set
+    # leads the r7 window after any r7 births)
     "agg_tpch_q1",
     "dedup_minhash_lsh",
     "dedup_exact",
@@ -120,11 +125,6 @@ _ROUND_PRIORITY: list[str] = [
     "table_cdc_changes",
     "table_insert_overwrite_dynamic",
     "table_mor_partitioned_pruning",
-    "table_schema_evolution",
-    "table_zorder_compaction",
-    "sim_lsh_ann",
-    "sim_ivf_probe",
-    "skew_salted_join",
 ]
 
 

@@ -716,3 +716,63 @@ _REMOVE_SPANS_SQL = """
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")["documents"]
     return D.remove_duplicate_spans(d, "doc_id", "text", window=20)
+
+
+# cosine(member, representative) with aliases m / re, same fold order as
+# _COS_AB — both engines sum the unnested products in list order.
+_COS_MR = """
+round(
+  (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+   FROM (SELECT unnest(m.embedding) x, unnest(re.embedding) y))
+  / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+           FROM (SELECT unnest(m.embedding) x)))
+     * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+             FROM (SELECT unnest(re.embedding) y)))),
+  6)
+"""
+
+
+def _semantic_prune_sql() -> str:
+    from .similarity_plans import _duck_sig
+
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   CAST({_duck_sig(64, 6, 42)} AS BIGINT) AS sig
+            FROM embeddings
+        ),
+        reps AS (SELECT sig, min(vec_id) AS rep_id FROM sig GROUP BY sig)
+        SELECT m.vec_id,
+               m.sig,
+               r.rep_id,
+               CASE WHEN m.vec_id <> r.rep_id THEN {_COS_MR} END AS cos_rep,
+               (m.vec_id = r.rep_id OR {_COS_MR} < 0.45) AS kept
+        FROM sig m
+        JOIN reps r USING (sig)
+        JOIN embeddings re ON re.vec_id = r.rep_id
+    """
+
+
+@register(
+    "dedup_semantic_prune",
+    # Full cross-engine oracle (sim_lsh_ann technique): DuckDB recomputes
+    # the 6-bit bucket signature from the literal hyperplane
+    # coefficients, picks the same min-id representative per bucket, and
+    # re-scores every member against it with the same rounded cosine —
+    # signature math, representative choice, and keep/drop policy all
+    # independently verified.
+    oracle=_semantic_prune_sql(),
+    doc="SemDeDup-style semantic pruning (Abbas et al. 2023): LSH-bucket "
+    "semantic clusters, min-id representative, members at cosine >= "
+    "0.45 to their representative dropped. O(N) cosines (member x rep, "
+    "never pairwise), representatives broadcast — the semantic-"
+    "redundancy removal pass of a corpus pipeline, distinct from "
+    "near-literal dedup_embedding_lsh",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_prune
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_prune(
+        e, "vec_id", "embedding", dim=64, bits=6, seed=42, threshold=0.45
+    )

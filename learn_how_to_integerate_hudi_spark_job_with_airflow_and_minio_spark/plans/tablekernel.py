@@ -1061,3 +1061,62 @@ def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.alter_partition_spec(["o_orderstatus"])
     t.upsert(_update_batch(orders))
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_delete_where",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+        WHERE NOT (o_totalprice > 100000.0 AND o_orderstatus = 'F')
+    """,
+    doc="predicate delete (Hudi Spark-SQL DELETE FROM / Delta delete-"
+    "with-condition analog): one provenance-tagged scan finds the files "
+    "containing matches, only those files rewrite minus the matching "
+    "rows; untouched files keep their original _commit_time. NULL "
+    "predicates keep the row (SQL DELETE semantics)",
+)
+def table_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_delw_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_delw",
+    )
+    t.bulk_insert(orders)
+    t.delete_where(
+        (F.col("o_totalprice") > 100000.0) & (F.col("o_orderstatus") == "F")
+    )
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_update_where",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="predicate update (Hudi Spark-SQL UPDATE / Delta update analog): "
+    "SET expressions evaluated against the old row, applied only to "
+    "matching rows; one provenance-tagged scan finds containing files, "
+    "only those rewrite, non-matching rows in them byte-preserved with "
+    "their original _commit_time",
+)
+def table_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_updw_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_updw",
+    )
+    t.bulk_insert(orders)
+    t.update_where(
+        {"o_orderstatus": F.lit("X"), "o_totalprice": "o_totalprice * 2"},
+        F.col("o_orderkey") % 9 == 0,
+    )
+    return t.snapshot().drop(META_COL)

@@ -874,6 +874,121 @@ class Table:
         self._publish(commit, "delete", added, removed, survivors.schema)
         return commit
 
+    def delete_where(
+        self, condition, filters: dict[str, Any] | None = None
+    ) -> str:
+        """Predicate delete — the ``DELETE FROM t WHERE ...`` surface
+        (Hudi Spark-SQL DELETE / Delta ``delete(condition)``).
+
+        ``condition`` is a SQL boolean expression string or a Column.
+        ``filters`` optionally narrows the scanned file set via manifest
+        stats (same contract as :meth:`snapshot`) — at 10⁵ files a
+        partition- or range-correlated delete prunes before any I/O.
+
+        COW plan: scan (pruned) files once with per-row file provenance,
+        find the files that actually CONTAIN matching rows, rewrite only
+        those files minus the matches — untouched files keep their
+        original ``_commit_time``, like :meth:`delete`. MOR: tombstone
+        delta of the matching keys from the merged view, O(matches)
+        append, no rewrite."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if self.table_type == "mor":
+            return self.delete(self.snapshot(filters=filters).where(cond))
+        commit = self._next_commit()
+        entries = self.current_files()
+        candidates = entries
+        if filters:
+            candidates = [e for e in entries if _stats_match(e, filters)]
+        if not candidates:
+            self._publish(commit, "delete", [], [], None)
+            return commit
+        tagged = self._with_file(candidates)
+        affected = [
+            r["_file"]
+            for r in tagged.where(cond).select("_file").distinct().collect()
+        ]
+        if not affected:
+            self._publish(commit, "delete", [], [], None)
+            return commit
+        survivors = (
+            self._read_entries(self._affected_entries(candidates, affected))
+            .where(~F.coalesce(cond, F.lit(False)))
+        )
+        added = self._write_files(survivors, commit)
+        removed = self._to_rel(affected)
+        self._publish(commit, "delete", added, removed, survivors.schema)
+        return commit
+
+    def update_where(
+        self,
+        set_exprs: dict[str, Any],
+        condition,
+        filters: dict[str, Any] | None = None,
+    ) -> str:
+        """Predicate update — the ``UPDATE t SET ... WHERE ...`` surface
+        (Hudi Spark-SQL UPDATE / Delta ``update(condition, set)``).
+
+        ``set_exprs`` maps column name → SQL expression string or Column,
+        all evaluated against the OLD row (simultaneous-assignment SQL
+        UPDATE semantics, so ``{"a": "b", "b": "a"}`` swaps). Rows where
+        ``condition`` is false or NULL are untouched. ``filters``
+        narrows the scanned file set via manifest stats like
+        :meth:`snapshot`.
+
+        COW plan: one provenance-tagged scan finds the files CONTAINING
+        matches; only those rewrite, matching rows restamped with the
+        new commit, non-matching rows in the same files byte-preserved
+        with their original ``_commit_time``. MOR: the matching rows
+        from the merged view are transformed and appended as a delta
+        commit — newest-commit-wins at read applies the update,
+        O(matches) write cost."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()
+        }
+        structural = {self.key, META_COL}
+        bad = sorted(set(sets) & structural)
+        if bad:
+            raise ValueError(f"cannot UPDATE structural column(s) {bad}")
+        if self.table_type == "mor":
+            matched = self.snapshot(filters=filters).where(cond).drop(META_COL)
+            updated = matched.select(
+                *[sets.get(c, F.col(c)).alias(c) for c in matched.columns]
+            )
+            return self._delta_write(updated)
+        commit = self._next_commit()
+        entries = self.current_files()
+        candidates = entries
+        if filters:
+            candidates = [e for e in entries if _stats_match(e, filters)]
+        affected: list[str] = []
+        if candidates:
+            tagged = self._with_file(candidates)
+            affected = [
+                r["_file"]
+                for r in tagged.where(cond).select("_file").distinct().collect()
+            ]
+        if not affected:
+            self._publish(commit, "update", [], [], None)
+            return commit
+        base = self._read_entries(self._affected_entries(candidates, affected))
+        hit = F.coalesce(cond, F.lit(False))
+        out = base.select(
+            *[
+                F.when(hit, F.lit(commit)).otherwise(F.col(c)).alias(c)
+                if c == META_COL
+                else F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        added = self._write_files(out, commit)
+        removed = self._to_rel(affected)
+        self._publish(commit, "update", added, removed, out.schema)
+        return commit
+
     def restore(self, as_of: str) -> str:
         """Roll the table back to its state at commit ``as_of`` — a new
         'restore' commit whose live set is the old file set (no data is
@@ -1212,6 +1327,27 @@ class Table:
                 "batch must not carry the reserved MOR tombstone column "
                 "'_deleted'; use delete()/merge(delete_col=...) instead"
             )
+        # Schema enforcement (Delta-style): a batch column whose TYPE
+        # CLASS differs from the table's (string vs numeric vs temporal
+        # vs bool vs nested) is a pipeline bug that would otherwise
+        # surface as a confusing union/parquet error downstream — or
+        # worse, a silent lossy coercion. Within-class drift (int→long,
+        # decimal precision growth from aggregation) stays allowed, as
+        # does appending brand-new columns (evolution-on-append).
+        schema = self._schema()
+        if schema is not None:
+            cur = {f.name: _type_class(f.dataType) for f in schema.fields}
+            drift = [
+                f"{f.name}: batch {f.dataType.simpleString()} vs table "
+                f"{dict((x.name, x.dataType.simpleString()) for x in schema.fields)[f.name]}"
+                for f in df.schema.fields
+                if f.name in cur and _type_class(f.dataType) != cur[f.name]
+            ]
+            if drift:
+                raise ValueError(
+                    "batch column type class differs from table schema — "
+                    "refusing a lossy/ambiguous write: " + "; ".join(drift)
+                )
 
     def _quarantine_dir(self) -> str:
         return posixpath.join(self.path, "_quarantine")
@@ -1619,6 +1755,28 @@ class Table:
                 self._checkpoint_path(commit),
                 {"commit": commit, "files": self.current_files(as_of=commit)},
             )
+
+
+def _type_class(dt) -> str:
+    """Coarse type class for write-side schema enforcement: drift WITHIN
+    a class (int→long, decimal widening) is the normal evolution Spark
+    handles; drift ACROSS classes is a bug. Matches the oracle checker's
+    philosophy (tests/oracle.py type_class_mismatches)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integral"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "fractional"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "temporal"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return dt.simpleString()  # nested/other: exact match required
 
 
 def _jsonable(v):

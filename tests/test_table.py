@@ -1276,3 +1276,75 @@ def test_partition_spec_evolution_mixed_vintages(spark, tpath):
     assert rows_of(t.snapshot(), "id", "cat") == [
         (1, "x"), (2, "y"), (4, "z"), (9, "x"),
     ]
+
+
+def test_delete_where_predicate_semantics(spark, tpath):
+    """DELETE FROM ... WHERE: matching rows go, NULL-predicate rows stay
+    (SQL DELETE semantics), untouched files keep their _commit_time, and
+    only files containing matches are rewritten."""
+    t = make_table(spark, tpath)
+    c1 = t.insert(df_of(spark, [(1, 1, "drop"), (2, 1, None)]).coalesce(1))
+    c2 = t.insert(df_of(spark, [(50, 1, "keep")]).coalesce(1))
+    t.delete_where("val = 'drop'")
+    snap = {r["id"]: (r["val"], r["_commit_time"]) for r in t.snapshot().collect()}
+    assert set(snap) == {2, 50}
+    assert snap[2][0] is None          # NULL predicate -> row survives
+    assert snap[50] == ("keep", c2)    # untouched file not rewritten
+    # no matches anywhere -> metadata-only commit, nothing rewritten
+    n_before = {e["path"] for e in t.current_files()}
+    t.delete_where("val = 'absent'")
+    assert {e["path"] for e in t.current_files()} == n_before
+    # MOR flavor: tombstone delta, no rewrite
+    t2 = make_table(spark, str(tpath) + "_mor", table_type="mor")
+    t2.bulk_insert(df_of(spark, [(1, 1, "x"), (2, 1, "y")]))
+    t2.delete_where("val = 'x'")
+    assert rows_of(t2.snapshot(), "id") == [(2,)]
+    assert any(e.get("kind") == "delta" for e in t2.current_files())
+
+
+def test_update_where_predicate_semantics(spark, tpath):
+    """UPDATE ... SET ... WHERE: simultaneous assignment from the OLD
+    row, NULL predicate leaves the row untouched, matching rows restamp
+    to the new commit, untouched files never rewrite, and structural
+    columns are rejected."""
+    import pyspark.sql.functions as F
+
+    t = make_table(spark, tpath)
+    c1 = t.insert(df_of(spark, [(1, 1, "a"), (2, 1, None)]).coalesce(1))
+    c2 = t.insert(df_of(spark, [(50, 1, "z")]).coalesce(1))
+    cu = t.update_where({"val": F.upper("val"), "ver": "ver + 10"}, "val = 'a'")
+    snap = {r["id"]: (r["ver"], r["val"], r["_commit_time"]) for r in t.snapshot().collect()}
+    assert snap[1] == (11, "A", cu)     # both SETs applied from old row
+    assert snap[2] == (1, None, c1)     # NULL predicate -> untouched
+    assert snap[50] == (1, "z", c2)     # other file untouched, not rewritten
+    with pytest.raises(ValueError, match="structural"):
+        t.update_where({"id": "id + 1"}, "val = 'A'")
+    # incremental read surfaces exactly the updated row
+    assert rows_of(t.incremental(begin=c2), "id", "val") == [(1, "A")]
+    # MOR flavor: delta append, newest-commit-wins applies the update
+    t2 = make_table(spark, str(tpath) + "_mor", table_type="mor")
+    t2.bulk_insert(df_of(spark, [(1, 1, "x"), (2, 1, "y")]))
+    t2.update_where({"val": "'upd'"}, "id = 1")
+    assert rows_of(t2.snapshot(), "id", "val") == [(1, "upd"), (2, "y")]
+    assert any(e.get("kind") == "delta" for e in t2.current_files())
+
+
+def test_type_class_drift_rejected_on_write(spark, tpath):
+    """Delta-style schema enforcement: a batch column whose type CLASS
+    differs from the table's is rejected loud at write time (silent
+    coercion / downstream union errors otherwise); within-class widening
+    (int->long, decimal growth) and brand-new columns stay allowed."""
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="type class differs"):
+        t.upsert(spark.createDataFrame([(2, 2, 3.14)], "id long, ver long, val double"))
+    # within-class drift allowed: ver arrives as int instead of long
+    t.upsert(spark.createDataFrame([(3, 4, "c")], "id long, ver int, val string"))
+    # new column appends (evolution-on-append)
+    t.upsert(
+        spark.createDataFrame(
+            [(4, 1, "d", 9.5)], "id long, ver long, val string, score double"
+        )
+    )
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got == {1: "a", 3: "c", 4: "d"}
