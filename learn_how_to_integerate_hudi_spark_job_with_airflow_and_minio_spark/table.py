@@ -951,6 +951,14 @@ class Table:
         bad = sorted(set(sets) & structural)
         if bad:
             raise ValueError(f"cannot UPDATE structural column(s) {bad}")
+        schema = self._schema()
+        known = set(schema.fieldNames()) if schema is not None else set()
+        unknown = sorted(set(sets) - known)
+        if known and unknown:
+            raise ValueError(
+                f"UPDATE SET targets unknown column(s) {unknown}; "
+                "add new columns via a write with the evolved schema"
+            )
         if self.table_type == "mor":
             matched = self.snapshot(filters=filters).where(cond).drop(META_COL)
             updated = matched.select(

@@ -1348,3 +1348,10 @@ def test_type_class_drift_rejected_on_write(spark, tpath):
     )
     got = {r["id"]: r["val"] for r in t.snapshot().collect()}
     assert got == {1: "a", 3: "c", 4: "d"}
+
+
+def test_update_where_unknown_set_column_rejected(spark, tpath):
+    t = make_table(spark, tpath)
+    t.insert(df_of(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where({"nope": "'x'"}, "id = 1")
