@@ -327,3 +327,38 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "ts_moving_median",
+    # Exact-percentile interpolation over the same ≤6-value trailing
+    # multiset: both engines sort the frame exactly and apply the same
+    # (1-f)·lo + f·hi continuous-quantile formula to identical doubles;
+    # round(6) absorbs nothing structural, it just normalizes display.
+    oracle="""
+        SELECT user_id, event_id, ts,
+               round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+               ), 6) AS med
+        FROM events
+    """,
+    doc="trailing moving median per key (6-row frame): the robust "
+    "telemetry smoother — immune to the spike outliers that drag a "
+    "moving mean. Exact windowed percentile, whole-stage codegen, one "
+    "hash shuffle on the key; the frame bound caps per-row state so the "
+    "plan is O(frame) memory at any series length",
+)
+def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-5, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med"),
+    )

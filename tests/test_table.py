@@ -1355,3 +1355,33 @@ def test_update_where_unknown_set_column_rejected(spark, tpath):
     t.insert(df_of(spark, [(1, 1, "a")]))
     with pytest.raises(ValueError, match="unknown column"):
         t.update_where({"nope": "'x'"}, "id = 1")
+
+
+def test_occ_stress_interleaved_writers(spark, tpath):
+    """OCC under sustained contention: two Table handles interleave 10
+    upserts each with occ_retries; every batch must land exactly once
+    and the final state must equal the sequential union (per-key latest
+    writer wins by commit order, no lost updates, no duplicate
+    commits)."""
+    t1 = make_table(spark, tpath)
+    t1.upsert(df_of(spark, [(0, 0, "seed")]))
+    t2 = Table.load(spark, tpath)
+    # interleave writers on overlapping key ranges; every t2 write is
+    # FORCED to first attempt an already-taken commit id (the writer
+    # computed its id before the peer published), so the atomic-create
+    # race fires and the loser re-resolves under occ_retries
+    for i in range(1, 11):
+        w = t1 if i % 2 else t2
+        if w is t2:
+            _stale_next_commit(t2, t2.latest_commit())
+        w.upsert(df_of(spark, [(i % 4, i, f"w{i}"), (100 + i, i, f"n{i}")]),
+                 occ_retries=3)
+    commits = t1.commits()
+    assert len(commits) == 11                      # 1 seed + 10 upserts
+    assert len(set(commits)) == 11                 # no duplicate ids
+    got = {r["id"]: r["val"] for r in t1.snapshot().collect()}
+    # last writer per overlapping key: key k in {1,2,3,0} got i where
+    # i%4==k, max such i in 1..10
+    assert got[1] == "w9" and got[2] == "w10" and got[3] == "w7"
+    assert got[0] == "w8"                          # seed overwritten
+    assert all(got[100 + i] == f"n{i}" for i in range(1, 11))
