@@ -228,3 +228,88 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("_c", " ").alias("chunk"),
         )
     )
+
+
+_BIGRAM_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+                           for i in range(1, len(t))]) AS b
+    FROM toks
+),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c12 AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c) AS n FROM c12 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM pairs),
+lp AS (
+    SELECT c12.w1, c12.w2,
+           ln((c12.c + 1) * 1.0 / (c1.n + v.v)) AS lp
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(SUM(lp.lp) / COUNT(*), 6) AS mean_logprob
+FROM pairs JOIN lp USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bigram_logprob",
+    # Same determinism contract as text_unigram_logprob: each bigram's
+    # ln comes from identical integer counts (bit-identical doubles);
+    # the per-doc mean is rounded to 6 decimals, absorbing ~1e-13
+    # summation-order drift. Docs with < 2 tokens have no bigrams and
+    # drop out on both sides.
+    oracle=_BIGRAM_SQL,
+    doc="corpus bigram LM per-doc likelihood (Laplace-smoothed "
+    "P(w2|w1)): the CCNet-style fluency score one order above the "
+    "unigram model — word-ORDER violations now lower the score. Scale "
+    "shape: bigram extraction is map-only (transform over the token "
+    "array, no self-join on positions); the count tables partial-"
+    "aggregate; the per-doc score is one hash join of the bigram "
+    "stream against the |V²|-bounded logprob table",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = (
+        d.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("_t"),
+        )
+        # sequence(1, 0) DESCENDS in Spark — a 1-token doc would emit
+        # bogus null-keyed bigrams that pollute the count tables (DuckDB
+        # range(1, 1) is empty); keep only docs that have a bigram
+        .where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("n"))
+    v = pairs.agg(F.countDistinct("w2").alias("v"))
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1", "w2",
+            F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("mean_logprob"),
+        )
+    )

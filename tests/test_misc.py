@@ -80,3 +80,24 @@ def test_bench_headline_subset_of_catalog():
 
     missing = [n for n in bench.HEADLINE if n not in queries()]
     assert not missing, f"bench references unknown queries: {missing}"
+
+
+def test_bigram_logprob_single_token_doc_safe(spark):
+    """sequence(1, 0) descends in Spark: a 1-token doc must contribute
+    ZERO bigrams (and not pollute the count tables with null pairs),
+    matching DuckDB's empty range."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.plans.catalog import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "one"), (2, "two words here"), (3, "")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["text_bigram_logprob"].spark_fn(spark, d)
+    rows = {r["doc_id"]: r["n_bigrams"] for r in out.collect()}
+    assert rows == {2: 2}  # only the 3-token doc scores; no null pairs
