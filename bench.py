@@ -69,6 +69,10 @@ HEADLINE = [
     "stream_table_feed",
     "ts_ewma_grouped",
     "text_chunk_sliding",
+    "dedup_semantic_prune",
+    "ts_anomaly_zscore",
+    "table_update_where",
+    "text_bigram_logprob",
 ]
 
 

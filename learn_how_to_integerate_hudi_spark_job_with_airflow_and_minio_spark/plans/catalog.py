@@ -79,6 +79,7 @@ _ROUND_PRIORITY: list[str] = [
     "table_update_where",
     "ts_moving_median",
     "text_bigram_logprob",
+    "pipeline_semantic_gold",
     # (a) latest driver row = round 2 — the complete stale set
     "win_topk_per_group",
     "win_rank_percent",
@@ -124,7 +125,6 @@ _ROUND_PRIORITY: list[str] = [
     "stream_dedup_watermark",
     "stream_stateful_user_stats",
     "stream_stream_join",
-    "table_cdc_changes",
 ]
 
 

@@ -196,3 +196,85 @@ def pipeline_span_clean_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gold.bulk_insert(gated)
     return gold.snapshot().drop(META_COL)
+
+
+def _semantic_gold_sql() -> str:
+    from .dedup_plans import _COS_MR
+    from .similarity_plans import _duck_sig
+
+    return f"""
+        WITH filtered AS (
+            SELECT doc_id, source FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 20
+        ),
+        joined AS (
+            SELECT f.doc_id, f.source, e.embedding
+            FROM filtered f JOIN embeddings e ON e.vec_id = f.doc_id
+        ),
+        sig AS (
+            SELECT doc_id, source, embedding,
+                   CAST({_duck_sig(64, 6, 42)} AS BIGINT) AS sig
+            FROM joined
+        ),
+        reps AS (SELECT sig, min(doc_id) AS rep_id FROM sig GROUP BY sig)
+        SELECT m.doc_id, m.source,
+               m.sig AS cluster_id,
+               r.rep_id
+        FROM sig m
+        JOIN reps r USING (sig)
+        JOIN sig re ON re.doc_id = r.rep_id
+        WHERE m.doc_id = r.rep_id OR {_COS_MR} < 0.45
+    """
+
+
+@register(
+    "pipeline_semantic_gold",
+    # The oracle chains the quality filter, the docs×embeddings join,
+    # and the full semantic-prune algebra (signatures from literal
+    # hyperplane coefficients, min-id representative, rounded-cosine
+    # keep policy) — certifying the multimodal COMPOSITION and that the
+    # kept set survives the table kernel byte-identically.
+    oracle=_semantic_gold_sql(),
+    doc="semantic curation stage composed end-to-end: quality filter -> "
+    "join the text table to its embedding table on id -> SemDeDup-style "
+    "semantic prune (LSH clusters, min-id rep, cosine>=0.45 dropped) -> "
+    "keyed gold table write -> snapshot. The text x embedding join is "
+    "the multimodal-pipeline staple; at 100 TB both sides hash-shuffle "
+    "on the id once and every later stage is map-only or broadcast",
+)
+def pipeline_semantic_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.similarity import semantic_prune
+    from ..table import Table
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    filtered = d.where(
+        F.col("text").isNotNull() & (F.length("text") >= 20)
+    ).select("doc_id", "source")
+    joined = filtered.join(
+        e, filtered["doc_id"] == e["vec_id"]
+    ).select("doc_id", "source", "embedding")
+    pruned = semantic_prune(
+        joined, "doc_id", "embedding", dim=64, bits=6, seed=42, threshold=0.45
+    )
+    kept = (
+        pruned.where("kept")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("sig").alias("cluster_id"),
+            "rep_id",
+        )
+        .join(filtered, "doc_id")
+        .select("doc_id", "source", "cluster_id", "rep_id")
+    )
+    gold = Table.create(
+        spark,
+        _tf.mkdtemp(prefix="engine_semgold_"),
+        key="doc_id",
+        precombine="cluster_id",
+        table_name="semantic_gold",
+    )
+    gold.bulk_insert(kept)
+    return gold.snapshot().drop(META_COL)
