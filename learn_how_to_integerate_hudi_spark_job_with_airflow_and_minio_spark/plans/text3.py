@@ -313,3 +313,88 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("mean_logprob"),
         )
     )
+
+
+# Fixed classifier weights — a deterministic stand-in for a trained
+# quality model (fastText-style GPT-3/CCNet corpus filter). The gated
+# score is the LINEAR logit: every feature is a ratio of exact integer
+# counts, so z is identical IEEE arithmetic in both engines with no
+# libm (exp) parity surface at all; the sigmoid is monotone in z, so
+# keep = z >= 0 is exactly the 0.5-probability decision.
+_QC_BIAS = -2.0
+_QC_W_TTR = 3.0        # type-token ratio: lexical diversity
+_QC_W_STOP = 4.0       # stopword ratio: fluent prose carries function words
+_QC_W_MEANLEN = 0.15   # mean token length: penalizes fragment/noise tokens
+_QC_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS t
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        ),
+        feat AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+                   CAST(len(list_filter(t, x -> x IN {_QC_STOPWORDS}))
+                        AS DOUBLE) / len(t) AS stop_ratio,
+                   CAST(list_sum([len(x) for x in t]) AS DOUBLE) / len(t)
+                       AS mean_len
+            FROM f
+        )
+        SELECT doc_id,
+               round(ttr, 6) AS ttr,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(mean_len, 6) AS mean_len,
+               round({_QC_BIAS} + {_QC_W_TTR} * ttr
+                     + {_QC_W_STOP} * stop_ratio
+                     - {_QC_W_MEANLEN} * mean_len, 6) AS logit,
+               ({_QC_BIAS} + {_QC_W_TTR} * ttr
+                     + {_QC_W_STOP} * stop_ratio
+                     - {_QC_W_MEANLEN} * mean_len) >= 0 AS keep
+        FROM feat
+    """,
+    doc="model-based quality filter (the fastText-classifier corpus "
+    "gate, GPT-3/CCNet style) with deterministic fixed weights standing "
+    "in for the trained artifact: type-token ratio, stopword ratio, and "
+    "mean token length feed a linear logit; keep = logit >= 0 is "
+    "exactly the sigmoid-0.5 decision with no libm parity risk. Scale "
+    "shape: pure map-only Catalyst over the token array — 100 TB "
+    "scores at scan speed, no shuffle, no UDF",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    t = F.split(F.col("text"), " ")
+    n = F.size(t).cast("double")
+    ttr = F.size(F.array_distinct(t)) / n
+    stop_lits = F.array(*[F.lit(s) for s in _QC_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: F.array_contains(stop_lits, x))) / n
+    )
+    mean_len = (
+        F.aggregate(
+            F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("double")
+        / n
+    )
+    logit = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_TTR) * ttr
+        + F.lit(_QC_W_STOP) * stop_ratio
+        - F.lit(_QC_W_MEANLEN) * mean_len
+    )
+    return (
+        d.where(F.size(t) > 0)
+        .select(
+            "doc_id",
+            F.round(ttr, 6).alias("ttr"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(mean_len, 6).alias("mean_len"),
+            F.round(logit, 6).alias("logit"),
+            (logit >= 0).alias("keep"),
+        )
+    )
