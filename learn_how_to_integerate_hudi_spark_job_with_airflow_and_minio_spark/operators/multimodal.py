@@ -188,3 +188,78 @@ def resize_payload(media: DataFrame, target_len: int = 256) -> DataFrame:
         op,
         schema="media_id long, orig_len long, resized_len long, resized_md5 string",
     )
+
+
+def ahash_pairs(media: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over media payloads — the
+    image-dedup pipeline op (aHash: one bit per feature dimension, set
+    when that dimension clears the mean; near-dups = small Hamming
+    distance between hashes).
+
+    Runs on the decoded feature vectors (stub decoder here; a real
+    image pipeline swaps in CNN features or 8×8 grayscale means — the
+    hash/banding algebra is identical). The bit rule is INTEGER-exact:
+    bit d = q[d]·DIM ≥ Σq avoids any float mean.
+
+    Scale shape: candidates come from multi-probe bucketing, never
+    all-pairs — each item posts its hash plus every hash within
+    ``max_hamming`` bit-flips (Σ C(DIM,i) probes), pairs equi-join on
+    the probe key, and the exact popcount verifies. At 100 TB the
+    shuffle carries (probe, id) pairs; the verify touches only
+    collisions. ``max_hamming`` ≤ 2 supported (probe count stays
+    1 + DIM + C(DIM,2)).
+    """
+    if max_hamming > 2:
+        raise ValueError("max_hamming > 2 needs banded multi-index, not probes")
+    feats = extract_features(media)
+    q = F.transform("feature", lambda x: F.round(x * 997).cast("long"))
+    total = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+    bit_terms = [
+        F.when(
+            F.element_at(F.col("_q"), d + 1) * FEATURE_DIM >= F.col("_total"),
+            F.lit(1 << d).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for d in range(FEATURE_DIM)
+    ]
+    h = bit_terms[0]
+    for term in bit_terms[1:]:
+        h = h + term
+    hashes = (
+        feats.withColumn("_q", q)
+        .withColumn("_total", total)
+        .select("media_id", h.alias("_h"))
+    )
+    flips = [0] + [1 << i for i in range(FEATURE_DIM)]
+    if max_hamming >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(FEATURE_DIM)
+            for j in range(i + 1, FEATURE_DIM)
+        ]
+    masks = F.array(*[F.lit(m).cast("long") for m in flips])
+    probes = hashes.select(
+        "media_id",
+        "_h",
+        F.explode(F.transform(masks, lambda m: F.col("_h").bitwiseXOR(m))).alias(
+            "_probe"
+        ),
+    )
+    # XOR symmetry makes one-sided probing complete: x↔y within
+    # max_hamming ⟺ y's probe set contains x's exact hash — so the
+    # exact side stays unexploded (half the shuffle of probing both)
+    a, b = hashes.alias("a"), probes.alias("b")
+    hamming = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+    return (
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._probe"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_1"),
+            F.col("b.media_id").alias("id_2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -81,6 +81,7 @@ _ROUND_PRIORITY: list[str] = [
     "text_bigram_logprob",
     "pipeline_semantic_gold",
     "text_quality_classifier",
+    "multimodal_ahash_pairs",
     # (a) latest driver row = round 2 — the complete stale set
     "win_topk_per_group",
     "win_rank_percent",
@@ -124,7 +125,6 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_components",
     "stream_dedup_watermark",
-    "stream_stateful_user_stats",
 ]
 
 

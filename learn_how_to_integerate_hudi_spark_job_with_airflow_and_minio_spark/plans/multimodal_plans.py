@@ -136,3 +136,46 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_payload(_media(spark, sf_dir), target_len=256)
+
+
+@register(
+    "multimodal_ahash_pairs",
+    # Oracle rebuilds the whole chain from characters (ASCII testdata ⇒
+    # bytes == chars): per-dim byte sums mod 997 (the proven
+    # multimodal_features contract), the integer bit rule
+    # q[d]·8 >= Σq, and a brute-force Hamming pair scan — verifying the
+    # Spark side's multi-probe candidate generation found EVERY pair.
+    oracle="""
+        WITH bytes AS (
+            SELECT doc_id, (i - 1) % 8 AS dim, ord(substr(text, i, 1)) AS b
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                FROM documents
+            )
+        ),
+        fq AS (
+            SELECT doc_id, dim, CAST(COALESCE(SUM(b), 0) % 997 AS BIGINT) AS q
+            FROM bytes GROUP BY doc_id, dim
+        ),
+        qv AS (SELECT doc_id, list(q ORDER BY dim) AS q FROM fq GROUP BY doc_id),
+        h AS (
+            SELECT doc_id,
+                   CAST(list_sum([CASE WHEN q[d + 1] * 8 >= list_sum(q)
+                                       THEN (1::BIGINT << d) ELSE 0 END
+                                  for d in range(0, 8)]) AS BIGINT) AS h
+            FROM qv
+        )
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 1
+    """,
+    doc="perceptual-hash (aHash) near-duplicate media pairs at Hamming "
+    "<= 1: one bit per decoded feature dimension (integer rule "
+    "q[d]*8 >= sum q — no float mean), candidates from one-sided "
+    "multi-probe bucketing (exact hash x 9 bit-flip probes), popcount "
+    "verify on collisions only — the image-dedup pipeline op, never "
+    "all-pairs; oracle brute-forces the full pair set independently",
+)
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.ahash_pairs(_media(spark, sf_dir), max_hamming=1)
