@@ -211,7 +211,10 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     """
     if max_hamming > 2:
         raise ValueError("max_hamming > 2 needs banded multi-index, not probes")
-    feats = extract_features(media)
+    # zero-length payloads carry no perceptual content and would all
+    # hash identically (every dimension ties the mean) — exclude them
+    # rather than emit a clique of meaningless "duplicates"
+    feats = extract_features(media.where(F.col("byte_len") > 0))
     q = F.transform("feature", lambda x: F.round(x * 997).cast("long"))
     total = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
     bit_terms = [
@@ -246,20 +249,20 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     )
     # XOR symmetry makes one-sided probing complete: x↔y within
     # max_hamming ⟺ y's probe set contains x's exact hash — so the
-    # exact side stays unexploded (half the shuffle of probing both)
+    # exact side stays unexploded (half the shuffle of probing both).
+    # No post-filter and no distinct are needed: a._h == b._probe pins
+    # a._h XOR b._h to one of the probe masks (all popcount ≤
+    # max_hamming by construction), and XOR injectivity means each pair
+    # matches via EXACTLY one mask — a distinct here would be a full
+    # extra shuffle of the pair set for zero effect.
     a, b = hashes.alias("a"), probes.alias("b")
     hamming = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
-    return (
-        a.join(
-            b,
-            (F.col("a._h") == F.col("b._probe"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("id_1"),
-            F.col("b.media_id").alias("id_2"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a._h") == F.col("b._probe"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    ).select(
+        F.col("a.media_id").alias("id_1"),
+        F.col("b.media_id").alias("id_2"),
+        hamming.cast("int").alias("hamming"),
     )

@@ -489,11 +489,15 @@ def quantized_topk(
     rebuilds codes, shortlist, and re-rank bit-identically)."""
     scales = quantization_scales(corpus, vec_col)
 
-    # Quantize only vectors of the indexed dimensionality; any other
-    # length fails LOUD per row (zip_with would null-pad a longer query
-    # vector, the int8 dot would go NULL, and the row would silently
-    # vanish from the shortlist — r5 advice). raise_error costs nothing
-    # unless a mismatched row exists: no validation job, no extra pass.
+    # Quantize only vectors of the indexed dimensionality; a non-null
+    # vector of any OTHER length fails LOUD per row (zip_with would
+    # null-pad a longer query vector, the int8 dot would go NULL, and
+    # the row would silently vanish from the shortlist — r5 advice).
+    # NULL vectors are excluded up front like everywhere else in this
+    # module (quantization_scales deliberately tolerates a partially-
+    # null corpus — a null row has no vector to rank, it is not a
+    # dimensionality bug). raise_error costs nothing unless a
+    # mismatched row exists: no validation job, no extra pass.
     dim = len(scales)
     def _quantize_checked(col: Column) -> Column:
         return F.when(F.size(col) == dim, quantize_vec(col, scales)).otherwise(
@@ -506,12 +510,12 @@ def quantized_topk(
             )
         )
 
-    q = queries.select(
+    q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(query_id).alias("query_id"),
         _quantize_checked(F.col(vec_col)).alias("_qq"),
         F.col(vec_col).alias("_qv"),
     )
-    c = corpus.select(
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(corpus_id).alias("neighbor_id"),
         _quantize_checked(F.col(vec_col)).alias("_cq"),
         F.col(vec_col).alias("_cv"),
@@ -567,8 +571,10 @@ def semantic_prune(
     artifact to ship.
 
     Returns one row per input vector: (vec_id, sig, rep_id, cos_rep,
-    kept) — ``cos_rep`` is NULL for representatives; ``kept`` is true
-    for representatives and members below the threshold.
+    kept, *other input columns) — ``cos_rep`` is NULL for
+    representatives; ``kept`` is true for representatives and members
+    below the threshold. Non-vector input columns pass through so a
+    pipeline never re-joins its source just to recover them.
 
     Scale shape: signatures are map-only literal arithmetic; the per-
     bucket min is partial-aggregatable; representatives (≤ 2^bits rows)
@@ -576,10 +582,12 @@ def semantic_prune(
     (member × its rep), never pairwise — O(N) total at any corpus size.
     """
     planes = hyperplanes(dim, bits, seed)
+    extra = [c for c in df.columns if c not in (id_col, vec_col)]
     s = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         lsh_signature(F.col(vec_col), planes).alias("sig"),
+        *extra,
     )
     reps = s.groupBy("sig").agg(F.min("vec_id").alias("rep_id"))
     rep_vecs = (
@@ -598,5 +606,6 @@ def semantic_prune(
             (
                 (F.col("vec_id") == F.col("rep_id")) | (cos < threshold)
             ).alias("kept"),
+            *extra,
         )
     )

@@ -774,5 +774,6 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     return semantic_prune(
-        e, "vec_id", "embedding", dim=64, bits=6, seed=42, threshold=0.45
+        e.select("vec_id", "embedding"),
+        "vec_id", "embedding", dim=64, bits=6, seed=42, threshold=0.45,
     )

@@ -256,18 +256,17 @@ def pipeline_semantic_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = filtered.join(
         e, filtered["doc_id"] == e["vec_id"]
     ).select("doc_id", "source", "embedding")
+    # semantic_prune passes non-vector columns through, so `source`
+    # survives the prune and no re-join against the documents scan is
+    # needed — the id join above stays the ONLY shuffle of the stage
     pruned = semantic_prune(
         joined, "doc_id", "embedding", dim=64, bits=6, seed=42, threshold=0.45
     )
-    kept = (
-        pruned.where("kept")
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.col("sig").alias("cluster_id"),
-            "rep_id",
-        )
-        .join(filtered, "doc_id")
-        .select("doc_id", "source", "cluster_id", "rep_id")
+    kept = pruned.where("kept").select(
+        F.col("vec_id").alias("doc_id"),
+        "source",
+        F.col("sig").alias("cluster_id"),
+        "rep_id",
     )
     gold = Table.create(
         spark,

@@ -228,7 +228,7 @@ def ts_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array is collected per row and folded with exact dyadic weights — "
     "right for BOUNDED per-key series (the prefix arrays are O(n²) per "
     "key); unbounded series route through ts_ewma_grouped, the "
-    "applyInPandas O(n) recurrence",
+    "partition-sorted mapInPandas O(n) recurrence",
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, "events")["events"]

@@ -83,6 +83,10 @@ class Table:
         self.path = path.rstrip("/")
         self.meta = meta
         self.fs = fs_for(self.path)
+        # DataFrames persisted for the CURRENT write op (constraint-gated
+        # batches); drained — unpersisted — by _publish so cached blocks
+        # never outlive the commit they served.
+        self._pending_unpersist: list[DataFrame] = []
 
     # -- lifecycle -----------------------------------------------------
 
@@ -1069,6 +1073,23 @@ class Table:
         # unflagged row updates/inserts). Without the coalesce both
         # branches evaluate to NULL and the row silently vanishes.
         flag = F.coalesce(F.col(delete_col), F.lit(False))
+        # The upsert branch and the tombstone branch each scan ``source``
+        # — for a non-deterministic lineage (sample(), uuid()-derived
+        # flags) independent re-evaluation could drop a row from BOTH
+        # branches or emit it to both (the same dual-evaluation hazard
+        # _gate_constraints guards). Persist once, evaluate both branches
+        # from the materialized rows, release after publish.
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_with_deletes(source, flag, delete_col)
+        finally:
+            source.unpersist()
+
+    def _merge_with_deletes(
+        self, source: DataFrame, flag, delete_col: str
+    ) -> str:
         if self.table_type == "mor":
             # MOR merge = ONE delta commit carrying both the upsert rows
             # and the tombstones (one file set, one manifest): an
@@ -1394,13 +1415,23 @@ class Table:
                 ]
             )
         )
-        # Materialize the tagged batch ONCE (eager local checkpoint)
-        # before splitting it: the quarantine branch and the clean branch
-        # below are separate actions, and re-running a non-deterministic
-        # source lineage (sample(), uuid(), unstable limit) for each
-        # could quarantine a row AND write it, or drop it from both
-        # (r5 advice). Only constrained writes pay this pass.
-        tagged = df.withColumn("_viol", flags).localCheckpoint(eager=True)
+        # Materialize the tagged batch ONCE before splitting it: the
+        # quarantine branch and the clean branch below are separate
+        # actions, and re-running a non-deterministic source lineage
+        # (sample(), uuid(), unstable limit) for each could quarantine a
+        # row AND write it, or drop it from both (r5 advice). persist
+        # (spill-safe, lazily computed by the first action) rather than
+        # an eager localCheckpoint: no extra pass for the common
+        # deterministic batch, and the blocks are RELEASED deterministic-
+        # ally after the commit publishes (_publish drains
+        # _pending_unpersist) instead of lingering until driver GC — a
+        # long-running constrained writer stays storage-bounded.
+        from pyspark import StorageLevel
+
+        tagged = df.withColumn("_viol", flags).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._pending_unpersist.append(tagged)
         bad = tagged.where(F.size("_viol") > 0)
         if not bad.isEmpty():
             (
@@ -1741,6 +1772,11 @@ class Table:
             "files_removed": removed,
             "schema": schema.jsonValue() if schema is not None else None,
         }
+        # the write that fed this publish is fully materialized on disk —
+        # release any batch blocks persisted for it (success OR race
+        # failure: a retry re-runs the gate and re-persists)
+        while self._pending_unpersist:
+            self._pending_unpersist.pop().unpersist()
         try:
             # ATOMIC exclusive create (os.link locally, S3 conditional
             # put): the filesystem — not a check-then-write window —
@@ -1784,7 +1820,19 @@ def _type_class(dt) -> str:
         return "temporal"
     if isinstance(dt, T.BinaryType):
         return "binary"
-    return dt.simpleString()  # nested/other: exact match required
+    # nested types: recurse so element-level within-class widening
+    # (array<float> → array<double>, the common Arrow float32 embedding
+    # shape) is allowed exactly like its scalar counterpart
+    if isinstance(dt, T.ArrayType):
+        return f"array<{_type_class(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{_type_class(dt.keyType)},{_type_class(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{_type_class(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return dt.simpleString()  # other exotic types: exact match required
 
 
 def _jsonable(v):

@@ -216,3 +216,10 @@ def test_quantization_guards(spark):
     )
     with pytest.raises(Exception, match="does not match the indexed dim"):
         quantized_topk(bad_queries, corpus, "id", "id", k=2).collect()
+    # NULL vectors are EXCLUDED, not a crash: a null row has no vector
+    # to rank — only non-null wrong-length vectors are dimension bugs
+    mixed = spark.createDataFrame(
+        [(100, [9.0, 9.0]), (101, None)], "id long, embedding array<float>"
+    )
+    got = quantized_topk(mixed, corpus, "id", "id", k=2).collect()
+    assert {r["query_id"] for r in got} == {100}
