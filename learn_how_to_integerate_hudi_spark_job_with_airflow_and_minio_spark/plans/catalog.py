@@ -82,6 +82,7 @@ _ROUND_PRIORITY: list[str] = [
     "pipeline_semantic_gold",
     "text_quality_classifier",
     "multimodal_ahash_pairs",
+    "join_tpch_q10",
     # (a) latest driver row = round 2 — the complete stale set
     "win_topk_per_group",
     "win_rank_percent",
@@ -124,7 +125,6 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "dedup_components",
-    "stream_dedup_watermark",
 ]
 
 

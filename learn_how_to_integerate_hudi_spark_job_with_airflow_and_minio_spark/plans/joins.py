@@ -649,3 +649,61 @@ def join_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.sum("promo_vol")) * 100.0 / as_double(F.sum("vol"))
         ).alias("promo_revenue_pct")
     )
+
+
+@register(
+    "join_tpch_q10",
+    oracle="""
+        SELECT c.c_custkey,
+               c.c_name,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal,
+               n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, round(c.c_acctbal, 2), n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): which customers "
+    "returned the most revenue in a quarter — 4-way star join, decimal-"
+    "exact grouped revenue, top-20. nation broadcast, customer dim "
+    "broadcast into the orders⋈lineitem fact shuffle; the quarter + "
+    "returnflag filters push into both fact scans",
+)
+def join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .join(
+            t["lineitem"].where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
