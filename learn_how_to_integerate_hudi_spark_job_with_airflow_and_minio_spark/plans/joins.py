@@ -147,7 +147,9 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
     """,
     doc="TPC-H Q3 shape: 3-way star join + filter + grouped revenue + "
-    "top-10. customer dim broadcast; orders⋈lineitem shuffles on orderkey",
+    "top-10. customer is SF-proportional so it carries NO broadcast "
+    "hint — AQE picks BHJ at small SF and falls back to shuffle join "
+    "at scale; orders⋈lineitem shuffles on orderkey",
 )
 def join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
@@ -159,7 +161,7 @@ def join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .where(F.col("o_orderdate") < cutoff)
-        .join(F.broadcast(building), F.col("c_custkey") == F.col("o_custkey"))
+        .join(building, F.col("c_custkey") == F.col("o_custkey"))
         .join(
             t["lineitem"].where(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -189,8 +191,9 @@ def join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
     """,
     doc="TPC-H Q5 shape: 6-way join across the whole star schema with a "
-    "local-supplier condition; region/nation/supplier broadcast, "
-    "AQE + join reordering pick the fact-side plan",
+    "local-supplier condition; only fixed-cardinality region/nation are "
+    "hint-broadcast — customer/supplier grow with SF so AQE chooses "
+    "their join strategy (BHJ at bench scale, shuffle join at 100×)",
 )
 def join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
@@ -212,12 +215,12 @@ def join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
         )
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            t["supplier"].select("s_suppkey", "s_nationkey"),
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -672,9 +675,9 @@ def join_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q10 shape (returned-item reporting): which customers "
     "returned the most revenue in a quarter — 4-way star join, decimal-"
-    "exact grouped revenue, top-20. nation broadcast, customer dim "
-    "broadcast into the orders⋈lineitem fact shuffle; the quarter + "
-    "returnflag filters push into both fact scans",
+    "exact grouped revenue, top-20. nation (fixed 25 rows) broadcast; "
+    "customer is SF-proportional so it is hint-free — AQE picks its "
+    "join strategy; quarter + returnflag filters push into both fact scans",
 )
 def join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
@@ -691,7 +694,7 @@ def join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["lineitem"].where(F.col("l_returnflag") == "R"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(
             F.broadcast(t["nation"]),
             F.col("c_nationkey") == F.col("n_nationkey"),

@@ -66,7 +66,7 @@ def q01_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Q2: the reference's gold query — inner equi-join customers⋈orders "
         "with projection/aliasing (incremental_etl_orders.py:467-478). "
-        "Dim side broadcast: no shuffle of the fact table at scale."
+        "Hint-free: AQE broadcasts the dim while it fits, shuffles at scale."
     ),
 )
 def q02_flagship_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,10 +82,11 @@ def q02_flagship_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("order_value"),
         F.col("o_custkey"),
     )
-    # customer is the dim side (1:N FK join) — broadcast it so the fact
-    # side never shuffles; at 100 TB the orders scan stays map-only.
+    # customer is the dim side (1:N FK join) but grows with SF, so no
+    # forced broadcast hint — AQE picks BHJ while the dim fits under
+    # autoBroadcastJoinThreshold and falls back to shuffle join at 100×.
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.customer_id, "inner")
+        orders.join(cust, orders.o_custkey == cust.customer_id, "inner")
         .select(
             "customer_id",
             "customer_name",

@@ -41,12 +41,66 @@ _CARTESIAN_OK = {
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Forced-broadcast-hint audit: a `F.broadcast()` over an input that
+# grows with scale factor is a permanent scale liability (executor OOM
+# at 100 TB — the hint overrides autoBroadcastJoinThreshold). A hint
+# subtree is considered bounded if it contains a cardinality-bounding
+# operator (Aggregate / Limit / Deduplicate) or touches only
+# fixed-cardinality tables (nation 25 rows / region 5 rows / literal
+# LocalRelations). Anything else must be allowlisted here with a
+# bounded-by-contract argument.
+_HINT_OK = {
+    # |Q| probe sets: vec_id < 10 key-range filter — 10 rows at any SF
+    # by the operator's contract (the query side IS the small side)
+    "sim_hard_negatives",
+    "sim_ivf_probe",
+    "sim_ivf_recall",
+    "sim_lsh_ann",
+    "sim_quantized_topk",
+    "sim_topk_bruteforce",
+    # benchmark/eval shingle table: the bench suite is small by the
+    # decontamination contract (eval sets don't grow with corpus SF)
+    "decontaminate_ngram_overlap",
+}
 
-def _plan_of(spark, name: str) -> str:
+_SF_TABLE_MARKERS = re.compile(
+    r"\b(c_custkey|s_suppkey|o_orderkey|l_orderkey|p_partkey"
+    r"|doc_id|vec_id|event_id|user_id)#"
+)
+_CARDINALITY_BOUNDED = re.compile(r"\b(Aggregate|GlobalLimit|Deduplicate)")
+
+
+def _tree_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _forced_sf_broadcasts(analyzed: str) -> list[str]:
+    """ResolvedHint subtrees in an analyzed-plan string that reference
+    an SF-proportional table without a cardinality-bounding operator."""
+    lines = analyzed.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        depth = _tree_indent(ln)
+        sub = []
+        for ln2 in lines[i + 1 :]:
+            if ln2.strip() and _tree_indent(ln2) <= depth:
+                break
+            sub.append(ln2)
+        subtree = "\n".join(sub)
+        if _SF_TABLE_MARKERS.search(subtree) and not _CARDINALITY_BOUNDED.search(
+            subtree
+        ):
+            bad.append(subtree)
+    return bad
+
+
+def _plan_of(spark, name: str) -> tuple[str, str]:
     df = REGISTRY[name].spark_fn(spark, SF_SMOKE)
     je = df._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    return je.explainString(mode)
+    return je.analyzed().toString(), je.explainString(mode)
 
 
 def test_keep_representative_has_no_forced_broadcast(spark):
@@ -73,7 +127,7 @@ def test_keep_representative_has_no_forced_broadcast(spark):
 
 @pytest.mark.parametrize("name", ALL)
 def test_no_row_python_udf_and_no_stray_cartesian(name, spark):
-    plan = _plan_of(spark, name)
+    analyzed, plan = _plan_of(spark, name)
     assert "BatchEvalPython" not in plan, (
         f"{name} ships a row-at-a-time Python UDF:\n{plan[:1500]}"
     )
@@ -81,6 +135,13 @@ def test_no_row_python_udf_and_no_stray_cartesian(name, spark):
         bad = re.search(r"CartesianProduct|BroadcastNestedLoopJoin Cross", plan)
         assert not bad, (
             f"{name} has an unapproved cartesian/cross join:\n{plan[:1500]}"
+        )
+    if name not in _HINT_OK:
+        offenders = _forced_sf_broadcasts(analyzed)
+        assert not offenders, (
+            f"{name} forces a broadcast of an SF-proportional input "
+            f"(OOM at scale — drop the hint and let AQE choose):\n"
+            f"{offenders[0][:1500]}"
         )
 
 
