@@ -1119,9 +1119,9 @@ class Table:
             # widens it, _read_entries) — same contract as delete()
             self._publish(commit, "deltacommit", added, [], batch.schema)
             return commit
-        upserts = self._dedup_batch(
-            self._gate_constraints(source.where(~flag).drop(delete_col))
-        )
+        cow_upserts = source.where(~flag).drop(delete_col)
+        self._validate_batch(cow_upserts)  # same gate as the MOR branch
+        upserts = self._dedup_batch(self._gate_constraints(cow_upserts))
         commit = self._next_commit()
         batch = upserts.withColumn(META_COL, F.lit(commit))
         all_keys = (
@@ -1290,8 +1290,15 @@ class Table:
             F.col(f"_o.{self.precombine}"),
             F.col(f"_n.{self.precombine}"),
         )
-        batch_wins = F.col(f"_o.{self.key}").isNull() | F.coalesce(
-            new_pc >= old_pc, old_pc.isNull()
+        # A batch row must actually be MATCHED to win: without the
+        # new-key guard, an old row with NULL precombine and no batch
+        # counterpart would evaluate coalesce(null, true) and get its
+        # _commit_time restamped, spuriously surfacing in incremental /
+        # CDC reads. The semi-join above makes that unreachable today;
+        # the guard keeps the predicate correct on its own terms.
+        batch_wins = F.col(f"_o.{self.key}").isNull() | (
+            F.col(f"_n.{self.key}").isNotNull()
+            & F.coalesce(new_pc >= old_pc, old_pc.isNull())
         )
         merged_cols = []
         table_cols = [f.name for f in table_schema.fields]

@@ -343,6 +343,32 @@ def test_merge_null_delete_flag_upserts(spark, tpath):
     assert rows_of(t.snapshot(), "id", "val") == [(1, "a2"), (3, "c")]
 
 
+def test_merge_cow_validates_batch(spark, tpath):
+    """The COW branch of merge(delete_col=...) runs the same write-side
+    validation as every other write path (r6 advice: it used to bypass
+    _validate_batch, letting a type-drifted or reserved-column batch
+    write silently)."""
+    import pytest as _pytest
+
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    # type-class drift: val string -> val double must be refused
+    drifted = spark.createDataFrame(
+        [(1, 2, 3.5, False)], "id long, ver long, val double, _del boolean"
+    )
+    with _pytest.raises(ValueError, match="type class"):
+        t.merge(drifted, delete_col="_del")
+    # reserved meta column must be refused
+    reserved = spark.createDataFrame(
+        [(1, 2, "x", False, "c0")],
+        "id long, ver long, val string, _del boolean, _commit_time string",
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        t.merge(reserved, delete_col="_del")
+    # table unchanged after both refusals
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a")]
+
+
 def make_mor(spark, path, **kw):
     return Table.create(
         spark, path, key="id", precombine="ver", table_name="m",
@@ -1120,7 +1146,10 @@ def test_constraints_nondeterministic_batch_split_is_consistent(spark, tpath):
     materialized evaluation of the batch: with a non-deterministic
     source (uuid() here), independent re-evaluation per branch could
     quarantine a row AND write it, or drop it from both (r5 advice —
-    fixed by an eager localCheckpoint before the split)."""
+    fixed by a persist(MEMORY_AND_DISK) before the split; note persist
+    is best-effort, so the single-evaluation guarantee only holds while
+    cached blocks survive — a lost block recomputes from the
+    non-deterministic lineage)."""
     import pyspark.sql.functions as F
 
     t = Table.create(
