@@ -1120,3 +1120,68 @@ def table_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % 9 == 0,
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_merge_into",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'M'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N',
+               CAST(500.0 AS DOUBLE), o_orderdate
+        FROM orders
+        WHERE o_orderkey % 1000 = 0
+    """,
+    doc="SQL MERGE INTO surface (Hudi/Delta Spark-SQL MERGE; the "
+    "reference's user interface is SQL strings over views, "
+    "incremental_etl_orders.py:467-478): the statement string is parsed "
+    "by sql_dml and compiled onto the keyed merge kernel in ONE commit. "
+    "Exercises clause ORDER (conditional DELETE before the catch-all "
+    "UPDATE), mixed-alias SET expressions (t.col + s.col), and "
+    "NOT MATCHED INSERT(...) VALUES(...) — affected files rewrite once, "
+    "untouched files keep their original _commit_time",
+)
+def table_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sql_dml
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_sqlmi_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_mi",
+    )
+    t.bulk_insert(orders)
+    upd = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("act"),
+        F.lit(1000.0).alias("bump"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", "o_orderdate",
+        F.lit("I").alias("act"), F.lit(500.0).alias("bump"),
+    )
+    upd.unionByName(ins).createOrReplaceTempView("engine_merge_src")
+    sql_dml.execute(
+        spark,
+        """
+        MERGE INTO orders_mi t USING engine_merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.act = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+                                     o_totalprice = t.o_totalprice + s.bump
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+                                      o_totalprice, o_orderdate)
+             VALUES (s.o_orderkey, s.o_custkey, 'N', s.bump, s.o_orderdate)
+        """,
+        {"orders_mi": t},
+    )
+    return t.snapshot().drop(META_COL)

@@ -1,0 +1,262 @@
+"""SQL DML front-end over engine tables: ``MERGE INTO`` /
+``DELETE FROM`` / ``UPDATE`` strings compiled onto the Table kernels.
+
+The reference drives everything through SQL strings over temp views
+(``AirflowHudiLabs/Lab2/jobs/python/incremental_etl_orders.py:467-478``
+registers views and runs string queries); this module gives engine
+tables the matching WRITE-side SQL surface — Spark itself cannot plan
+DML over plain parquet-backed views. Statements are parsed here with a
+small quote/paren-aware tokenizer; every embedded expression
+(conditions, SET right-hand sides, INSERT values) is handed to
+Catalyst verbatim via ``F.expr``, so the full Spark-SQL expression
+language works inside clauses.
+
+Grammar (case-insensitive keywords; ``<expr>`` = any Spark-SQL
+expression — parenthesize CASE expressions inside MERGE conditions so
+their WHEN/THEN tokens don't terminate a clause):
+
+    MERGE INTO <target> [[AS] alias] USING <source|(subquery)> [[AS] alias]
+    ON <expr>
+    { WHEN MATCHED [AND <expr>] THEN { UPDATE SET col = <expr>[, ...]
+                                     | DELETE }
+    | WHEN NOT MATCHED [AND <expr>] THEN
+          { INSERT (col[, ...]) VALUES (<expr>[, ...]) | INSERT * } }+
+
+    DELETE FROM <target> WHERE <expr>
+    UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
+
+Clause semantics (order, first-match-wins, cardinality violation on
+multi-matched target rows) live in :meth:`Table.merge_into`.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import Table
+
+__all__ = ["execute", "parse_merge"]
+
+
+def _scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
+    """(start, end) spans of ``pattern`` matches at paren depth 0,
+    outside single-quoted strings and backtick identifiers."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'" or c == "`":
+            j = s.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            m = rx.match(s, i)
+            if m:
+                spans.append((m.start(), m.end()))
+                i = m.end()
+                continue
+        i += 1
+    return spans
+
+
+def _split_top(s: str, pattern: str) -> list[str]:
+    """Split on top-level matches of ``pattern`` (the separators are
+    dropped)."""
+    spans = _scan_top(s, pattern)
+    out, pos = [], 0
+    for a, b in spans:
+        out.append(s[pos:a])
+        pos = b
+    out.append(s[pos:])
+    return out
+
+
+_IDENT = r"[A-Za-z_][\w$]*|`[^`]+`"
+
+
+def _parse_rel(s: str) -> tuple[str, str]:
+    """``name [[AS] alias]`` or ``(subquery) [[AS] alias]`` →
+    (name_or_subquery, alias)."""
+    s = s.strip()
+    if s.startswith("("):
+        depth, i = 0, 0
+        for i, c in enumerate(s):
+            depth += c == "("
+            depth -= c == ")"
+            if depth == 0:
+                break
+        body, rest = s[: i + 1], s[i + 1 :].strip()
+    else:
+        m = re.match(rf"({_IDENT})", s)
+        if not m:
+            raise ValueError(f"cannot parse relation in {s!r}")
+        body, rest = m.group(1), s[m.end() :].strip()
+    alias = body.strip("`") if not body.startswith("(") else None
+    if rest:
+        m = re.match(rf"(?:AS\s+)?({_IDENT})\s*$", rest, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse relation alias in {s!r}")
+        alias = m.group(1).strip("`")
+    if alias is None:
+        raise ValueError(f"subquery source needs an alias: {s!r}")
+    return body, alias
+
+
+def _parse_assignments(s: str) -> dict[str, str]:
+    sets: dict[str, str] = {}
+    for part in _split_top(s, r","):
+        m = re.match(
+            rf"\s*(?:(?:{_IDENT})\s*\.\s*)?({_IDENT})\s*=\s*(.+?)\s*$",
+            part,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse assignment {part!r}")
+        sets[m.group(1).strip("`")] = m.group(2)
+    return sets
+
+
+def parse_merge(stmt: str) -> dict:
+    """Parse a MERGE INTO statement into the :meth:`Table.merge_into`
+    argument shape. Returns ``{target, target_alias, source,
+    source_alias, on, matched, not_matched}`` where ``source`` is a
+    view name or a parenthesized subquery string."""
+    m = re.match(r"\s*MERGE\s+INTO\s+", stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError("not a MERGE INTO statement")
+    rest = stmt[m.end() :].rstrip().rstrip(";")
+    using = _scan_top(rest, r"\bUSING\b")
+    if len(using) != 1:
+        raise ValueError("MERGE needs exactly one top-level USING")
+    target, t_alias = _parse_rel(rest[: using[0][0]])
+    rest = rest[using[0][1] :]
+    on = _scan_top(rest, r"\bON\b")
+    if not on:
+        raise ValueError("MERGE needs an ON condition")
+    source, s_alias = _parse_rel(rest[: on[0][0]])
+    rest = rest[on[0][1] :]
+    whens = _scan_top(rest, r"\bWHEN\b")
+    if not whens:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    on_cond = rest[: whens[0][0]].strip()
+    matched: list[tuple] = []
+    not_matched: list[tuple] = []
+    starts = [a for a, _b in whens]
+    for i, (_a, b) in enumerate(whens):
+        seg = rest[b : starts[i + 1] if i + 1 < len(starts) else None].strip()
+        m = re.match(
+            r"(NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+(?P<act>.*)$",
+            seg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse WHEN clause {seg!r}")
+        is_not, cond, act = m.group(1), m.group("cond"), m.group("act").strip()
+        cond = cond.strip() if cond else None
+        if is_not:
+            am = re.match(
+                r"INSERT\s*(\*|\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not am:
+                raise ValueError(f"cannot parse INSERT action {act!r}")
+            if am.group(1) == "*":
+                not_matched.append(("insert", cond, None))
+            else:
+                cols = [
+                    c.strip().strip("`") for c in am.group("cols").split(",")
+                ]
+                vals = [v.strip() for v in _split_top(am.group("vals"), r",")]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT column/value count mismatch in {act!r}"
+                    )
+                not_matched.append(("insert", cond, dict(zip(cols, vals))))
+        elif re.match(r"DELETE\s*$", act, re.IGNORECASE):
+            matched.append(("delete", cond, None))
+        else:
+            am = re.match(r"UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(f"cannot parse MATCHED action {act!r}")
+            matched.append(("update", cond, _parse_assignments(am.group(1))))
+    return {
+        "target": target,
+        "target_alias": t_alias,
+        "source": source,
+        "source_alias": s_alias,
+        "on": on_cond,
+        "matched": matched,
+        "not_matched": not_matched,
+    }
+
+
+def _resolve_source(spark: SparkSession, source: str) -> DataFrame:
+    if source.startswith("("):
+        return spark.sql(source[1:-1])
+    return spark.table(source)
+
+
+def execute(
+    spark: SparkSession, stmt: str, tables: dict[str, Table]
+) -> str:
+    """Execute a DML string against engine tables. ``tables`` maps the
+    statement's target name to an open :class:`Table`; MERGE sources
+    resolve against ``tables`` (current snapshot), then Spark temp
+    views, then inline subqueries. Returns the commit id."""
+    s = stmt.strip().rstrip(";")
+    if re.match(r"MERGE\s+INTO\b", s, re.IGNORECASE):
+        p = parse_merge(s)
+        if p["target"] not in tables:
+            raise ValueError(f"unknown MERGE target table {p['target']!r}")
+        t = tables[p["target"]]
+        if p["source"] in tables:
+            src = tables[p["source"]].snapshot()
+        else:
+            src = _resolve_source(spark, p["source"])
+        return t.merge_into(
+            src,
+            on=p["on"],
+            matched=p["matched"],
+            not_matched=p["not_matched"],
+            target_alias=p["target_alias"],
+            source_alias=p["source_alias"],
+        )
+    m = re.match(
+        rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        if name not in tables:
+            raise ValueError(f"unknown DELETE target table {name!r}")
+        return tables[name].delete_where(m.group(2))
+    m = re.match(
+        rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", s, re.IGNORECASE | re.DOTALL
+    )
+    if m:
+        name = m.group(1).strip("`")
+        if name not in tables:
+            raise ValueError(f"unknown UPDATE target table {name!r}")
+        body = m.group(2)
+        wh = _scan_top(body, r"\bWHERE\b")
+        if wh:
+            sets, cond = body[: wh[0][0]], body[wh[0][1] :]
+        else:
+            sets, cond = body, "true"
+        return tables[name].update_where(_parse_assignments(sets), cond)
+    raise ValueError(f"unsupported DML statement: {s[:80]!r}")

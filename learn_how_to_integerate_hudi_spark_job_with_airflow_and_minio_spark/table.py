@@ -45,7 +45,7 @@ from __future__ import annotations
 import os
 import posixpath
 from datetime import datetime, timezone
-from typing import Any
+from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1142,6 +1142,268 @@ class Table:
                     out = survivors.unionByName(batch, allowMissingColumns=True)
                     removed = self._to_rel(affected)
         # deleted keys simply don't reappear in the rewrite
+        added = self._write_files(out, commit)
+        self._publish(commit, "merge", added, removed, out.schema)
+        return commit
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: str,
+        matched: Sequence[tuple] = (),
+        not_matched: Sequence[tuple] = (),
+        target_alias: str = "t",
+        source_alias: str = "s",
+    ) -> str:
+        """ANSI ``MERGE INTO`` with WHEN clauses, in one commit — the
+        Hudi/Delta Spark-SQL MERGE surface (the reference's user
+        interface is SQL strings over views,
+        ``incremental_etl_orders.py:467-478``; :mod:`.sql_dml` parses
+        the statement and calls this kernel).
+
+        ``on`` is a Spark-SQL boolean expression over ``target_alias``/
+        ``source_alias``-qualified columns. ``matched`` is an ordered
+        sequence of ``("update", cond|None, {col: expr})`` /
+        ``("delete", cond|None, None)``; ``not_matched`` of
+        ``("insert", cond|None, {col: expr} | None)`` (``None`` =
+        ``INSERT *`` — target columns taken from same-named source
+        columns). Standard clause semantics: clauses are evaluated IN
+        ORDER and the first whose condition holds applies; a matched
+        row no clause claims is carried through byte-identical with its
+        original ``_commit_time``; a source row >1 target rows match is
+        fine (each target row merges independently), but a TARGET row
+        matched by >1 source rows while any matched clause exists is
+        ambiguous and raises (ANSI cardinality violation, same contract
+        as Delta). SET/VALUES expressions see both aliases and apply
+        simultaneously (``SET a = t.b, b = t.a`` swaps).
+
+        COW cost envelope: one provenance-tagged scan finds files
+        CONTAINING matches, only those rewrite (non-matching rows in
+        them byte-preserved), inserts append — same shape as
+        :meth:`update_where`. The not-matched anti-join shuffles
+        source-vs-target once on the ON columns; at 100 TB both sides
+        hash-partition and AQE broadcasts whichever is small. MOR: the
+        clause outputs (updated full rows, tombstone keys, inserts)
+        land as ONE delta commit via :meth:`merge` — O(changes) append,
+        no rewrite, never a torn merge. Constraint gating applies to
+        the MOR path (it routes through :meth:`merge`); the COW rewrite
+        path skips it, since quarantining a row the table already owns
+        on rewrite would be a spurious data loss.
+        """
+        for kind, _c, _v in matched:
+            if kind not in ("update", "delete"):
+                raise ValueError(f"unknown WHEN MATCHED action {kind!r}")
+        for kind, _c, _v in not_matched:
+            if kind != "insert":
+                raise ValueError(f"unknown WHEN NOT MATCHED action {kind!r}")
+        table_schema = self._schema()
+        if table_schema is None:
+            raise ValueError(
+                "MERGE INTO an empty table is not supported; bulk_insert "
+                "or upsert the initial data first"
+            )
+        table_cols = [f.name for f in table_schema.fields]
+        data_cols = [c for c in table_cols if c != META_COL]
+        structural = {self.key, META_COL}
+        for kind, _c, sets in matched:
+            if kind != "update":
+                continue
+            bad = sorted(set(sets) & structural)
+            if bad:
+                raise ValueError(f"cannot UPDATE structural column(s) {bad}")
+            unknown = sorted(set(sets) - set(data_cols))
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets unknown column(s) {unknown}"
+                )
+        for kind, _c, values in not_matched:
+            if values is not None:
+                unknown = sorted(set(values) - set(data_cols))
+                if unknown:
+                    raise ValueError(
+                        f"INSERT targets unknown column(s) {unknown}"
+                    )
+        ta, sa = target_alias, source_alias
+        on_cond = F.expr(on)
+        src = source.withColumn("__mi_m", F.lit(True)).alias(sa)
+        by_type = {f.name: f.dataType for f in table_schema.fields}
+
+        def _matched_clause_index(is_m):
+            ci = F.when(~is_m, F.lit(-1))
+            for i, (_k, cond, _v) in enumerate(matched):
+                hit = (
+                    is_m
+                    if cond is None
+                    else is_m & F.coalesce(F.expr(cond), F.lit(False))
+                )
+                ci = ci.when(hit, F.lit(i))
+            return ci.otherwise(F.lit(-1))
+
+        def _insert_clause_index():
+            ci = None
+            for i, (_k, cond, _v) in enumerate(not_matched):
+                hit = (
+                    F.lit(True)
+                    if cond is None
+                    else F.coalesce(F.expr(cond), F.lit(False))
+                )
+                ci = F.when(hit, F.lit(i)) if ci is None else ci.when(hit, F.lit(i))
+            return F.lit(-1) if ci is None else ci.otherwise(F.lit(-1))
+
+        def _insert_values(i, values):
+            if values is not None:
+                return values
+            missing = [c for c in (self.key,) if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"INSERT * needs source column(s) {missing} (the key)"
+                )
+            return {c: f"{sa}.{c}" for c in data_cols if c in source.columns}
+
+        def _insert_rows(unmatched):
+            u = unmatched.withColumn("__mi_ci", _insert_clause_index()).where(
+                F.col("__mi_ci") >= 0
+            )
+            cols = []
+            for c in data_cols:
+                expr = F.lit(None).cast(by_type[c])
+                for i, (_k, _cond, values) in enumerate(not_matched):
+                    vals = _insert_values(i, values)
+                    if c in vals:
+                        expr = F.when(
+                            F.col("__mi_ci") == i,
+                            F.expr(vals[c]).cast(by_type[c]),
+                        ).otherwise(expr)
+                cols.append(expr.alias(c))
+            return u.select(*cols)
+
+        def _assert_unique_match(pairs):
+            dup = (
+                pairs.groupBy("__mi_k")
+                .agg(F.count(F.lit(1)).alias("__mi_n"))
+                .where(F.col("__mi_n") > 1)
+            )
+            if not dup.isEmpty():
+                raise ValueError(
+                    "MERGE INTO cardinality violation: a target row is "
+                    "matched by more than one source row while a WHEN "
+                    "MATCHED clause exists — dedup the source first"
+                )
+
+        del_idx = [i for i, cl in enumerate(matched) if cl[0] == "delete"]
+        upd_idx = [i for i, cl in enumerate(matched) if cl[0] == "update"]
+
+        if self.table_type == "mor":
+            snap = self.snapshot().drop(META_COL).alias(ta)
+            j = snap.join(src, on_cond, "left")
+            is_m = F.col("__mi_m").isNotNull()
+            if matched:
+                _assert_unique_match(
+                    j.where(is_m).select(F.col(f"{ta}.{self.key}").alias("__mi_k"))
+                )
+            j = j.withColumn("__mi_ci", _matched_clause_index(is_m))
+            parts = []
+            for i in upd_idx:
+                sets = matched[i][2]
+                parts.append(
+                    j.where(F.col("__mi_ci") == i).select(
+                        *[
+                            (
+                                F.expr(sets[c]).cast(by_type[c])
+                                if c in sets
+                                else F.col(f"{ta}.{c}")
+                            ).alias(c)
+                            for c in data_cols
+                        ]
+                    )
+                )
+            if not_matched:
+                parts.append(_insert_rows(src.join(snap, on_cond, "left_anti")))
+            eff = None
+            for p in parts:
+                eff = p if eff is None else eff.unionByName(p)
+            dels = (
+                j.where(F.col("__mi_ci").isin(del_idx))
+                .select(F.col(f"{ta}.{self.key}").alias(self.key))
+                if del_idx
+                else None
+            )
+            if eff is None and dels is None:
+                commit = self._next_commit()
+                self._publish(commit, "merge", [], [], None)
+                return commit
+            if eff is None:
+                eff = (
+                    self.snapshot()
+                    .select(*data_cols)
+                    .limit(0)
+                )
+            eff = eff.withColumn("__mi_del", F.lit(False))
+            if dels is not None:
+                eff = eff.unionByName(
+                    dels.withColumn("__mi_del", F.lit(True)),
+                    allowMissingColumns=True,
+                )
+            return self.merge(eff, delete_col="__mi_del")
+
+        # COW
+        commit = self._next_commit()
+        entries = self.current_files()
+        affected: list[str] = []
+        if entries and matched:
+            tagged = self._with_file(entries).alias(ta)
+            pairs = tagged.join(src, on_cond, "inner").select(
+                F.col(f"{ta}.{self.key}").alias("__mi_k"), "_file"
+            )
+            _assert_unique_match(pairs)
+            affected = [
+                r["_file"] for r in pairs.select("_file").distinct().collect()
+            ]
+        out_parts = []
+        removed: list[str] = []
+        if affected:
+            aff = self._read_entries(
+                self._affected_entries(entries, affected)
+            ).alias(ta)
+            j = aff.join(src, on_cond, "left")
+            is_m = F.col("__mi_m").isNotNull()
+            j = j.withColumn("__mi_ci", _matched_clause_index(is_m))
+            keep = (
+                ~F.col("__mi_ci").isin(del_idx) if del_idx else F.lit(True)
+            )
+            cols = []
+            for c in table_cols:
+                expr = F.col(f"{ta}.{c}")
+                for i in upd_idx:
+                    sets = matched[i][2]
+                    val = (
+                        F.lit(commit)
+                        if c == META_COL
+                        else (
+                            F.expr(sets[c]).cast(by_type[c])
+                            if c in sets
+                            else None
+                        )
+                    )
+                    if val is not None:
+                        expr = F.when(F.col("__mi_ci") == i, val).otherwise(expr)
+                cols.append(expr.alias(c))
+            out_parts.append(j.where(keep).select(*cols))
+            removed = self._to_rel(affected)
+        if not_matched:
+            if entries:
+                tgt_all = self._read_entries(entries).alias(ta)
+                unmatched = src.join(tgt_all, on_cond, "left_anti")
+            else:
+                unmatched = src
+            ins = _insert_rows(unmatched).withColumn(META_COL, F.lit(commit))
+            out_parts.append(ins.select(*table_cols))
+        if not out_parts:
+            self._publish(commit, "merge", [], [], None)
+            return commit
+        out = out_parts[0]
+        for p in out_parts[1:]:
+            out = out.unionByName(p)
         added = self._write_files(out, commit)
         self._publish(commit, "merge", added, removed, out.schema)
         return commit

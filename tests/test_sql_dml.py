@@ -1,0 +1,234 @@
+"""SQL DML surface: MERGE INTO parser + kernel semantics.
+
+Pins the ANSI/Delta contract points the oracle can't see in isolation:
+clause ORDER (first match wins), cardinality violation on multi-matched
+target rows, INSERT *, conditional NOT MATCHED, and the DELETE/UPDATE
+string routes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark import (
+    sql_dml,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+    Table,
+)
+
+
+@pytest.fixture
+def tpath(tmp_path):
+    return str(tmp_path / "t")
+
+
+def make(spark, path, **kw):
+    t = Table.create(
+        spark, path, key="id", precombine="ver", table_name="t", **kw
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0), (2, 1, "b", 20.0), (3, 1, "c", 30.0)],
+            "id long, ver long, val string, amt double",
+        )
+    )
+    return t
+
+
+def snap(t):
+    return sorted(
+        (r.id, r.val, r.amt)
+        for r in t.snapshot().select("id", "val", "amt").collect()
+    )
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_into_clause_order_first_match_wins(spark, tpath, table_type):
+    """A row satisfying both WHEN MATCHED clauses takes the FIRST one:
+    with DELETE first it's gone; with the order flipped it's updated."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame([(2, "z")], "id long, val string")
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        matched=[
+            ("delete", "s.val = 'z'", None),
+            ("update", None, {"val": "s.val"}),
+        ],
+    )
+    assert snap(t) == [(1, "a", 10.0), (3, "c", 30.0)]
+
+    t2 = make(spark, tpath + "2", table_type=table_type)
+    t2.merge_into(
+        src,
+        on="t.id = s.id",
+        matched=[
+            ("update", None, {"val": "s.val"}),
+            ("delete", "s.val = 'z'", None),
+        ],
+    )
+    assert snap(t2) == [(1, "a", 10.0), (2, "z", 20.0), (3, "c", 30.0)]
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_into_multiple_match_raises(spark, tpath, table_type):
+    """ANSI cardinality violation: >1 source row matching one target row
+    while a WHEN MATCHED clause exists must raise, not pick one."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "id long, val string"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        t.merge_into(
+            src, on="t.id = s.id", matched=[("update", None, {"val": "s.val"})]
+        )
+    # insert-only merges are unaffected (each source row is independent)
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        not_matched=[("insert", None, {"id": "s.id", "val": "s.val"})],
+    )
+    assert snap(t) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_merge_into_insert_star_and_conditional_not_matched(spark, tpath):
+    t = make(spark, tpath)
+    src = spark.createDataFrame(
+        [(4, 1, "d", 40.0), (5, 1, "skip", 50.0)],
+        "id long, ver long, val string, amt double",
+    )
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        not_matched=[("insert", "s.val != 'skip'", None)],
+    )
+    assert snap(t) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    ]
+
+
+def test_merge_into_simultaneous_assignment(spark, tpath):
+    """SET a = t.b, b = t.a swaps — all right-hand sides see the OLD
+    row (standard UPDATE semantics)."""
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, 100.0, 200.0)], "id long, ver long, a double, b double"
+        )
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    t.merge_into(
+        src, on="t.id = s.id", matched=[("update", None, {"a": "t.b", "b": "t.a"})]
+    )
+    r = t.snapshot().select("a", "b").collect()[0]
+    assert (r.a, r.b) == (200.0, 100.0)
+
+
+def test_merge_into_unmatched_clause_row_carries_through(spark, tpath):
+    """A matched row no clause claims keeps its original commit stamp
+    (byte-identical rewrite), like update_where's non-matching rows."""
+    t = make(spark, tpath)
+    before = {
+        r.id: r._commit_time
+        for r in t.snapshot().select("id", "_commit_time").collect()
+    }
+    src = spark.createDataFrame([(2, "U"), (3, "skip")], "id long, act string")
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        matched=[("update", "s.act = 'U'", {"val": "upper(t.val)"})],
+    )
+    after = {
+        r.id: r._commit_time
+        for r in t.snapshot().select("id", "_commit_time").collect()
+    }
+    assert after[2] > before[2]  # claimed by the update clause
+    assert after[3] == before[3]  # matched, no clause → carried through
+    assert after[1] == before[1]  # untouched file
+
+
+def test_merge_into_structural_and_unknown_columns_refused(spark, tpath):
+    t = make(spark, tpath)
+    src = spark.createDataFrame([(2, "x")], "id long, val string")
+    with pytest.raises(ValueError, match="structural"):
+        t.merge_into(
+            src, on="t.id = s.id", matched=[("update", None, {"id": "s.id"})]
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        t.merge_into(
+            src, on="t.id = s.id", matched=[("update", None, {"nope": "1"})]
+        )
+    with pytest.raises(ValueError, match="empty table"):
+        empty = Table.create(
+            spark, tpath + "_e", key="id", precombine="ver", table_name="e"
+        )
+        empty.merge_into(src, on="t.id = s.id")
+
+
+def test_execute_merge_statement_with_subquery_source(spark, tpath):
+    t = make(spark, tpath)
+    spark.createDataFrame(
+        [(2, "B"), (9, "i")], "id long, val string"
+    ).createOrReplaceTempView("dml_src")
+    sql_dml.execute(
+        spark,
+        """
+        MERGE INTO tgt t
+        USING (SELECT id, upper(val) AS val FROM dml_src) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+        """,
+        {"tgt": t},
+    )
+    assert snap(t) == [
+        (1, "a", 10.0),
+        (2, "B", 20.0),
+        (3, "c", 30.0),
+        (9, "I", None),
+    ]
+
+
+def test_execute_delete_and_update_strings(spark, tpath):
+    t = make(spark, tpath)
+    sql_dml.execute(
+        spark, "UPDATE tgt SET amt = amt * 2 WHERE val = 'b'", {"tgt": t}
+    )
+    sql_dml.execute(spark, "DELETE FROM tgt WHERE id = 3", {"tgt": t})
+    assert snap(t) == [(1, "a", 10.0), (2, "b", 40.0)]
+
+
+def test_execute_unknown_statement_and_target(spark, tpath):
+    t = make(spark, tpath)
+    with pytest.raises(ValueError, match="unsupported"):
+        sql_dml.execute(spark, "TRUNCATE TABLE tgt", {"tgt": t})
+    with pytest.raises(ValueError, match="unknown MERGE target"):
+        sql_dml.execute(
+            spark,
+            "MERGE INTO nope USING x ON nope.id = x.id "
+            "WHEN MATCHED THEN DELETE",
+            {"tgt": t},
+        )
+
+
+def test_parse_merge_shapes():
+    p = sql_dml.parse_merge(
+        "MERGE INTO a USING b ON a.k = b.k "
+        "WHEN MATCHED AND b.f > concat(',', ')') THEN UPDATE SET "
+        "x = coalesce(b.x, a.x), y = 'lit,with)chars' "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert p["matched"][0][0] == "update"
+    assert p["matched"][0][2]["x"] == "coalesce(b.x, a.x)"
+    assert p["matched"][0][2]["y"] == "'lit,with)chars'"
+    assert p["matched"][1] == ("delete", None, None)
+    assert p["not_matched"] == [("insert", None, None)]
+    with pytest.raises(ValueError, match="USING"):
+        sql_dml.parse_merge("MERGE INTO a ON a.k = b.k WHEN MATCHED THEN DELETE")
