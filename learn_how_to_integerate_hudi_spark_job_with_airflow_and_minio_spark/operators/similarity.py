@@ -609,3 +609,91 @@ def semantic_prune(
             *extra,
         )
     )
+
+
+def semantic_prune_incremental(
+    reps_table,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.45,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Steady-state :func:`semantic_prune`: prune a NEW batch against a
+    PERSISTED representative index instead of re-clustering the corpus —
+    the same batch-vs-index evolution :func:`incremental_lsh_pairs` is
+    to ``minhash_lsh`` (`operators/dedup.py`), applied to SemDeDup.
+
+    ``reps_table`` is an engine ``Table`` keyed by ``sig`` (precombine
+    ``rep_id``) with columns ``(sig, rep_id, rep_vec)`` — the vector is
+    stored WITH the rep so pruning a batch never rescans the corpus
+    embedding store. Per batch: signatures are map-only arithmetic;
+    members of known buckets score against the STORED representative
+    (which is immutable — first writer wins, so reruns and later
+    batches can never flap a bucket's rep); brand-new signatures elect
+    their min-id batch member and INSERT it (anti-join insert, no
+    upsert churn). O(batch) cosines, reps ≤ 2^bits rows broadcast —
+    corpus size never appears in the per-batch cost.
+
+    Returns the batch verdicts ``(vec_id, sig, rep_id, cos_rep, kept)``
+    with ``cos_rep`` NULL for elected representatives, and persists the
+    new representatives as one commit (none → no commit).
+    """
+    planes = hyperplanes(dim, bits, seed)
+    s = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    if reps_table.latest_commit() is None:
+        snap = s.select(
+            "sig",
+            F.col("vec_id").alias("rep_id"),
+            F.col("_v").alias("rep_vec"),
+        ).limit(0)
+    else:
+        snap = reps_table.snapshot().select("sig", "rep_id", "rep_vec")
+    # The batch is scanned by the new-sig election, the rep-vec lookup,
+    # and the verdict join; the signature math is deterministic literal
+    # arithmetic, so re-evaluation across those branches is safe (no
+    # persist needed, unlike the uuid()-style hazards the write paths
+    # guard against).
+    new_reps = (
+        s.join(snap.select("sig"), "sig", "left_anti")
+        .groupBy("sig")
+        .agg(F.min("vec_id").alias("rep_id"))
+    )
+    # new_reps derives from s — alias both sides so the self-join's sig
+    # references resolve unambiguously
+    new_rep_vecs = (
+        s.alias("_b")
+        .join(
+            new_reps.alias("_nr"),
+            (F.col("_b.sig") == F.col("_nr.sig"))
+            & (F.col("_b.vec_id") == F.col("_nr.rep_id")),
+        )
+        .select(
+            F.col("_nr.sig").alias("sig"),
+            F.col("_nr.rep_id").alias("rep_id"),
+            F.col("_b._v").alias("rep_vec"),
+        )
+    )
+    if not new_rep_vecs.isEmpty():
+        reps_table.insert(new_rep_vecs, dedup_batch=False)
+    # Verdicts read the PERSISTED state back, so the returned plan is
+    # anchored to the committed reps, not the batch lineage.
+    if reps_table.latest_commit() is None:
+        all_reps = snap  # empty table and an empty batch
+    else:
+        all_reps = reps_table.snapshot().select("sig", "rep_id", "rep_vec")
+    cos = F.round(cosine(F.col("_v"), F.col("rep_vec")), round_digits)
+    return s.join(F.broadcast(all_reps), "sig").select(
+        "vec_id",
+        "sig",
+        "rep_id",
+        F.when(F.col("vec_id") != F.col("rep_id"), cos).alias("cos_rep"),
+        ((F.col("vec_id") == F.col("rep_id")) | (cos < threshold)).alias("kept"),
+    )

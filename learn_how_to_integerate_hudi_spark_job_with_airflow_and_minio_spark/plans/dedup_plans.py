@@ -777,3 +777,78 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", "embedding"),
         "vec_id", "embedding", dim=64, bits=6, seed=42, threshold=0.45,
     )
+
+
+def _semantic_incremental_sql() -> str:
+    from .similarity_plans import _duck_sig
+
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   CAST({_duck_sig(64, 6, 42)} AS BIGINT) AS sig
+            FROM embeddings
+        ),
+        hist_reps AS (
+            SELECT sig, min(vec_id) AS rep_id
+            FROM sig WHERE vec_id % 2 = 0 GROUP BY sig
+        ),
+        new_reps AS (
+            SELECT s.sig, min(s.vec_id) AS rep_id
+            FROM sig s
+            WHERE s.vec_id % 2 = 1
+              AND s.sig NOT IN (SELECT sig FROM hist_reps)
+            GROUP BY s.sig
+        ),
+        reps AS (
+            SELECT * FROM hist_reps UNION ALL SELECT * FROM new_reps
+        )
+        SELECT m.vec_id,
+               m.sig,
+               r.rep_id,
+               CASE WHEN m.vec_id <> r.rep_id THEN {_COS_MR} END AS cos_rep,
+               (m.vec_id = r.rep_id OR {_COS_MR} < 0.45) AS kept
+        FROM sig m
+        JOIN reps r USING (sig)
+        JOIN embeddings re ON re.vec_id = r.rep_id
+        WHERE m.vec_id % 2 = 1
+    """
+
+
+@register(
+    "dedup_semantic_incremental",
+    # Same cross-engine technique as dedup_semantic_prune, applied to
+    # the two-phase shape: DuckDB recomputes the historical corpus's
+    # representatives (min even vec_id per bucket), elects new reps
+    # only for buckets the history never saw (min odd vec_id), and
+    # scores the batch against that union — independently verifying
+    # that the engine pruned the batch against PERSISTED reps rather
+    # than re-clustering.
+    oracle=_semantic_incremental_sql(),
+    doc="Incremental SemDeDup: a new batch is pruned against a "
+    "PERSISTED representative index (engine Table keyed by bucket "
+    "signature, rep vector stored with the rep) instead of "
+    "re-clustering the corpus — the steady-state evolution of "
+    "dedup_semantic_prune, exactly as dedup_incremental_lsh is to "
+    "dedup_minhash_lsh. Existing buckets score against the stored "
+    "immutable rep; brand-new signatures elect their min-id member and "
+    "insert it in one commit. O(batch) cosines, corpus size absent "
+    "from the per-batch cost",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import semantic_prune_incremental
+    from ..table import Table
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    hist = e.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    batch = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="engine_semreps_")
+    reps = Table.create(
+        spark, path, key="sig", precombine="rep_id", table_name="sem_reps"
+    )
+    kw = dict(dim=64, bits=6, seed=42, threshold=0.45)
+    # bootstrap: the historical corpus populates the reps index (its
+    # verdict frame is discarded; the inserts are eager)
+    semantic_prune_incremental(reps, hist, "vec_id", "embedding", **kw)
+    return semantic_prune_incremental(reps, batch, "vec_id", "embedding", **kw)
