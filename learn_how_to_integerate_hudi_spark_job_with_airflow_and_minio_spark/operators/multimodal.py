@@ -209,8 +209,14 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     collisions. ``max_hamming`` ≤ 2 supported (probe count stays
     1 + DIM + C(DIM,2)).
     """
-    if max_hamming > 2:
-        raise ValueError("max_hamming > 2 needs banded multi-index, not probes")
+    return ahash_pairs_from_hashes(ahash_hashes(media), max_hamming)
+
+
+def ahash_hashes(media: DataFrame) -> DataFrame:
+    """The signature stage of :func:`ahash_pairs`, separated so a
+    streaming feed can maintain a PERSISTED ``(media_id, ahash)`` index
+    per micro-batch (foreachBatch upsert) and query pairs from it —
+    decode + hash cost is paid once per item ever, not per query."""
     # zero-length payloads carry no perceptual content and would all
     # hash identically (every dimension ties the mean) — exclude them
     # rather than emit a clique of meaningless "duplicates"
@@ -227,11 +233,20 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 1) -> DataFrame:
     h = bit_terms[0]
     for term in bit_terms[1:]:
         h = h + term
-    hashes = (
+    return (
         feats.withColumn("_q", q)
         .withColumn("_total", total)
         .select("media_id", h.alias("_h"))
     )
+
+
+def ahash_pairs_from_hashes(
+    hashes: DataFrame, max_hamming: int = 1
+) -> DataFrame:
+    """Pair stage of :func:`ahash_pairs` over a precomputed
+    ``(media_id, _h)`` hash set (see :func:`ahash_hashes`)."""
+    if max_hamming > 2:
+        raise ValueError("max_hamming > 2 needs banded multi-index, not probes")
     flips = [0] + [1 << i for i in range(FEATURE_DIM)]
     if max_hamming >= 2:
         flips += [

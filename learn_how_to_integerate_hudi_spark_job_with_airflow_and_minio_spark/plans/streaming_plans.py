@@ -506,3 +506,88 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_multimodal_feed",
+    # Batch-recompute oracle (the stream_table_feed pattern): DuckDB
+    # rebuilds the aHash chain over ALL documents from characters and
+    # brute-forces the Hamming-<=1 pair set — if the streaming path
+    # dropped, duplicated, or re-hashed any micro-batch item, the
+    # persisted index would yield a different pair set.
+    oracle="""
+        WITH bytes AS (
+            SELECT doc_id, (i - 1) % 8 AS dim, ord(substr(text, i, 1)) AS b
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+                FROM documents
+            )
+        ),
+        fq AS (
+            SELECT doc_id, dim, CAST(COALESCE(SUM(b), 0) % 997 AS BIGINT) AS q
+            FROM bytes GROUP BY doc_id, dim
+        ),
+        qv AS (SELECT doc_id, list(q ORDER BY dim) AS q FROM fq GROUP BY doc_id),
+        h AS (
+            SELECT doc_id,
+                   CAST(list_sum([CASE WHEN q[d + 1] * 8 >= list_sum(q)
+                                       THEN (1::BIGINT << d) ELSE 0 END
+                                  for d in range(0, 8)]) AS BIGINT) AS h
+            FROM qv
+        )
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 1
+    """,
+    doc="streaming media/embedding feed: a media table lands in two "
+    "commits, Structured Streaming consumes it (Table.read_stream), and "
+    "each micro-batch's payloads are decoded + aHash-signatured and "
+    "upserted into a PERSISTED (media_id, ahash) index via foreachBatch "
+    "— decode cost paid once per item ever. Near-dup pairs are then "
+    "served from the index alone by the multi-probe bucketing join "
+    "(ahash_pairs_from_hashes); at 100 TB the steady-state per-batch "
+    "cost is O(batch) decode + one keyed upsert, with pair queries "
+    "never touching payload bytes",
+)
+def stream_multimodal_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import multimodal as M
+    from ..session import load_tables
+    from ..table import META_COL, Table
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    media = M.to_media_table(d, "doc_id", "text", mime="text/plain")
+    scratch = tempfile.mkdtemp(prefix="engine_stream_mm_")
+    src = Table.create(
+        spark, f"{scratch}/src", key="media_id", precombine="media_id",
+        table_name="media_src",
+    )
+    src.insert(media.where(F.col("media_id") % 2 == 0), dedup_batch=False)
+    src.insert(media.where(F.col("media_id") % 2 != 0), dedup_batch=False)
+    idx = Table.create(
+        spark, f"{scratch}/idx", key="media_id", precombine="media_id",
+        table_name="ahash_idx",
+    )
+
+    def sink(batch_df, epoch_id):
+        if not batch_df.isEmpty():
+            idx.upsert(
+                M.ahash_hashes(batch_df.drop(META_COL)).withColumnRenamed(
+                    "_h", "ahash"
+                )
+            )
+
+    q = (
+        src.read_stream()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hashes = idx.snapshot().select("media_id", F.col("ahash").alias("_h"))
+    return M.ahash_pairs_from_hashes(hashes, max_hamming=1)
