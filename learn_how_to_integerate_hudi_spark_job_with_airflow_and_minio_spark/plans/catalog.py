@@ -59,72 +59,69 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-6 window (stalest-green rule, r5 verdict item 2): (0) round-6
-# births first (standing rule), then (a) ALL 34 queries whose latest
-# driver row dates from round 2 (the full r2-stale debt carried from the
-# r5 rotation — staleness computed from CORRECTNESS_r0{2..5}.json key
-# sets), then (b) r3-stale backfill to 50, table-kernel / streaming /
-# dedup families first (entries past position 50 spill to the r7
-# window). After this round no query's latest driver row is older than
-# r3; the remaining r3-stale rows lead the r7 window after any r7
-# births. The whole catalog stays covered by
+# Round-7 window (stalest-green rule): (0) round-7 births first
+# (standing rule), then (a) ALL 45 queries whose latest driver row
+# dates from round 3 — the complete remaining stale debt (staleness
+# computed from CORRECTNESS_r0{1..6}.json key sets; after this round
+# no query's latest driver row is older than r4) — then (b) two r4
+# rows to fill the window to exactly 50, chosen because this round
+# removed their forced dim-broadcast hints (q02/Q3), so they re-gate
+# on the changed plan. The whole catalog stays covered by
 # tests/test_catalog_oracle.py every round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 6 — gate on first appearance (standing rule)
-    "ts_ewma_grouped",
-    "text_chunk_sliding",
-    "ts_anomaly_zscore",
-    "dedup_semantic_prune",
-    "table_delete_where",
-    "table_update_where",
-    "ts_moving_median",
-    "text_bigram_logprob",
-    "pipeline_semantic_gold",
-    "text_quality_classifier",
-    "multimodal_ahash_pairs",
-    "join_tpch_q10",
-    # (a) latest driver row = round 2 — the complete stale set
-    "win_topk_per_group",
-    "win_rank_percent",
-    "win_running_sum",
-    "agg_collect_list_sorted",
-    "table_mor_read_optimized",
-    "table_mor_compaction",
-    "table_merge_mixed",
-    "table_delete_snapshot",
-    "table_restore",
-    "table_clean_snapshot",
-    "table_compaction_snapshot",
-    "sql_catalog_attach",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_table_feed",
-    "stream_foreachbatch_upsert",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "sim_topk_bruteforce",
-    "sim_matmul_topk",
-    "multimodal_features",
-    "quality_report",
-    "sample_stratified_deterministic",
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_normalize",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "text_redact_pii",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_array_funcs",
-    # (b) latest driver row = round 3 — kernel/stream/dedup families
-    # first, filling the window to exactly 50 (the rest of the r3 set
-    # leads the r7 window after any r7 births)
-    "agg_tpch_q1",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_components",
+    # (0) born round 7 — gate on first appearance (standing rule)
+    "table_sql_merge_into",
+    "dedup_semantic_incremental",
+    "stream_multimodal_feed",
+    # (a) latest driver row = round 3 — the complete stale set
+    "agg_approx_distinct",
+    "agg_bool",
+    "agg_corr_covar",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_exact_percentile",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_string_agg",
+    "agg_variance_stddev",
+    "decontaminate_ngram_overlap",
+    "dedup_apply_keep_representative",
+    "explode_token_counts",
+    "fuzzy_match_pairs",
+    "multimodal_frames",
+    "multimodal_resize",
+    "orderby_nulls_ordering",
+    "pandas_udf_scalar",
+    "sample_domain_mix",
+    "scalar_case_coalesce",
+    "scalar_cast_chain",
+    "scalar_hash_funcs",
+    "scalar_json_funcs",
+    "scalar_levenshtein",
+    "scalar_math_funcs",
+    "scalar_regexp_extended",
+    "setop_all_variants",
+    "sim_ivf_cells",
+    "sim_ivf_probe",
+    "sim_lsh_ann",
+    "skew_salted_join",
+    "source_csv_roundtrip",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "table_cdc_changes",
+    "table_insert_overwrite_dynamic",
+    "table_mor_partitioned_pruning",
+    "table_schema_evolution",
+    "table_zorder_compaction",
+    "text_pack_sequences",
+    "text_tfidf_top_terms",
+    "win_first_last",
+    # (b) r4 backfill: plans changed this round (broadcast de-hinting)
+    "q02_flagship_join",
+    "join_tpch_q3",
 ]
 
 
