@@ -73,7 +73,33 @@ HEADLINE = [
     "ts_anomaly_zscore",
     "table_update_where",
     "text_bigram_logprob",
+    # r6 births that missed the r6 bench refresh (r6 advice): every new
+    # query gets a baseline row the round it lands
+    "join_tpch_q10",
+    "ts_moving_median",
+    "table_delete_where",
+    "text_quality_classifier",
+    "multimodal_ahash_pairs",
+    "pipeline_semantic_gold",
+    # born round 7
+    "table_sql_merge_into",
+    "dedup_semantic_incremental",
+    "stream_multimodal_feed",
 ]
+
+# Drift sentinel (r6 verdict item 8): three fixed, code-stable,
+# shape-diverse queries (join, window, map-only text) measured FIRST in
+# one tight block, each stamped with its ratio to the recorded
+# quiet-window sf0.1 baseline (BASELINE.md). Same-day VM weather moves
+# unchanged queries 20-30% on this box; the stamped factor lets
+# round-over-round comparisons normalize that out before reading
+# per-query deltas. Refs are sf0.1 medians, so the sentinel is only
+# stamped when benching sf0.1.
+SENTINEL_REF = {
+    "q02_flagship_join": 0.51,
+    "win_topk_per_group": 0.30,
+    "text_quality": 0.41,
+}
 
 
 def main() -> None:
@@ -114,6 +140,44 @@ def main() -> None:
     # the steady-state plan for every family at the cost of one extra
     # pass (~1/4 more wall-clock).
     errors: dict[str, str] = {}
+
+    def _median_of(name: str) -> float:
+        spark.catalog.clearCache()
+        qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        return runs[len(runs) // 2]
+
+    drift_sentinel: dict[str, object] = {}
+    if abs(sf - 0.1) < 1e-9:
+        import math
+
+        ratios = []
+        for name, ref in SENTINEL_REF.items():
+            try:
+                med = _median_of(name)
+            except Exception as exc:  # noqa: BLE001 — sentinel is best-effort
+                errors[f"sentinel:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            ratio = round(med / ref, 3)
+            drift_sentinel[name] = {
+                "ref": ref,
+                "sec": round(med, 3),
+                "ratio": ratio,
+            }
+            ratios.append(med / ref)
+        if ratios:
+            drift_sentinel["factor"] = round(
+                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+            )
+
     for name in names:
         runs = []
         try:
@@ -141,6 +205,7 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
         "warmup": 1,
+        "drift_sentinel": drift_sentinel,
         "spread": spread,
         "errors": errors,
     }

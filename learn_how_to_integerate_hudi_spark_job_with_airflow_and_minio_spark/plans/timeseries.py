@@ -195,20 +195,40 @@ def ts_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         # carry (num, den, key) across Arrow batch boundaries: a key's
-        # series may span batches, but batches arrive in partition order
+        # series may span batches, but batches arrive in partition order.
+        #
+        # Vectorized LOCKSTEP over keys (r6 verdict item 7): instead of a
+        # per-row Python loop, split the batch into per-key segments and
+        # advance ALL segments one time-step per iteration with
+        # elementwise numpy ops — interpreter iterations drop from
+        # O(rows) to O(longest series in batch). Bit parity with the
+        # scalar recurrence (and the oracle) is exact: each key still
+        # sees num = num*0.5 + x, den = den*0.5 + 1, num/den in the same
+        # order on the same doubles; vectorizing across keys reorders
+        # nothing WITHIN a key.
         cur_key, num, den = None, 0.0, 0.0
         for pdf in batches:
             users = pdf["user_id"].to_numpy()
             vals = pdf["value"].to_numpy(dtype="float64")
-            out = np.empty(len(vals))
-            for i in range(len(vals)):
-                if users[i] != cur_key:
-                    cur_key, num, den = users[i], 0.0, 0.0
-                # Horner, oldest-first: num = Σ x_i·0.5^(t-i) exactly as
-                # the oracle's fold (×0.5 is exponent math — no rounding)
-                num = num * 0.5 + vals[i]
-                den = den * 0.5 + 1.0
-                out[i] = num / den
+            n = len(vals)
+            if n == 0:
+                continue
+            starts = np.concatenate(
+                ([0], np.flatnonzero(users[1:] != users[:-1]) + 1)
+            )
+            lens = np.diff(np.append(starts, n))
+            num_v = np.zeros(len(starts))
+            den_v = np.zeros(len(starts))
+            if users[0] == cur_key:
+                num_v[0], den_v[0] = num, den
+            out = np.empty(n)
+            for j in range(int(lens.max())):
+                mask = lens > j
+                idx = starts[mask] + j
+                num_v[mask] = num_v[mask] * 0.5 + vals[idx]
+                den_v[mask] = den_v[mask] * 0.5 + 1.0
+                out[idx] = num_v[mask] / den_v[mask]
+            cur_key, num, den = users[-1], num_v[-1], den_v[-1]
             yield pdf.assign(ewma=out)[["user_id", "event_id", "ts", "ewma"]]
 
     raw = sorted_ev.mapInPandas(
