@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import posixpath
+import re
 from datetime import datetime, timezone
 from typing import Any, Sequence
 
@@ -1177,12 +1178,15 @@ class Table:
         as Delta). SET/VALUES expressions see both aliases and apply
         simultaneously (``SET a = t.b, b = t.a`` swaps).
 
-        COW cost envelope: one provenance-tagged scan finds files
+        COW cost envelope: when ON carries a target-key equality as a
+        conjunct, manifest key-range stats prune the scanned file set
+        first (the upsert envelope — at 10⁵ files a point-merge touches
+        a handful); then one provenance-tagged scan finds files
         CONTAINING matches, only those rewrite (non-matching rows in
         them byte-preserved), inserts append — same shape as
         :meth:`update_where`. The not-matched anti-join shuffles
-        source-vs-target once on the ON columns; at 100 TB both sides
-        hash-partition and AQE broadcasts whichever is small. MOR: the
+        source-vs-pruned-target once on the ON columns; at 100 TB both
+        sides hash-partition and AQE broadcasts whichever is small. MOR: the
         clause outputs (updated full rows, tombstone keys, inserts)
         land as ONE delta commit via :meth:`merge` — O(changes) append,
         no rewrite, never a torn merge. Constraint gating applies to
@@ -1349,9 +1353,32 @@ class Table:
         # COW
         commit = self._next_commit()
         entries = self.current_files()
+        # Stats pruning: when the ON expression carries a target-key =
+        # source-column equality as a CONJUNCT (no top-level OR), a file
+        # whose key range can't overlap the source keys can't contain an
+        # ON match — narrow the tagged scan AND the not-matched
+        # anti-join's target side to the overlapping files, exactly the
+        # upsert/_prune_by_keys envelope. Detection is syntactic and
+        # fails closed (no match → full scan, still correct).
+        candidates = entries
+        if entries and not re.search(r"\bOR\b|\|", on, re.IGNORECASE):
+            key_eq = re.search(
+                rf"(?:\b{re.escape(ta)}\.)?\b{re.escape(self.key)}\s*=\s*"
+                rf"{re.escape(sa)}\.(\w+)",
+                on,
+            ) or re.search(
+                rf"\b{re.escape(sa)}\.(\w+)\s*=\s*"
+                rf"(?:\b{re.escape(ta)}\.)?\b{re.escape(self.key)}\b",
+                on,
+            )
+            if key_eq:
+                src_keys = source.select(
+                    F.col(key_eq.group(1)).alias(self.key)
+                ).distinct()
+                candidates = self._prune_by_keys(entries, src_keys)
         affected: list[str] = []
-        if entries and matched:
-            tagged = self._with_file(entries).alias(ta)
+        if candidates and matched:
+            tagged = self._with_file(candidates).alias(ta)
             pairs = tagged.join(src, on_cond, "inner").select(
                 F.col(f"{ta}.{self.key}").alias("__mi_k"), "_file"
             )
@@ -1363,7 +1390,7 @@ class Table:
         removed: list[str] = []
         if affected:
             aff = self._read_entries(
-                self._affected_entries(entries, affected)
+                self._affected_entries(candidates, affected)
             ).alias(ta)
             j = aff.join(src, on_cond, "left")
             is_m = F.col("__mi_m").isNotNull()
@@ -1391,8 +1418,11 @@ class Table:
             out_parts.append(j.where(keep).select(*cols))
             removed = self._to_rel(affected)
         if not_matched:
-            if entries:
-                tgt_all = self._read_entries(entries).alias(ta)
+            if candidates:
+                # a target row outside `candidates` can't match any
+                # source row (key-range disjoint), so the anti-join's
+                # target side shrinks with the same prune
+                tgt_all = self._read_entries(candidates).alias(ta)
                 unmatched = src.join(tgt_all, on_cond, "left_anti")
             else:
                 unmatched = src
