@@ -1229,6 +1229,35 @@ class Table:
                     )
         ta, sa = target_alias, source_alias
         on_cond = F.expr(on)
+        # The source is scanned by several branches (cardinality gate,
+        # rewrite join, not-matched anti-join, key-prune agg) — persist
+        # once so a non-deterministic source lineage (sample(), uuid())
+        # can't present different rows to different branches (the same
+        # dual-evaluation hazard merge() guards against).
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_into(
+                source, on, on_cond, matched, not_matched, ta, sa,
+                table_schema, table_cols, data_cols,
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_into(
+        self,
+        source: DataFrame,
+        on: str,
+        on_cond,
+        matched: Sequence[tuple],
+        not_matched: Sequence[tuple],
+        ta: str,
+        sa: str,
+        table_schema,
+        table_cols: list[str],
+        data_cols: list[str],
+    ) -> str:
         src = source.withColumn("__mi_m", F.lit(True)).alias(sa)
         by_type = {f.name: f.dataType for f in table_schema.fields}
 
@@ -1382,10 +1411,27 @@ class Table:
             pairs = tagged.join(src, on_cond, "inner").select(
                 F.col(f"{ta}.{self.key}").alias("__mi_k"), "_file"
             )
-            _assert_unique_match(pairs)
-            affected = [
-                r["_file"] for r in pairs.select("_file").distinct().collect()
-            ]
+            # ONE Spark job answers both metadata questions (per-commit
+            # cost is job count, r6 profile): max matches per target key
+            # (cardinality gate) and the distinct affected-file list
+            # (manifest-bounded) come from a single two-level aggregate.
+            stats = pairs.groupBy("__mi_k").agg(
+                F.count(F.lit(1)).alias("__mi_n"),
+                F.collect_set("_file").alias("__mi_f"),
+            )
+            row = stats.agg(
+                F.max("__mi_n").alias("mx"),
+                F.array_distinct(F.flatten(F.collect_list("__mi_f"))).alias(
+                    "files"
+                ),
+            ).collect()[0]
+            if row["mx"] is not None and row["mx"] > 1:
+                raise ValueError(
+                    "MERGE INTO cardinality violation: a target row is "
+                    "matched by more than one source row while a WHEN "
+                    "MATCHED clause exists — dedup the source first"
+                )
+            affected = list(row["files"] or [])
         out_parts = []
         removed: list[str] = []
         if affected:
