@@ -228,3 +228,24 @@ def test_scan_projection_and_filter_pushdown(spark):
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_quantity", plan), (
         f"quantity filter not pushed down:\n{plan[:1500]}"
     )
+
+
+def test_dehinted_tpch_dims_still_broadcast_at_small_sf(spark):
+    """The r6-verdict fix removed forced F.broadcast() hints from
+    SF-proportional dims (customer/supplier in q02/Q3/Q5/Q10). The
+    stated contract is that AQE still picks a broadcast join while the
+    dim fits under autoBroadcastJoinThreshold — pin that, so the
+    de-hinting can never silently degrade small-scale plans to full
+    shuffle joins."""
+    for name in ("q02_flagship_join", "join_tpch_q3", "join_tpch_q10"):
+        df = REGISTRY[name].spark_fn(spark, SF_SMOKE)
+        df.write.mode("overwrite").format("noop").save()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, (
+            f"{name}: AQE did not broadcast the dim at smoke SF:\n"
+            f"{plan[:2000]}"
+        )
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert not _forced_sf_broadcasts(analyzed), (
+            f"{name} regained a forced SF-proportional broadcast hint"
+        )
