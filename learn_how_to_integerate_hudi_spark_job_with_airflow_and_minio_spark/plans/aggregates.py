@@ -300,3 +300,38 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_tpch_q6",
+    oracle="""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * CAST(l_discount AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecast revenue change): the canonical "
+    "pushdown/partial-agg showcase — a single lineitem scan with every "
+    "predicate pushed to parquet (shipdate year, discount band, "
+    "quantity cap), one decimal-exact ungrouped sum; the shuffle "
+    "carries one partial row per partition",
+)
+def agg_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,6)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(as_double(F.sum(rev)).alias("revenue"))
+    )

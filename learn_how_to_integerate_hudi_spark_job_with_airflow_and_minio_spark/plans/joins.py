@@ -710,3 +710,88 @@ def join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "join_tpch_q7",
+    oracle="""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                             * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): 6-way "
+    "join with a cross-pair nation condition and per-year decimal "
+    "revenue. Both nation legs are pre-filtered to the two names and "
+    "hint-broadcast (fixed 25-row table); supplier/customer/orders "
+    "join hint-free (SF-proportional, AQE chooses); the two-year "
+    "shipdate band pushes into the fact scan; the asymmetric pair "
+    "condition applies as a post-join filter over the two broadcast "
+    "legs — never a cartesian",
+)
+def join_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    pair = ["NATION_3", "NATION_7"]
+    n1 = t["nation"].where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
