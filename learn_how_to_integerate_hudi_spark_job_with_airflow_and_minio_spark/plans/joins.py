@@ -795,3 +795,149 @@ def join_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(as_double(F.sum(revenue)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "join_tpch_q13",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order distribution): LEFT OUTER join "
+    "with an extra ON-clause predicate (zero-order customers must "
+    "survive, so the filter can't move to WHERE), per-customer count, "
+    "then a second aggregation over the counts — the agg-of-agg shape. "
+    "Both aggregations partial-combine map-side; the second one's input "
+    "is one row per customer, so the re-shuffle is tiny at any scale",
+)
+def join_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "join_tpch_q18",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): IN-subquery over a "
+    "grouped-HAVING aggregate compiled as an aggregate + semi-join on "
+    "the fact key — the having set is SF-proportional so the semi-join "
+    "is hint-free (AQE picks the strategy); decimal-exact quantity "
+    "sums, top-20 by order value",
+)
+def join_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(as_double(F.sum(qty)).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_tpch_q22",
+    oracle="""
+        WITH a AS (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                        AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey,
+               COUNT(*) AS numcust,
+               CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) AS totacctbal
+        FROM customer c, a
+        WHERE c.c_acctbal > a.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (global-customer opportunity): scalar subquery "
+    "(corpus-wide average balance, exact decimal-sum/count) broadcast "
+    "as a 1-row cross join, NOT EXISTS compiled as a left-anti join "
+    "against the filtered fact, grouped decimal totals. The testdata "
+    "gives every customer at least one order, so the anti-join "
+    "predicate is 'no URGENT order' to keep the shape non-degenerate",
+)
+def join_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c = t["customer"]
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                as_double(F.sum(F.col("c_acctbal").cast("decimal(18,6)")))
+                / F.count(F.lit(1))
+            ).alias("_avg_bal")
+        )
+    )
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            as_double(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            ).alias("totacctbal"),
+        )
+    )
