@@ -85,20 +85,29 @@ HEADLINE = [
     "table_sql_merge_into",
     "dedup_semantic_incremental",
     "stream_multimodal_feed",
+    "agg_tpch_q6",
+    "join_tpch_q7",
+    "join_tpch_q13",
+    "join_tpch_q18",
+    "join_tpch_q22",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,
-# shape-diverse queries (join, window, map-only text) measured FIRST in
-# one tight block, each stamped with its ratio to the recorded
-# quiet-window sf0.1 baseline (BASELINE.md). Same-day VM weather moves
-# unchanged queries 20-30% on this box; the stamped factor lets
+# shape-diverse queries (join, window, map-only text), each stamped
+# with the ratio of its MAIN-LOOP median to the previous round's
+# driver-bench median. Same-day VM weather moves unchanged queries
+# 20-30% on this box; the stamped geometric-mean factor lets
 # round-over-round comparisons normalize that out before reading
-# per-query deltas. Refs are sf0.1 medians, so the sentinel is only
-# stamped when benching sf0.1.
+# per-query deltas. Ratios are taken from the main loop (not a
+# separate first pass) so the sentinel reflects the exact weather the
+# other rows were measured under — a dedicated cold pre-pass measured
+# 1.3-2x high from session-start JIT/IO effects that one warm-up
+# repeat doesn't cover. Refs are sf0.1 medians (BENCH_r06), so the
+# sentinel is only stamped when benching sf0.1.
 SENTINEL_REF = {
-    "q02_flagship_join": 0.51,
-    "win_topk_per_group": 0.30,
-    "text_quality": 0.41,
+    "q02_flagship_join": 0.543,
+    "win_topk_per_group": 0.324,
+    "text_quality": 0.285,
 }
 
 
@@ -140,44 +149,6 @@ def main() -> None:
     # the steady-state plan for every family at the cost of one extra
     # pass (~1/4 more wall-clock).
     errors: dict[str, str] = {}
-
-    def _median_of(name: str) -> float:
-        spark.catalog.clearCache()
-        qmap[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        runs = []
-        for _ in range(repeats):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qmap[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        return runs[len(runs) // 2]
-
-    drift_sentinel: dict[str, object] = {}
-    if abs(sf - 0.1) < 1e-9:
-        import math
-
-        ratios = []
-        for name, ref in SENTINEL_REF.items():
-            try:
-                med = _median_of(name)
-            except Exception as exc:  # noqa: BLE001 — sentinel is best-effort
-                errors[f"sentinel:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
-                continue
-            ratio = round(med / ref, 3)
-            drift_sentinel[name] = {
-                "ref": ref,
-                "sec": round(med, 3),
-                "ratio": ratio,
-            }
-            ratios.append(med / ref)
-        if ratios:
-            drift_sentinel["factor"] = round(
-                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
-            )
-
     for name in names:
         runs = []
         try:
@@ -196,6 +167,25 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+
+    drift_sentinel: dict[str, object] = {}
+    if abs(sf - 0.1) < 1e-9:
+        import math
+
+        ratios = []
+        for name, ref in SENTINEL_REF.items():
+            if name not in timings:
+                continue
+            drift_sentinel[name] = {
+                "ref": ref,
+                "sec": timings[name],
+                "ratio": round(timings[name] / ref, 3),
+            }
+            ratios.append(timings[name] / ref)
+        if ratios:
+            drift_sentinel["factor"] = round(
+                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+            )
 
     result = {
         "metric": "headline_queries_total",
