@@ -1472,7 +1472,14 @@ class Table:
                 unmatched = src.join(tgt_all, on_cond, "left_anti")
             else:
                 unmatched = src
-            ins = _insert_rows(unmatched).withColumn(META_COL, F.lit(commit))
+            # Duplicate unmatched keys in the source must collapse to
+            # ONE inserted row (max precombine, the upsert contract) —
+            # inserting both would break the keyed snapshot invariant.
+            # The MOR branch gets this via merge()'s _dedup_batch; give
+            # the COW insert set the same treatment.
+            ins = self._dedup_batch(_insert_rows(unmatched)).withColumn(
+                META_COL, F.lit(commit)
+            )
             out_parts.append(ins.select(*table_cols))
         if not out_parts:
             self._publish(commit, "merge", [], [], None)

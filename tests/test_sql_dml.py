@@ -232,3 +232,21 @@ def test_parse_merge_shapes():
     assert p["not_matched"] == [("insert", None, None)]
     with pytest.raises(ValueError, match="USING"):
         sql_dml.parse_merge("MERGE INTO a ON a.k = b.k WHEN MATCHED THEN DELETE")
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_into_duplicate_unmatched_keys_collapse(
+    spark, tpath, table_type
+):
+    """Two source rows inserting the SAME new key must collapse to one
+    row (max precombine — the upsert contract); inserting both would
+    break the keyed snapshot invariant."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(9, 1, "old", 1.0), (9, 2, "new", 2.0)],
+        "id long, ver long, val string, amt double",
+    )
+    t.merge_into(src, on="t.id = s.id", not_matched=[("insert", None, None)])
+    rows = [r for r in t.snapshot().collect() if r.id == 9]
+    assert len(rows) == 1
+    assert (rows[0].val, rows[0].ver) == ("new", 2)
