@@ -92,12 +92,20 @@ def _parse_rel(s: str) -> tuple[str, str]:
     (name_or_subquery, alias)."""
     s = s.strip()
     if s.startswith("("):
-        depth, i = 0, 0
-        for i, c in enumerate(s):
+        depth, i, n = 0, 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'" or c == "`":  # quoted parens don't count
+                j = s.find(c, i + 1)
+                i = n if j < 0 else j + 1
+                continue
             depth += c == "("
             depth -= c == ")"
             if depth == 0:
                 break
+            i += 1
+        if i >= n:
+            raise ValueError(f"unbalanced parentheses in relation {s!r}")
         body, rest = s[: i + 1], s[i + 1 :].strip()
     else:
         m = re.match(rf"({_IDENT})", s)
@@ -157,15 +165,24 @@ def parse_merge(stmt: str) -> dict:
     starts = [a for a, _b in whens]
     for i, (_a, b) in enumerate(whens):
         seg = rest[b : starts[i + 1] if i + 1 < len(starts) else None].strip()
-        m = re.match(
-            r"(NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+(?P<act>.*)$",
-            seg,
-            re.IGNORECASE | re.DOTALL,
-        )
+        m = re.match(r"(NOT\s+)?MATCHED\b\s*", seg, re.IGNORECASE)
         if not m:
             raise ValueError(f"cannot parse WHEN clause {seg!r}")
-        is_not, cond, act = m.group(1), m.group("cond"), m.group("act").strip()
-        cond = cond.strip() if cond else None
+        is_not, tail = m.group(1), seg[m.end() :]
+        # depth/quote-aware THEN split, so parenthesized CASE
+        # expressions and string literals containing THEN inside the
+        # AND-condition parse correctly (the docstring's contract)
+        thens = _scan_top(tail, r"\bTHEN\b")
+        if not thens:
+            raise ValueError(f"WHEN clause has no THEN: {seg!r}")
+        cond_part = tail[: thens[0][0]].strip()
+        act = tail[thens[0][1] :].strip()
+        cond = None
+        if cond_part:
+            am = re.match(r"AND\s+(.*)$", cond_part, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(f"cannot parse WHEN condition {cond_part!r}")
+            cond = am.group(1).strip()
         if is_not:
             am = re.match(
                 r"INSERT\s*(\*|\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$",

@@ -1227,6 +1227,12 @@ class Table:
                     raise ValueError(
                         f"INSERT targets unknown column(s) {unknown}"
                     )
+                if self.key not in values:
+                    raise ValueError(
+                        f"INSERT column list must include the key "
+                        f"{self.key!r} — a NULL-key row is unaddressable "
+                        "by every keyed operation"
+                    )
         ta, sa = target_alias, source_alias
         on_cond = F.expr(on)
         # The source is scanned by several branches (cardinality gate,
@@ -1244,6 +1250,52 @@ class Table:
             )
         finally:
             source.unpersist()
+
+    def _mi_on_key_col(self, on: str, ta: str, sa: str) -> str | None:
+        """Source column equal to the target key as a TOP-LEVEL CONJUNCT
+        of the ON expression, or None. Per-conjunct anchored match —
+        fails closed on OR/NOT/quotes/pipes, on parenthesized groups,
+        and on any equality embedded in a larger expression (the old
+        substring regex treated ``t.id = s.id + 1`` as key equality and
+        pruned against the wrong values)."""
+        if re.search(r"\bOR\b|\bNOT\b|'|\|", on, re.IGNORECASE):
+            return None
+        key = re.escape(self.key)
+        fwd = rf"^\s*(?:{re.escape(ta)}\.)?{key}\s*=\s*{re.escape(sa)}\.(\w+)\s*$"
+        rev = rf"^\s*{re.escape(sa)}\.(\w+)\s*=\s*(?:{re.escape(ta)}\.)?{key}\s*$"
+        for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+            m = re.match(fwd, conj) or re.match(rev, conj)
+            if m:
+                return m.group(1)
+        return None
+
+    def _mi_inserts_collision_free(
+        self,
+        on: str,
+        on_key_col: str | None,
+        not_matched: Sequence[tuple],
+        ta: str,
+        sa: str,
+    ) -> bool:
+        """True when an unmatched source row provably cannot insert a
+        key the table already holds: ON is PURE key equality on source
+        column C (sole conjunct — any extra condition weakens
+        'unmatched' to 'key may exist with a different payload'), and
+        every insert clause assigns the key from exactly C — then
+        unmatched ⇒ the key is absent from the target."""
+        if on_key_col is None:
+            return False
+        if len(re.split(r"\bAND\b", on, flags=re.IGNORECASE)) != 1:
+            return False
+        for _k, _c, values in not_matched:
+            if values is None:  # INSERT * takes the key from s.<key>
+                if on_key_col != self.key:
+                    return False
+                continue
+            expr = values[self.key].strip()
+            if expr not in (f"{sa}.{on_key_col}", on_key_col):
+                return False
+        return True
 
     def _merge_into(
         self,
@@ -1383,28 +1435,19 @@ class Table:
         commit = self._next_commit()
         entries = self.current_files()
         # Stats pruning: when the ON expression carries a target-key =
-        # source-column equality as a CONJUNCT (no top-level OR), a file
-        # whose key range can't overlap the source keys can't contain an
-        # ON match — narrow the tagged scan AND the not-matched
-        # anti-join's target side to the overlapping files, exactly the
-        # upsert/_prune_by_keys envelope. Detection is syntactic and
-        # fails closed (no match → full scan, still correct).
+        # source-column equality as a TOP-LEVEL CONJUNCT, a file whose
+        # key range can't overlap the source keys can't contain an ON
+        # match — narrow the tagged scan AND the not-matched anti-join's
+        # target side to the overlapping files, exactly the
+        # upsert/_prune_by_keys envelope. Detection is conjunct-anchored
+        # and fails closed (no match → full scan, still correct).
         candidates = entries
-        if entries and not re.search(r"\bOR\b|\|", on, re.IGNORECASE):
-            key_eq = re.search(
-                rf"(?:\b{re.escape(ta)}\.)?\b{re.escape(self.key)}\s*=\s*"
-                rf"{re.escape(sa)}\.(\w+)",
-                on,
-            ) or re.search(
-                rf"\b{re.escape(sa)}\.(\w+)\s*=\s*"
-                rf"(?:\b{re.escape(ta)}\.)?\b{re.escape(self.key)}\b",
-                on,
-            )
-            if key_eq:
-                src_keys = source.select(
-                    F.col(key_eq.group(1)).alias(self.key)
-                ).distinct()
-                candidates = self._prune_by_keys(entries, src_keys)
+        on_key_col = self._mi_on_key_col(on, ta, sa)
+        if entries and on_key_col is not None:
+            src_keys = source.select(
+                F.col(on_key_col).alias(self.key)
+            ).distinct()
+            candidates = self._prune_by_keys(entries, src_keys)
         affected: list[str] = []
         if candidates and matched:
             tagged = self._with_file(candidates).alias(ta)
@@ -1476,10 +1519,51 @@ class Table:
             # ONE inserted row (max precombine, the upsert contract) —
             # inserting both would break the keyed snapshot invariant.
             # The MOR branch gets this via merge()'s _dedup_batch; give
-            # the COW insert set the same treatment.
-            ins = self._dedup_batch(_insert_rows(unmatched)).withColumn(
-                META_COL, F.lit(commit)
-            )
+            # the COW insert set the same treatment. Inserts are NEW
+            # rows entering the table, so the write-side constraint
+            # gate applies to them (the rewrite rows above stay
+            # ungated — quarantining rows the table already owns on a
+            # rewrite would be spurious data loss).
+            ins = self._dedup_batch(
+                self._gate_constraints(_insert_rows(unmatched))
+            ).withColumn(META_COL, F.lit(commit))
+            # Keyed-table semantics for colliding inserts: when ON is
+            # not pure key equality (or INSERT VALUES computes a fresh
+            # key), an unmatched source row can insert a key the table
+            # ALREADY holds. The keyed snapshot can never carry
+            # duplicates, so such an insert REPLACES the stored row —
+            # the same resolution the MOR read-side merge applies.
+            # Skipped (provably collision-free, no extra jobs) in the
+            # common shape: ON is key equality and every insert clause
+            # assigns the key from that same source column.
+            if not self._mi_inserts_collision_free(
+                on, on_key_col, not_matched, ta, sa
+            ):
+                ins_keys = ins.select(self.key).distinct()
+                if out_parts:
+                    out_parts[0] = out_parts[0].join(
+                        ins_keys, self.key, "left_anti"
+                    )
+                rewritten = (
+                    {e["path"] for e in self._affected_entries(candidates, affected)}
+                    if affected
+                    else set()
+                )
+                remaining = [e for e in entries if e["path"] not in rewritten]
+                coll_cand = (
+                    self._prune_by_keys(remaining, ins_keys) if remaining else []
+                )
+                coll = (
+                    self._affected_files(self._with_file(coll_cand), ins_keys)
+                    if coll_cand
+                    else []
+                )
+                if coll:
+                    surv2 = self._read_entries(
+                        self._affected_entries(coll_cand, coll)
+                    ).join(ins_keys, self.key, "left_anti")
+                    out_parts.append(surv2)
+                    removed = [*removed, *self._to_rel(coll)]
             out_parts.append(ins.select(*table_cols))
         if not out_parts:
             self._publish(commit, "merge", [], [], None)

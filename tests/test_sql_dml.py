@@ -250,3 +250,103 @@ def test_merge_into_duplicate_unmatched_keys_collapse(
     rows = [r for r in t.snapshot().collect() if r.id == 9]
     assert len(rows) == 1
     assert (rows[0].val, rows[0].ver) == ("new", 2)
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_into_colliding_insert_replaces_existing_key(
+    spark, tpath, table_type
+):
+    """When ON is not pure key equality, an unmatched source row can
+    insert a key the table already holds. Keyed-table semantics: the
+    insert REPLACES the stored row (MOR read-side resolution) — never
+    a duplicate key in the snapshot. COW and MOR must agree."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(1, 2, "DIFFERENT", 99.0)],
+        "id long, ver long, val string, amt double",
+    )
+    t.merge_into(
+        src,
+        on="t.id = s.id AND t.val = s.val",  # no row matches both
+        matched=[("update", None, {"ver": "s.ver"})],
+        not_matched=[("insert", None, None)],
+    )
+    rows = t.snapshot().collect()
+    assert len([r for r in rows if r.id == 1]) == 1
+    assert snap(t) == [
+        (1, "DIFFERENT", 99.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+    ]
+
+
+def test_merge_into_insert_list_must_include_key(spark, tpath):
+    t = make(spark, tpath)
+    src = spark.createDataFrame([(7, "x")], "id long, val string")
+    with pytest.raises(ValueError, match="must include the key"):
+        t.merge_into(
+            src,
+            on="t.id = s.id",
+            not_matched=[("insert", None, {"val": "s.val"})],
+        )
+
+
+def test_merge_into_arithmetic_on_is_not_treated_as_key_equality(
+    spark, tpath
+):
+    """`t.id = s.id + 1` must NOT key-prune against raw s.id values —
+    the old substring regex did, silently skipping matches. Full-scan
+    fallback must update the real match (id = s.id + 1)."""
+    t = make(spark, tpath)
+    assert t._mi_on_key_col("t.id = s.id + 1", "t", "s") is None
+    assert t._mi_on_key_col("NOT (t.id = s.id)", "t", "s") is None
+    assert t._mi_on_key_col("t.id = s.id AND s.tag = 'x'", "t", "s") is None
+    assert t._mi_on_key_col("t.id = s.sid AND t.val = s.v", "t", "s") == "sid"
+    assert t._mi_on_key_col("s.sid = id", "t", "s") == "sid"
+    src = spark.createDataFrame([(1, "bumped")], "id long, val string")
+    t.merge_into(
+        src,
+        on="t.id = s.id + 1",
+        matched=[("update", None, {"val": "s.val"})],
+    )
+    assert snap(t) == [(1, "a", 10.0), (2, "bumped", 20.0), (3, "c", 30.0)]
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_into_inserts_pass_constraint_gate(spark, tpath, table_type):
+    """Inserted rows are NEW data entering the table, so write-side
+    expectations apply on both table types (COW used to bypass them)."""
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+        table_type=table_type, constraints={"pos": "amt > 0"},
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0)], "id long, ver long, val string, amt double"
+        )
+    )
+    src = spark.createDataFrame(
+        [(9, 1, "bad", -7.0), (8, 1, "ok", 5.0)],
+        "id long, ver long, val string, amt double",
+    )
+    t.merge_into(src, on="t.id = s.id", not_matched=[("insert", None, None)])
+    assert snap(t) == [(1, "a", 10.0), (8, "ok", 5.0)]
+
+
+def test_parse_merge_case_in_condition_and_quoted_tokens():
+    p = sql_dml.parse_merge(
+        "MERGE INTO a USING b ON a.k = b.k "
+        "WHEN MATCHED AND (CASE WHEN b.f > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN DELETE "
+        "WHEN MATCHED AND b.tag = 'x THEN y' THEN UPDATE SET v = b.v"
+    )
+    assert p["matched"][0] == (
+        "delete", "(CASE WHEN b.f > 0 THEN 1 ELSE 0 END) = 1", None
+    )
+    assert p["matched"][1][1] == "b.tag = 'x THEN y'"
+    p2 = sql_dml.parse_merge(
+        "MERGE INTO a USING (SELECT concat('(', v) AS v, k FROM x) s "
+        "ON a.k = s.k WHEN MATCHED THEN DELETE"
+    )
+    assert p2["source"] == "(SELECT concat('(', v) AS v, k FROM x)"
+    assert p2["source_alias"] == "s"
