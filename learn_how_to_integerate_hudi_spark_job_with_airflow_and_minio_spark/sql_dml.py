@@ -24,6 +24,16 @@ their WHEN/THEN tokens don't terminate a clause):
 
     DELETE FROM <target> WHERE <expr>
     UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
+    INSERT INTO <target> [(col[, ...])] { SELECT ... | VALUES ... }
+    OPTIMIZE <target> [ZORDER BY (col[, ...])]
+    VACUUM <target> [RETAIN <n> COMMITS]
+
+``INSERT INTO`` routes through the keyed upsert (Hudi Spark-SQL's
+INSERT INTO semantics on a primary-keyed table): a re-inserted key
+replaces the stored row rather than duplicating it — the keyed
+snapshot invariant outranks the append-only SQL reading. ``OPTIMIZE``
+is sort-and-size compaction (``ZORDER BY`` = Morton-clustered);
+``VACUUM`` is the retention cleaner.
 
 Clause semantics (order, first-match-wins, cardinality violation on
 multi-matched target rows) live in :meth:`Table.merge_into`.
@@ -36,7 +46,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .table import Table
+from .table import Table, TableServices
 
 __all__ = ["execute", "parse_merge"]
 
@@ -276,4 +286,62 @@ def execute(
         else:
             sets, cond = body, "true"
         return tables[name].update_where(_parse_assignments(sets), cond)
+    m = re.match(
+        rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(SELECT\b.*|VALUES\b.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        if name not in tables:
+            raise ValueError(f"unknown INSERT target table {name!r}")
+        df = spark.sql(m.group(4))
+        t = tables[name]
+        if m.group(3):
+            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        else:
+            # no column list: positional mapping onto the table's data
+            # columns (standard SQL INSERT semantics — VALUES/SELECT
+            # outputs arrive as col1..colN / arbitrary names)
+            schema = t._schema()
+            if schema is None:
+                raise ValueError(
+                    "INSERT INTO an empty table needs an explicit "
+                    "column list (no schema to map positionally onto)"
+                )
+            cols = [f.name for f in schema.fields if f.name != "_commit_time"]
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT column/select arity mismatch: {len(cols)} "
+                f"columns vs {len(df.columns)} query outputs"
+            )
+        return t.upsert(df.toDF(*cols))
+    m = re.match(
+        rf"OPTIMIZE\s+({_IDENT})"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        if name not in tables:
+            raise ValueError(f"unknown OPTIMIZE target table {name!r}")
+        zcols = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        return TableServices(tables[name]).compact(zorder_cols=zcols)
+    m = re.match(
+        rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        name = m.group(1).strip("`")
+        if name not in tables:
+            raise ValueError(f"unknown VACUUM target table {name!r}")
+        retain = int(m.group(2)) if m.group(2) else 5
+        TableServices(tables[name]).clean(retain_commits=retain)
+        return tables[name].latest_commit()
     raise ValueError(f"unsupported DML statement: {s[:80]!r}")

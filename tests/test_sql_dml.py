@@ -350,3 +350,80 @@ def test_parse_merge_case_in_condition_and_quoted_tokens():
     )
     assert p2["source"] == "(SELECT concat('(', v) AS v, k FROM x)"
     assert p2["source_alias"] == "s"
+
+
+def test_execute_insert_into_optimize_vacuum(spark, tpath):
+    """The remaining lakehouse SQL staples: INSERT INTO routes through
+    the keyed upsert (re-inserted key replaces, never duplicates),
+    OPTIMIZE compacts (ZORDER variant too), VACUUM cleans retired
+    files past the retention window."""
+    t = make(spark, tpath)
+    sql_dml.execute(
+        spark,
+        "INSERT INTO tgt VALUES "
+        "(4, CAST(1 AS BIGINT), 'd', 40.0), "
+        "(2, CAST(2 AS BIGINT), 'B2', 21.0)",
+        {"tgt": t},
+    )
+    assert snap(t) == [
+        (1, "a", 10.0),
+        (2, "B2", 21.0),  # replaced, not duplicated
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    ]
+    # column-list + SELECT form
+    spark.createDataFrame([(5, 1, "e", 50.0)], "a long, b long, c string, d double")\
+        .createOrReplaceTempView("ins_src")
+    sql_dml.execute(
+        spark,
+        "INSERT INTO tgt (id, ver, val, amt) SELECT a, b, c, d FROM ins_src",
+        {"tgt": t},
+    )
+    assert (5, "e", 50.0) in snap(t)
+    with pytest.raises(ValueError, match="arity"):
+        sql_dml.execute(
+            spark, "INSERT INTO tgt (id, ver) SELECT a FROM ins_src", {"tgt": t}
+        )
+    files_before = len(t.current_files())
+    sql_dml.execute(spark, "OPTIMIZE tgt", {"tgt": t})
+    assert len(t.current_files()) <= files_before
+    sql_dml.execute(spark, "OPTIMIZE tgt ZORDER BY (id, amt)", {"tgt": t})
+    rows = snap(t)
+    sql_dml.execute(spark, "VACUUM tgt RETAIN 2 COMMITS", {"tgt": t})
+    assert snap(t) == rows  # vacuum never changes the live snapshot
+
+
+def test_merge_into_point_merge_rewrites_only_containing_file(spark, tpath):
+    """Scale evidence for the MERGE key-prune: with enough files for
+    the range-prune gate to engage (> PRUNE_MIN_FILES), a point MERGE
+    on one key must rewrite ONLY the file containing it — at 1e5 files
+    this is the difference between touching one file and the table."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        PRUNE_MIN_FILES,
+    )
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t"
+    )
+    nfiles = PRUNE_MIN_FILES + 4
+    for i in range(nfiles):
+        t.insert(
+            spark.createDataFrame(
+                [(i * 100 + j, 1, f"v{i}_{j}") for j in range(10)],
+                "id long, ver long, val string",
+            ),
+            dedup_batch=False,
+        )
+    before = {e["path"] for e in t.current_files()}
+    assert len(before) >= nfiles
+    src = spark.createDataFrame([(505, 2, "updated")], "id long, ver long, val string")
+    t.merge_into(
+        src, on="t.id = s.id", matched=[("update", None, {"val": "s.val"})]
+    )
+    after = {e["path"] for e in t.current_files()}
+    removed = before - after
+    assert len(removed) == 1, (
+        f"point merge rewrote {len(removed)} files, expected 1"
+    )
+    row = [r for r in t.snapshot().where("id = 505").collect()]
+    assert row[0].val == "updated"
