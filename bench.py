@@ -90,6 +90,8 @@ HEADLINE = [
     "join_tpch_q13",
     "join_tpch_q18",
     "join_tpch_q22",
+    "join_tpch_q15",
+    "join_tpch_q19",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

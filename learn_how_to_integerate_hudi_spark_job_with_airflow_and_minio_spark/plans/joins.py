@@ -941,3 +941,104 @@ def join_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "join_tpch_q19",
+    oracle="""
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                             * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+                    AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+    "a join whose WHERE is an OR of three brand/size/quantity conjunct "
+    "groups — the disjunction references BOTH sides so it can only "
+    "apply post-join, but Catalyst derives the single-side implications "
+    "(brand IN (...), quantity within the hull) and pushes those into "
+    "each scan; one decimal-exact global sum. part joins hint-free",
+)
+def join_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].select("p_partkey", "p_brand", "p_size"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(band)
+        .agg(as_double(F.sum(rev)).alias("revenue"))
+    )
+
+
+@register(
+    "join_tpch_q15",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                                 * CAST(1 - l_discount AS DECIMAL(18,6)))
+                        AS VARCHAR) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): a quarter's per-supplier "
+    "revenue view, then the supplier(s) hitting the view's MAX — the "
+    "scalar-subquery-over-aggregate shape. The 1-row max broadcasts "
+    "(Aggregate-bounded); revenue is a decimal-exact sum so the "
+    "equality comparison is bit-stable cross-engine; supplier joins "
+    "hint-free",
+)
+def join_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev_expr = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(as_double(F.sum(rev_expr)).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

@@ -200,3 +200,74 @@ def test_partial_update_with_full_columns_equals_upsert(
     a = sorted(tuple(r[c] for c in cols) for r in t1.snapshot().collect())
     b = sorted(tuple(r[c] for c in cols) for r in t2.snapshot().collect())
     assert a == b
+
+
+MERGE_SRC_ROW = st.tuples(
+    st.integers(min_value=0, max_value=9),   # key (overlaps + new)
+    st.integers(min_value=0, max_value=5),   # ver
+    st.sampled_from(["x", "y"]),             # val
+    st.sampled_from(["U", "D", "I"]),        # action flag
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=BATCH,
+    src=st.lists(MERGE_SRC_ROW, min_size=1, max_size=10),
+    table_type=st.sampled_from(["cow", "mor"]),
+)
+def test_merge_into_matches_reference_model(
+    spark, tmp_path_factory, rows, src, table_type
+):
+    """MERGE INTO algebra vs a dict reference model: conditional DELETE
+    and UPDATE on matched keys (first-match-wins), a matched row no
+    clause claims is untouched, non-'D' unmatched rows insert, and the
+    result is identical on both table types."""
+    t = Table.create(
+        spark,
+        f"{tmp_path_factory.mktemp('mi')}/t",
+        key="id", precombine="ver", table_name="t",
+        table_type=table_type,
+    )
+    t.upsert(_df(spark, rows))
+    # unique source keys (the kernel raises on multi-matched targets)
+    seen, src_u = set(), []
+    for k, v, val, act in src:
+        if k not in seen:
+            seen.add(k)
+            src_u.append((k, v, val, act))
+    sdf = spark.createDataFrame(
+        [(k, v, f"{val}{k}:{v}", act) for k, v, val, act in src_u],
+        "id long, ver long, val string, act string",
+    )
+    t.merge_into(
+        sdf,
+        on="t.id = s.id",
+        matched=[
+            ("delete", "s.act = 'D'", None),
+            ("update", "s.act = 'U'", {"val": "s.val", "ver": "s.ver"}),
+        ],
+        not_matched=[
+            (
+                "insert",
+                "s.act != 'D'",
+                {"id": "s.id", "ver": "s.ver", "val": "s.val"},
+            )
+        ],
+    )
+    state = expected_single_batch(rows)
+    for k, v, val, act in src_u:
+        tagged = f"{val}{k}:{v}"
+        if k in state:
+            if act == "D":
+                state.pop(k)
+            elif act == "U":
+                state[k] = (v, tagged)
+            # act == "I": matched, no clause claims it -> untouched
+        elif act != "D":
+            state[k] = (v, tagged)
+    assert _snap(t) == state

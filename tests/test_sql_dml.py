@@ -427,3 +427,84 @@ def test_merge_into_point_merge_rewrites_only_containing_file(spark, tpath):
     )
     row = [r for r in t.snapshot().where("id = 505").collect()]
     assert row[0].val == "updated"
+
+
+def test_streaming_foreachbatch_sql_merge(spark, tpath):
+    """Surfaces compose: a Structured Streaming feed whose foreachBatch
+    sink runs a MERGE INTO statement string per micro-batch (upsert +
+    tombstone routing through the SQL front-end), landing the same
+    final state as a batch merge of the whole feed."""
+    src = Table.create(
+        spark, tpath + "_src", key="id", precombine="ver", table_name="src"
+    )
+    src.insert(
+        spark.createDataFrame(
+            [(1, 1, "a", False), (2, 1, "b", False)],
+            "id long, ver long, val string, del boolean",
+        ),
+        dedup_batch=False,
+    )
+    src.insert(
+        spark.createDataFrame(
+            [(2, 2, "b2", True), (3, 1, "c", False)],
+            "id long, ver long, val string, del boolean",
+        ),
+        dedup_batch=False,
+    )
+    gold = Table.create(
+        spark, tpath + "_gold", key="id", precombine="ver", table_name="gold"
+    )
+    gold.bulk_insert(
+        spark.createDataFrame(
+            [(0, 0, "seed")], "id long, ver long, val string"
+        )
+    )
+
+    def sink(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        # foreachBatch runs on a cloned session — register the view and
+        # resolve the MERGE source on THAT session, not the outer one.
+        # Standard CDC-apply: pre-dedup the micro-batch to the newest
+        # row per key, so a key's insert+tombstone arriving in ONE
+        # batch resolves to the tombstone (and never trips the MERGE
+        # cardinality gate).
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("id").orderBy(F.desc("ver"))
+        (
+            batch_df.drop("_commit_time")
+            .withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+            .createOrReplaceTempView("mi_batch")
+        )
+        sql_dml.execute(
+            batch_df.sparkSession,
+            """
+            MERGE INTO gold t USING mi_batch s ON t.id = s.id
+            WHEN MATCHED AND s.del THEN DELETE
+            WHEN MATCHED THEN UPDATE SET val = s.val, ver = s.ver
+            WHEN NOT MATCHED AND NOT s.del THEN
+                INSERT (id, ver, val) VALUES (s.id, s.ver, s.val)
+            """,
+            {"gold": gold},
+        )
+
+    q = (
+        src.read_stream()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tpath + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.val) for r in gold.snapshot().select("id", "val").collect()
+    )
+    # id 2 outcome depends on whether the two commits arrived in one
+    # micro-batch (tombstone wins within the batch via clause order on
+    # the deduped newest row) or two (insert then delete) — both end
+    # deleted; ids 1 and 3 land, seed row 0 untouched
+    assert got == [(0, "seed"), (1, "a"), (3, "c")]
