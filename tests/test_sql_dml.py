@@ -508,3 +508,30 @@ def test_streaming_foreachbatch_sql_merge(spark, tpath):
     # the deduped newest row) or two (insert then delete) — both end
     # deleted; ids 1 and 3 land, seed row 0 untouched
     assert got == [(0, "seed"), (1, "a"), (3, "c")]
+
+
+def test_merge_into_composes_with_cdc(spark, tpath):
+    """CDC over a MERGE INTO commit reports exactly the claimed rows:
+    updates restamped (update), deleted keys (delete), inserted keys
+    (insert) — matched rows no clause claimed carry their old stamp
+    and stay OUT of the change set."""
+    t = make(spark, tpath)
+    begin = t.latest_commit()
+    src = spark.createDataFrame(
+        [(1, 2, "A", "U"), (2, 2, None, "D"), (3, 2, "c", "skip"), (4, 1, "d", "I")],
+        "id long, ver long, val string, act string",
+    )
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        matched=[
+            ("delete", "s.act = 'D'", None),
+            ("update", "s.act = 'U'", {"val": "s.val", "ver": "s.ver"}),
+        ],
+        not_matched=[("insert", None, {"id": "s.id", "ver": "s.ver", "val": "s.val"})],
+    )
+    changes = {
+        r.id: r._change_type
+        for r in t.changes(begin).select("id", "_change_type").collect()
+    }
+    assert changes == {1: "update", 2: "delete", 4: "insert"}
