@@ -92,6 +92,7 @@ HEADLINE = [
     "join_tpch_q22",
     "join_tpch_q15",
     "join_tpch_q19",
+    "table_mor_sql_merge_into",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

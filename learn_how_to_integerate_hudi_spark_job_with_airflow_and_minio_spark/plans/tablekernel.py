@@ -1185,3 +1185,65 @@ def table_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"orders_mi": t},
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_mor_sql_merge_into",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'M'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N',
+               CAST(500.0 AS DOUBLE), o_orderdate
+        FROM orders
+        WHERE o_orderkey % 1000 = 0
+    """,
+    doc="SQL MERGE INTO on a MERGE_ON_READ table: the same statement as "
+    "table_sql_merge_into compiles to ONE delta commit (updated full "
+    "rows + tombstones + inserts, no rewrite — O(changes) append, "
+    "never a torn merge) and the read-side newest-commit-wins merge "
+    "reconciles to the identical final state the COW rewrite produces",
+)
+def table_mor_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sql_dml
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_sqlmi_mor_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_mi_mor", table_type="mor",
+    )
+    t.bulk_insert(orders)
+    upd = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("act"),
+        F.lit(1000.0).alias("bump"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", "o_orderdate",
+        F.lit("I").alias("act"), F.lit(500.0).alias("bump"),
+    )
+    upd.unionByName(ins).createOrReplaceTempView("engine_merge_src_mor")
+    sql_dml.execute(
+        spark,
+        """
+        MERGE INTO orders_mi_mor t USING engine_merge_src_mor s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.act = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+                                     o_totalprice = t.o_totalprice + s.bump
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+                                      o_totalprice, o_orderdate)
+             VALUES (s.o_orderkey, s.o_custkey, 'N', s.bump, s.o_orderdate)
+        """,
+        {"orders_mi_mor": t},
+    )
+    return t.snapshot().drop(META_COL)
