@@ -26,14 +26,19 @@ their WHEN/THEN tokens don't terminate a clause):
     UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
     INSERT INTO <target> [(col[, ...])] { SELECT ... | VALUES ... }
     OPTIMIZE <target> [ZORDER BY (col[, ...])]
-    VACUUM <target> [RETAIN <n> COMMITS]
+    VACUUM <target> [RETAIN <n> COMMITS]   -- default: RETAIN 5 COMMITS
 
 ``INSERT INTO`` routes through the keyed upsert (Hudi Spark-SQL's
 INSERT INTO semantics on a primary-keyed table): a re-inserted key
 replaces the stored row rather than duplicating it — the keyed
 snapshot invariant outranks the append-only SQL reading. ``OPTIMIZE``
 is sort-and-size compaction (``ZORDER BY`` = Morton-clustered);
-``VACUUM`` is the retention cleaner.
+``VACUUM`` is the retention cleaner, retaining 5 commits of history
+when the RETAIN clause is omitted. VACUUM is the one statement that
+publishes NO commit (the cleaner deletes retired files without
+changing table state), so :func:`execute` returns the PRE-EXISTING
+latest commit id for it, unchanged — every other route returns the
+commit the statement produced.
 
 Clause semantics (order, first-match-wins, cardinality violation on
 multi-matched target rows) live in :meth:`Table.merge_into`.
@@ -122,7 +127,14 @@ def _parse_rel(s: str) -> tuple[str, str]:
         if not m:
             raise ValueError(f"cannot parse relation in {s!r}")
         body, rest = m.group(1), s[m.end() :].strip()
-    alias = body.strip("`") if not body.startswith("(") else None
+    if not body.startswith("("):
+        # strip backticks from the relation NAME too, not just the
+        # alias — MERGE INTO `t` must hit the same tables={"t": ...}
+        # lookup the DELETE/UPDATE/INSERT routes resolve
+        body = body.strip("`")
+        alias = body
+    else:
+        alias = None
     if rest:
         m = re.match(rf"(?:AS\s+)?({_IDENT})\s*$", rest, re.IGNORECASE)
         if not m:
@@ -341,7 +353,9 @@ def execute(
         name = m.group(1).strip("`")
         if name not in tables:
             raise ValueError(f"unknown VACUUM target table {name!r}")
-        retain = int(m.group(2)) if m.group(2) else 5
+        retain = int(m.group(2)) if m.group(2) else 5  # documented default
         TableServices(tables[name]).clean(retain_commits=retain)
+        # clean() publishes no commit — return the (unchanged) latest
+        # commit id; documented in the module grammar
         return tables[name].latest_commit()
     raise ValueError(f"unsupported DML statement: {s[:80]!r}")

@@ -1254,11 +1254,16 @@ class Table:
     def _mi_on_key_col(self, on: str, ta: str, sa: str) -> str | None:
         """Source column equal to the target key as a TOP-LEVEL CONJUNCT
         of the ON expression, or None. Per-conjunct anchored match —
-        fails closed on OR/NOT/quotes/pipes, on parenthesized groups,
-        and on any equality embedded in a larger expression (the old
-        substring regex treated ``t.id = s.id + 1`` as key equality and
-        pruned against the wrong values)."""
-        if re.search(r"\bOR\b|\bNOT\b|'|\|", on, re.IGNORECASE):
+        fails closed on OR/NOT/quotes/pipes/parens/double-quotes and on
+        any equality embedded in a larger expression (the old substring
+        regex treated ``t.id = s.id + 1`` as key equality and pruned
+        against the wrong values). Parens and quote chars are rejected
+        outright because the AND split below is not depth- or
+        quote-aware: a fragment cut out of a parenthesized boolean
+        sub-expression or a quoted literal containing `` AND `` could
+        otherwise false-positive as key equality and prune the scanned
+        file set against the wrong values."""
+        if re.search(r"\bOR\b|\bNOT\b|'|\"|\(|\|", on, re.IGNORECASE):
             return None
         key = re.escape(self.key)
         fwd = rf"^\s*(?:{re.escape(ta)}\.)?{key}\s*=\s*{re.escape(sa)}\.(\w+)\s*$"
@@ -1417,17 +1422,46 @@ class Table:
                             ]
                         )
                     )
-                if not_matched:
-                    parts.append(_insert_rows(src.join(snap, on_cond, "left_anti")))
-                eff = None
-                for p in parts:
-                    eff = p if eff is None else eff.unionByName(p)
+                ins_part = (
+                    _insert_rows(src.join(snap, on_cond, "left_anti"))
+                    if not_matched
+                    else None
+                )
                 dels = (
                     j.where(F.col("__mi_ci").isin(del_idx))
                     .select(F.col(f"{ta}.{self.key}").alias(self.key))
                     if del_idx
                     else None
                 )
+                # Cross-type agreement: when ON is not pure key equality
+                # an unmatched source row can insert a key another clause
+                # of the SAME statement updates or deletes. COW resolves
+                # insert-wins (rewritten rows are anti-joined against the
+                # insert keys); without this, merge()'s _dedup_batch
+                # would resolve update-vs-insert by max precombine and
+                # the tombstone anti-join would let DELETE beat the
+                # insert. Drop update/tombstone rows whose key the insert
+                # set claims, so MOR lands the same state. Skipped (no
+                # extra jobs) when inserts are provably collision-free —
+                # then every insert key is absent from the target, and
+                # update/delete keys are by definition present.
+                if ins_part is not None and (parts or dels is not None):
+                    if not self._mi_inserts_collision_free(
+                        on, self._mi_on_key_col(on, ta, sa), not_matched,
+                        ta, sa,
+                    ):
+                        ins_keys = ins_part.select(self.key).distinct()
+                        parts = [
+                            p.join(ins_keys, self.key, "left_anti")
+                            for p in parts
+                        ]
+                        if dels is not None:
+                            dels = dels.join(ins_keys, self.key, "left_anti")
+                if ins_part is not None:
+                    parts.append(ins_part)
+                eff = None
+                for p in parts:
+                    eff = p if eff is None else eff.unionByName(p)
                 if eff is None and dels is None:
                     commit = self._next_commit()
                     self._publish(commit, "merge", [], [], None)

@@ -280,6 +280,85 @@ def test_merge_into_colliding_insert_replaces_existing_key(
     ]
 
 
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_into_insert_wins_over_update_and_delete_same_key(
+    spark, tpath, table_type
+):
+    """One statement can UPDATE a key, DELETE another, AND (via a
+    non-key-equality ON) INSERT both of those keys from unmatched
+    source rows. Resolution is INSERT WINS — COW implements it by
+    anti-joining rewritten rows against the insert keys, and the MOR
+    path must drop the colliding update/tombstone rows before merge()
+    so both table types land the identical state (previously MOR's
+    _dedup_batch resolved update-vs-insert by max precombine and the
+    tombstone anti-join made DELETE beat the insert)."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [
+            (2, 5, "b", 99.0),   # matches target 2 → UPDATE clause
+            (2, 7, "X", 77.0),   # id exists, val differs → INSERT key 2
+            (3, 5, "c", 0.0),    # matches target 3 → DELETE clause
+            (3, 9, "Y", 55.0),   # id exists, val differs → INSERT key 3
+        ],
+        "id long, ver long, val string, amt double",
+    )
+    t.merge_into(
+        src,
+        on="t.id = s.id AND t.val = s.val",
+        matched=[
+            ("delete", "s.amt = 0.0", None),
+            ("update", None, {"amt": "s.amt", "ver": "s.ver"}),
+        ],
+        not_matched=[("insert", None, None)],
+    )
+    assert snap(t) == [
+        (1, "a", 10.0),   # untouched
+        (2, "X", 77.0),   # insert beat the update
+        (3, "Y", 55.0),   # insert beat the delete
+    ]
+
+
+def test_mi_on_key_col_fails_closed_on_parens_and_double_quotes(
+    spark, tpath
+):
+    """The AND split in _mi_on_key_col is not depth/quote-aware, so any
+    '(' or '\"' in the ON expression must disable pruning outright — a
+    fragment cut out of a parenthesized boolean group or a quoted
+    literal containing ' AND t.id = s.x AND ' would otherwise
+    false-positive as key equality and prune against the wrong values
+    (silently skipping matched rows)."""
+    t = make(spark, tpath)
+    assert (
+        t._mi_on_key_col("t.flag = (s.a AND t.id = s.x AND s.b)", "t", "s")
+        is None
+    )
+    assert (
+        t._mi_on_key_col(
+            't.id = s.sid AND t.val = "x AND t.id = s.y AND z"', "t", "s"
+        )
+        is None
+    )
+    # plain conjunct forms still detect (no regression)
+    assert t._mi_on_key_col("t.id = s.sid AND t.val = s.v", "t", "s") == "sid"
+
+
+def test_execute_merge_into_backticked_target(spark, tpath):
+    """MERGE INTO `t` must resolve the same tables={'t': ...} entry the
+    other statement routes do — the relation NAME is backtick-stripped,
+    not just the alias."""
+    t = make(spark, tpath)
+    spark.createDataFrame(
+        [(2, 9, "bt", 42.0)], "id long, ver long, val string, amt double"
+    ).createOrReplaceTempView("bt_src")
+    sql_dml.execute(
+        spark,
+        "MERGE INTO `tgt` USING `bt_src` ON tgt.id = bt_src.id "
+        "WHEN MATCHED THEN UPDATE SET val = bt_src.val, amt = bt_src.amt",
+        {"tgt": t},
+    )
+    assert snap(t) == [(1, "a", 10.0), (2, "bt", 42.0), (3, "c", 30.0)]
+
+
 def test_merge_into_insert_list_must_include_key(spark, tpath):
     t = make(spark, tpath)
     src = spark.createDataFrame([(7, "x")], "id long, val string")
