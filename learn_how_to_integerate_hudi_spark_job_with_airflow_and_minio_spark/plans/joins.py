@@ -1042,3 +1042,66 @@ def join_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "join_tpch_q17",
+    oracle="""
+        WITH li_b AS (
+            SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#4'
+        ), th AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM li_b
+            GROUP BY l_partkey
+        )
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM li_b l
+        JOIN th ON l.l_partkey = th.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * th.cnt < th.sum_qty
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): per-part "
+    "correlated scalar aggregate — revenue from lineitems below 20% of "
+    "their part's average quantity, for one brand. Testdata part has no "
+    "p_container, so the filter is brand-only; the correlated-agg shape "
+    "is unchanged. The per-part threshold aggregates BEFORE the join "
+    "(map-side-combinable, output bounded by |parts of brand|), both "
+    "branches reuse the brand-filtered lineitem's partkey shuffle, and "
+    "the below-threshold test runs in exact decimals — `5*cnt*qty < "
+    "sum_qty` avoids a double-rounded 0.2*avg whose last bits differ "
+    "across engines. No broadcast hints: part is SF-proportional, AQE "
+    "decides.",
+)
+def join_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import dec
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    bparts = (
+        t["part"]
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li_b = (
+        t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(bparts, F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    th = li_b.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 2)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li_b.join(th, "l_partkey")
+        .where(dec("l_quantity", 2) * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (as_double(F.sum(dec("l_extendedprice", 2))) / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )

@@ -323,6 +323,50 @@ def sql_catalog_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_catalog_pruned_select",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
+        FROM orders
+        WHERE o_orderkey >= 500 AND o_orderkey <= 4000
+        GROUP BY o_orderstatus
+    """,
+    doc="Manifest-pruned SQL read surface: attach binds the view through "
+    "Table.read_where, so the key-range predicate consults per-file "
+    "min/max stats BEFORE the scan is planned — a selective SQL-string "
+    "reader touches only the files whose key range overlaps, instead of "
+    "listing every live file (the read-side analog of the upsert "
+    "key-prune envelope; at 10⁵ files this is the difference between a "
+    "point query and a table scan)",
+)
+def sql_catalog_pruned_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog_api import sql_over
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders",
+    )
+    # range-partition on the key before the sorted bulk load → files
+    # carry DISJOINT key ranges, so the stats prune has something to cut
+    t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderkey")))
+    return sql_over(
+        spark,
+        {"eng_orders_rw": t.path},
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS spend
+        FROM eng_orders_rw
+        GROUP BY o_orderstatus
+        """,
+        where={"eng_orders_rw": "o_orderkey >= 500 AND o_orderkey <= 4000"},
+    )
+
+
+@register(
     "quality_report",
     oracle="""
         SELECT 'not_null_o_custkey' AS rule,

@@ -51,55 +51,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sqltext import IDENT as _IDENT
+from .sqltext import scan_top as _scan_top
+from .sqltext import split_top as _split_top
 from .table import Table, TableServices
 
 __all__ = ["execute", "parse_merge"]
-
-
-def _scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
-    """(start, end) spans of ``pattern`` matches at paren depth 0,
-    outside single-quoted strings and backtick identifiers."""
-    rx = re.compile(pattern, re.IGNORECASE)
-    spans: list[tuple[int, int]] = []
-    depth = 0
-    i, n = 0, len(s)
-    while i < n:
-        c = s[i]
-        if c == "'" or c == "`":
-            j = s.find(c, i + 1)
-            i = n if j < 0 else j + 1
-            continue
-        if c == "(":
-            depth += 1
-            i += 1
-            continue
-        if c == ")":
-            depth -= 1
-            i += 1
-            continue
-        if depth == 0:
-            m = rx.match(s, i)
-            if m:
-                spans.append((m.start(), m.end()))
-                i = m.end()
-                continue
-        i += 1
-    return spans
-
-
-def _split_top(s: str, pattern: str) -> list[str]:
-    """Split on top-level matches of ``pattern`` (the separators are
-    dropped)."""
-    spans = _scan_top(s, pattern)
-    out, pos = [], 0
-    for a, b in spans:
-        out.append(s[pos:a])
-        pos = b
-    out.append(s[pos:])
-    return out
-
-
-_IDENT = r"[A-Za-z_][\w$]*|`[^`]+`"
 
 
 def _parse_rel(s: str) -> tuple[str, str]:

@@ -1,0 +1,59 @@
+"""Tiny quote/paren-aware SQL text scanning shared by the DML parser
+(:mod:`.sql_dml`) and the manifest-prune predicate extractor
+(:meth:`.table.Table.read_where`).
+
+Not a SQL parser: just enough lexical awareness (single-quoted strings,
+backtick identifiers, paren depth) to find top-level keyword tokens so
+callers can split statements/predicates without being fooled by quoted
+or parenthesized content. Anything these helpers can't see through, the
+callers treat fail-closed.
+"""
+
+from __future__ import annotations
+
+import re
+
+IDENT = r"[A-Za-z_][\w$]*|`[^`]+`"
+
+
+def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
+    """(start, end) spans of ``pattern`` matches at paren depth 0,
+    outside single-quoted strings and backtick identifiers."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'" or c == "`":
+            j = s.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            m = rx.match(s, i)
+            if m:
+                spans.append((m.start(), m.end()))
+                i = m.end()
+                continue
+        i += 1
+    return spans
+
+
+def split_top(s: str, pattern: str) -> list[str]:
+    """Split on top-level matches of ``pattern`` (the separators are
+    dropped)."""
+    spans = scan_top(s, pattern)
+    out, pos = [], 0
+    for a, b in spans:
+        out.append(s[pos:a])
+        pos = b
+    out.append(s[pos:])
+    return out

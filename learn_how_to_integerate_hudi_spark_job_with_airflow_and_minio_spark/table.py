@@ -52,6 +52,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from .sqltext import IDENT as _SQL_IDENT
+from .sqltext import scan_top as _scan_top
+from .sqltext import split_top as _split_top
 from .storage import create_json, fs_for, read_json, write_json
 
 META_COL = "_commit_time"
@@ -461,6 +464,42 @@ class Table:
         if query_type == "cdc":
             return self.changes(kw.get("begin"), kw.get("end"))
         raise ValueError(f"unknown query type: {query_type}")
+
+    def read_where(self, pred: str, as_of: str | None = None) -> DataFrame:
+        """Predicate read with MANIFEST file pruning before the scan.
+
+        The SQL read surface (:func:`.catalog_api.attach`,
+        SURVEY §1.1's temp-view catalog — the reference's primary query
+        interface, ``incremental_etl_orders.py:467-478``) binds the
+        FULL snapshot to each view: Catalyst pushes the predicate into
+        the parquet scans, but at 10⁵ files the LISTING itself is the
+        bottleneck — the files were already named in the plan. This is
+        the read-side analog of the upsert envelope
+        (:meth:`_prune_by_keys`): extract prunable conjuncts from
+        ``pred``, drop files whose manifest stats can't satisfy them,
+        and only then build the scan — a selective key/partition read
+        touches a handful of files out of 10⁵ before Spark lists
+        anything.
+
+        Extraction is best-effort and FAIL-CLOSED: only top-level
+        conjuncts of the form ``col <op> literal`` (``= == < <= > >=``,
+        int/float/string/bool literals, unqualified column names) are
+        consulted; anything else — top-level OR, parenthesized groups,
+        function calls, ``BETWEEN``/``IN``/``IS NULL``, date/timestamp
+        literals, type mismatches — contributes no pruning and falls
+        through to the exact ``where`` below. Strict ``<``/``>`` prune
+        with the inclusive bound (stats are min/max — conservative).
+        Files without stats for a named column are always kept, and
+        MOR pruning is restricted to key/partition stats by
+        :meth:`snapshot` (a data-column prune before the merge could
+        pick a stale winner). The full predicate is then applied
+        exactly, so the result equals ``snapshot().where(pred)`` on
+        every input.
+        """
+        filters = _filters_from_predicate(pred, self._schema(as_of=as_of))
+        return self.snapshot(filters=filters or None, as_of=as_of).where(
+            pred
+        )
 
     def changes(self, begin: str | None, end: str | None = None) -> DataFrame:
         """CDC view over ``(begin, end]`` (Hudi cdc query type): one row
@@ -2385,6 +2424,72 @@ def _parse_partition_value(col: str, raw: str, schema: StructType):
     if dt == "boolean":
         return val.lower() == "true"
     return val  # string/date/timestamp: stats domain is the string form
+
+
+_PRED_CMP = re.compile(
+    rf"^\s*({_SQL_IDENT})\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$", re.DOTALL
+)
+
+
+def _pred_literal(rhs: str, dtype: str):
+    """Parse a SQL literal against a column type, or None (fail
+    closed). Only types whose python value orders identically to the
+    recorded footer-stats domain are eligible — dates/timestamps/
+    decimals/binary are skipped so a lexical comparison can never
+    misprune."""
+    rhs = rhs.strip()
+    m = re.match(r"^'([^']*)'$", rhs, re.DOTALL)
+    if m is not None:
+        return m.group(1) if dtype == "string" else None
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return int(rhs) if re.match(r"^[+-]?\d+$", rhs) else None
+    if dtype in ("float", "double"):
+        if re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", rhs):
+            return float(rhs)
+        return None
+    if dtype == "boolean" and rhs.lower() in ("true", "false"):
+        return rhs.lower() == "true"
+    return None
+
+
+def _filters_from_predicate(pred: str, schema: StructType | None) -> dict:
+    """Extract a :meth:`Table.snapshot` ``filters`` dict from the
+    prunable top-level conjuncts of a Spark-SQL predicate string.
+    Best-effort and fail-closed (see :meth:`Table.read_where`): a
+    conjunct this can't prove simply contributes no pruning — the
+    caller applies the full predicate exactly afterwards.
+    """
+    if schema is None:
+        return {}
+    if _scan_top(pred, r"\bOR\b"):
+        # a top-level OR means the AND-split fragments are NOT all
+        # required conjuncts — nothing here is safe to prune on
+        return {}
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    eq: dict[str, Any] = {}
+    lo: dict[str, Any] = {}
+    hi: dict[str, Any] = {}
+    for conj in _split_top(pred, r"\bAND\b"):
+        m = _PRED_CMP.match(conj)
+        if not m:
+            continue
+        col, op, rhs = m.group(1).strip("`"), m.group(2), m.group(3)
+        if col not in types:
+            continue
+        val = _pred_literal(rhs, types[col])
+        if val is None:
+            continue
+        if op in ("=", "=="):
+            eq[col] = val
+        elif op in (">", ">="):  # strict > prunes on the inclusive bound
+            lo[col] = val if col not in lo else max(lo[col], val)
+        else:  # < / <=
+            hi[col] = val if col not in hi else min(hi[col], val)
+    out: dict[str, Any] = {
+        c: (lo.get(c), hi.get(c)) for c in {*lo, *hi} if c not in eq
+    }
+    out.update(eq)  # equality is the tighter check — it wins per column
+    return out
 
 
 def _stats_match(entry: dict, filters: dict[str, Any]) -> bool:

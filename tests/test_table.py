@@ -1414,3 +1414,124 @@ def test_occ_stress_interleaved_writers(spark, tpath):
     assert got[1] == "w9" and got[2] == "w10" and got[3] == "w7"
     assert got[0] == "w8"                          # seed overwritten
     assert all(got[100 + i] == f"n{i}" for i in range(1, 11))
+
+
+# -- read_where: manifest pruning for the SQL read surface -------------
+
+
+def _range_table(spark, tpath):
+    """100 keys across ~10 files with DISJOINT key ranges (range
+    partition before the sorted bulk load)."""
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+        max_records_per_file=10,
+    )
+    rows = [(i, 1, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ver long, val string")
+    t.bulk_insert(df.repartitionByRange(4, "id"))
+    return t
+
+
+def test_read_where_prunes_files_vs_naive_attach(spark, tpath):
+    """The scale claim itself: a selective key-range predicate through
+    read_where plans FEWER files than the naive full-snapshot view the
+    plain attach binds — and returns exactly the same rows as filtering
+    that snapshot."""
+    from pyspark.sql import functions as F
+
+    t = _range_table(spark, tpath)
+    total = len(t.snapshot().inputFiles())
+    assert total > 5  # enough files for pruning to mean something
+    pred = "id >= 35 AND id <= 52"
+    pruned = t.read_where(pred)
+    assert 0 < len(pruned.inputFiles()) < total
+    assert rows_of(pruned, "id", "val") == rows_of(
+        t.snapshot().where(pred), "id", "val"
+    )
+    # point read: equality prunes at least as hard as the range
+    point = t.read_where("id = 42 AND val = 'v42'")
+    assert len(point.inputFiles()) <= len(pruned.inputFiles())
+    assert rows_of(point, "id") == [(42,)]
+
+
+def test_attach_where_binds_pruned_view(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.catalog_api import (
+        attach,
+    )
+
+    t = _range_table(spark, tpath)
+    total = len(t.snapshot().inputFiles())
+    attach(
+        spark, {"rw_plain": t.path}, where=None,
+    )
+    attach(
+        spark, {"rw_pruned": t.path},
+        where={"rw_pruned": "id >= 10 AND id < 20"},
+    )
+    plain = spark.table("rw_plain")
+    pruned = spark.table("rw_pruned")
+    assert len(plain.inputFiles()) == total
+    assert 0 < len(pruned.inputFiles()) < total
+    got = spark.sql("SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM rw_pruned").collect()[0]
+    assert (got.n, got.lo, got.hi) == (10, 10, 19)
+
+
+def test_filters_from_predicate_fail_closed(spark, tpath):
+    """Extraction must only prune on provable top-level conjuncts —
+    everything else falls through to the exact filter."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        _filters_from_predicate,
+    )
+
+    t = _range_table(spark, tpath)
+    schema = t._schema()
+    f = _filters_from_predicate
+    # plain conjuncts extract; strict bounds prune inclusively
+    assert f("id >= 5 AND id < 12", schema) == {"id": (5, 12)}
+    assert f("id = 7 AND val = 'x'", schema) == {"id": 7, "val": "x"}
+    # top-level OR: NOTHING is a required conjunct -> no pruning at all
+    assert f("id = 1 OR val = 'x'", schema) == {}
+    assert f("id = 1 OR val = 'x' AND id = 3", schema) == {}
+    # parenthesized group / NOT / BETWEEN / IN / function: that conjunct
+    # contributes nothing, the rest still extracts
+    assert f("(id = 1 OR id = 2) AND ver = 1", schema) == {"ver": 1}
+    assert f("NOT id = 5 AND ver = 1", schema) == {"ver": 1}
+    assert f("id BETWEEN 1 AND 5", schema) == {}
+    assert f("id IN (1, 2) AND ver = 1", schema) == {"ver": 1}
+    assert f("abs(id) = 5 AND ver = 1", schema) == {"ver": 1}
+    # quoted literal containing ' AND id = 7 AND ' must not leak a fake
+    # conjunct (the splitter is quote-aware)
+    assert f("val = 'a AND id = 7 AND b' AND id >= 3", schema) == {
+        "val": "a AND id = 7 AND b",
+        "id": (3, None),
+    }
+    # type mismatch and unknown columns fail closed
+    assert f("id = 'abc'", schema) == {}
+    assert f("nope = 5", schema) == {}
+    # correctness on an unprunable predicate: same rows, full scan
+    pred = "id BETWEEN 90 AND 95 OR id = 3"
+    assert rows_of(t.read_where(pred), "id") == rows_of(
+        t.snapshot().where(pred), "id"
+    )
+
+
+def test_read_where_mor_restricts_to_key_stats(spark, tpath):
+    """On MOR a data-column prune before the merge could pick a stale
+    winner — read_where must go through snapshot()'s key/partition-only
+    filter restriction and still return the merged truth."""
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="t",
+        table_type="mor", max_records_per_file=10,
+    )
+    rows = [(i, 1, f"v{i}") for i in range(40)]
+    t.bulk_insert(
+        spark.createDataFrame(rows, "id long, ver long, val string")
+        .repartitionByRange(2, "id")
+    )
+    t.upsert(
+        spark.createDataFrame([(7, 2, "NEW")], "id long, ver long, val string")
+    )
+    got = rows_of(t.read_where("id >= 5 AND id <= 9"), "id", "val")
+    assert got == [
+        (5, "v5"), (6, "v6"), (7, "NEW"), (8, "v8"), (9, "v9")
+    ]
