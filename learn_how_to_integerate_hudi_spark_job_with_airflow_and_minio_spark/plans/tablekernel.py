@@ -1291,3 +1291,54 @@ def table_mor_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"orders_mi_mor": t},
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_merge_by_source",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'S'
+                    ELSE 'X' END AS o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + CAST(100.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 <> 0
+    """,
+    doc="MERGE WHEN NOT MATCHED BY SOURCE (the ANSI/Delta/Spark-4 third "
+    "clause family — the sync-table staple): target rows absent from "
+    "the feed take the first by-source clause whose condition holds "
+    "(conditional DELETE, then a catch-all stale-flag UPDATE), matched "
+    "rows refresh, all in ONE commit. By-source clauses disable the "
+    "key prune and rewrite every live file on COW — the documented "
+    "cost of 'any target row may be claimed' (DuckDB 1.0 has no MERGE; "
+    "oracle is the equivalent CASE/filter over the same parquet)",
+)
+def table_sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sql_dml
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_sqlbs_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_bs",
+    )
+    t.bulk_insert(orders)
+    # the "still in the feed" subset: keys ≡ 0 (mod 3)
+    orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit(100.0).alias("bump")
+    ).createOrReplaceTempView("engine_bs_src")
+    sql_dml.execute(
+        spark,
+        """
+        MERGE INTO orders_bs t USING engine_bs_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'S',
+                                     o_totalprice = t.o_totalprice + s.bump
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 7 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'
+        """,
+        {"orders_bs": t},
+    )
+    return t.snapshot().drop(META_COL)

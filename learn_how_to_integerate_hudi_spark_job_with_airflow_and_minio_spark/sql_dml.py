@@ -19,8 +19,10 @@ their WHEN/THEN tokens don't terminate a clause):
     ON <expr>
     { WHEN MATCHED [AND <expr>] THEN { UPDATE SET col = <expr>[, ...]
                                      | DELETE }
-    | WHEN NOT MATCHED [AND <expr>] THEN
-          { INSERT (col[, ...]) VALUES (<expr>[, ...]) | INSERT * } }+
+    | WHEN NOT MATCHED [BY TARGET] [AND <expr>] THEN
+          { INSERT (col[, ...]) VALUES (<expr>[, ...]) | INSERT * }
+    | WHEN NOT MATCHED BY SOURCE [AND <expr>] THEN
+          { UPDATE SET col = <expr>[, ...] | DELETE } }+
 
     DELETE FROM <target> WHERE <expr>
     UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
@@ -141,6 +143,7 @@ def parse_merge(stmt: str) -> dict:
     on_cond = rest[: whens[0][0]].strip()
     matched: list[tuple] = []
     not_matched: list[tuple] = []
+    not_matched_by_source: list[tuple] = []
     starts = [a for a, _b in whens]
     for i, (_a, b) in enumerate(whens):
         seg = rest[b : starts[i + 1] if i + 1 < len(starts) else None].strip()
@@ -148,6 +151,15 @@ def parse_merge(stmt: str) -> dict:
         if not m:
             raise ValueError(f"cannot parse WHEN clause {seg!r}")
         is_not, tail = m.group(1), seg[m.end() :]
+        by_source = False
+        bm = re.match(r"BY\s+(SOURCE|TARGET)\b\s*", tail, re.IGNORECASE)
+        if bm:
+            if not is_not:
+                raise ValueError(
+                    f"WHEN MATCHED takes no BY qualifier: {seg!r}"
+                )
+            by_source = bm.group(1).upper() == "SOURCE"
+            tail = tail[bm.end() :]  # BY TARGET ≡ plain NOT MATCHED
         # depth/quote-aware THEN split, so parenthesized CASE
         # expressions and string literals containing THEN inside the
         # AND-condition parse correctly (the docstring's contract)
@@ -162,7 +174,7 @@ def parse_merge(stmt: str) -> dict:
             if not am:
                 raise ValueError(f"cannot parse WHEN condition {cond_part!r}")
             cond = am.group(1).strip()
-        if is_not:
+        if is_not and not by_source:
             am = re.match(
                 r"INSERT\s*(\*|\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\))\s*$",
                 act,
@@ -182,13 +194,22 @@ def parse_merge(stmt: str) -> dict:
                         f"INSERT column/value count mismatch in {act!r}"
                     )
                 not_matched.append(("insert", cond, dict(zip(cols, vals))))
-        elif re.match(r"DELETE\s*$", act, re.IGNORECASE):
-            matched.append(("delete", cond, None))
         else:
-            am = re.match(r"UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL)
-            if not am:
-                raise ValueError(f"cannot parse MATCHED action {act!r}")
-            matched.append(("update", cond, _parse_assignments(am.group(1))))
+            family = not_matched_by_source if by_source else matched
+            if re.match(r"DELETE\s*$", act, re.IGNORECASE):
+                family.append(("delete", cond, None))
+            else:
+                am = re.match(
+                    r"UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL
+                )
+                if not am:
+                    raise ValueError(
+                        f"cannot parse {'NOT MATCHED BY SOURCE' if by_source else 'MATCHED'} "
+                        f"action {act!r}"
+                    )
+                family.append(
+                    ("update", cond, _parse_assignments(am.group(1)))
+                )
     return {
         "target": target,
         "target_alias": t_alias,
@@ -197,6 +218,7 @@ def parse_merge(stmt: str) -> dict:
         "on": on_cond,
         "matched": matched,
         "not_matched": not_matched,
+        "not_matched_by_source": not_matched_by_source,
     }
 
 
@@ -230,6 +252,7 @@ def execute(
             not_matched=p["not_matched"],
             target_alias=p["target_alias"],
             source_alias=p["source_alias"],
+            not_matched_by_source=p["not_matched_by_source"],
         )
     m = re.match(
         rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)$",

@@ -1194,6 +1194,7 @@ class Table:
         not_matched: Sequence[tuple] = (),
         target_alias: str = "t",
         source_alias: str = "s",
+        not_matched_by_source: Sequence[tuple] = (),
     ) -> str:
         """ANSI ``MERGE INTO`` with WHEN clauses, in one commit — the
         Hudi/Delta Spark-SQL MERGE surface (the reference's user
@@ -1207,15 +1208,23 @@ class Table:
         ``("delete", cond|None, None)``; ``not_matched`` of
         ``("insert", cond|None, {col: expr} | None)`` (``None`` =
         ``INSERT *`` — target columns taken from same-named source
-        columns). Standard clause semantics: clauses are evaluated IN
-        ORDER and the first whose condition holds applies; a matched
-        row no clause claims is carried through byte-identical with its
-        original ``_commit_time``; a source row >1 target rows match is
-        fine (each target row merges independently), but a TARGET row
+        columns); ``not_matched_by_source`` of ``("update", cond|None,
+        {col: expr})`` / ``("delete", cond|None, None)`` applied to
+        TARGET rows with no source match (the ANSI/Delta/Spark-4 third
+        clause family — the sync-table staple: delete or flag rows that
+        vanished from the feed). Standard clause semantics: clauses are
+        evaluated IN ORDER within their family and the first whose
+        condition holds applies; a matched row no clause claims is
+        carried through byte-identical with its original
+        ``_commit_time``; a source row >1 target rows match is fine
+        (each target row merges independently), but a TARGET row
         matched by >1 source rows while any matched clause exists is
         ambiguous and raises (ANSI cardinality violation, same contract
         as Delta). SET/VALUES expressions see both aliases and apply
-        simultaneously (``SET a = t.b, b = t.a`` swaps).
+        simultaneously (``SET a = t.b, b = t.a`` swaps) — except
+        ``not_matched_by_source`` conditions/SETs, which may reference
+        ONLY the target (there is no source row; ANSI agrees), enforced
+        fail-closed on any ``<source_alias>.`` occurrence.
 
         COW cost envelope: when ON carries a target-key equality as a
         conjunct, manifest key-range stats prune the scanned file set
@@ -1225,13 +1234,19 @@ class Table:
         them byte-preserved), inserts append — same shape as
         :meth:`update_where`. The not-matched anti-join shuffles
         source-vs-pruned-target once on the ON columns; at 100 TB both
-        sides hash-partition and AQE broadcasts whichever is small. MOR: the
-        clause outputs (updated full rows, tombstone keys, inserts)
-        land as ONE delta commit via :meth:`merge` — O(changes) append,
-        no rewrite, never a torn merge. Constraint gating applies to
-        the MOR path (it routes through :meth:`merge`); the COW rewrite
-        path skips it, since quarantining a row the table already owns
-        on rewrite would be a spurious data loss.
+        sides hash-partition and AQE broadcasts whichever is small.
+        A ``not_matched_by_source`` clause CHANGES this envelope: any
+        target row anywhere may be claimed, so the key prune is
+        disabled and every live file rewrites (the unavoidable cost of
+        the clause's semantics — Delta pays the same; narrow it
+        yourself with a tight clause condition and run such merges at
+        sync cadence, not per-batch). MOR: the clause outputs (updated
+        full rows, tombstone keys, inserts) land as ONE delta commit
+        via :meth:`merge` — O(changes) append even for by-source
+        clauses, no rewrite, never a torn merge. Constraint gating
+        applies to the MOR path (it routes through :meth:`merge`); the
+        COW rewrite path skips it, since quarantining a row the table
+        already owns on rewrite would be a spurious data loss.
         """
         for kind, _c, _v in matched:
             if kind not in ("update", "delete"):
@@ -1239,6 +1254,11 @@ class Table:
         for kind, _c, _v in not_matched:
             if kind != "insert":
                 raise ValueError(f"unknown WHEN NOT MATCHED action {kind!r}")
+        for kind, _c, _v in not_matched_by_source:
+            if kind not in ("update", "delete"):
+                raise ValueError(
+                    f"unknown WHEN NOT MATCHED BY SOURCE action {kind!r}"
+                )
         table_schema = self._schema()
         if table_schema is None:
             raise ValueError(
@@ -1248,7 +1268,7 @@ class Table:
         table_cols = [f.name for f in table_schema.fields]
         data_cols = [c for c in table_cols if c != META_COL]
         structural = {self.key, META_COL}
-        for kind, _c, sets in matched:
+        for kind, _c, sets in (*matched, *not_matched_by_source):
             if kind != "update":
                 continue
             bad = sorted(set(sets) & structural)
@@ -1259,6 +1279,17 @@ class Table:
                 raise ValueError(
                     f"UPDATE SET targets unknown column(s) {unknown}"
                 )
+        sa_ref = re.compile(
+            rf"(?<![\w$`]){re.escape(source_alias)}\s*\."
+        )
+        for _kind, cond, sets in not_matched_by_source:
+            for expr_s in (cond or "", *(sets or {}).values()):
+                if sa_ref.search(expr_s):
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE clauses may reference "
+                        f"only the target: {expr_s!r} names the source "
+                        f"alias {source_alias!r} (there is no source row)"
+                    )
         for kind, _c, values in not_matched:
             if values is not None:
                 unknown = sorted(set(values) - set(data_cols))
@@ -1286,6 +1317,7 @@ class Table:
             return self._merge_into(
                 source, on, on_cond, matched, not_matched, ta, sa,
                 table_schema, table_cols, data_cols,
+                not_matched_by_source,
             )
         finally:
             source.unpersist()
@@ -1353,6 +1385,7 @@ class Table:
         table_schema,
         table_cols: list[str],
         data_cols: list[str],
+        not_matched_by_source: Sequence[tuple] = (),
     ) -> str:
         src = source.withColumn("__mi_m", F.lit(True)).alias(sa)
         by_type = {f.name: f.dataType for f in table_schema.fields}
@@ -1364,6 +1397,19 @@ class Table:
                     is_m
                     if cond is None
                     else is_m & F.coalesce(F.expr(cond), F.lit(False))
+                )
+                ci = ci.when(hit, F.lit(i))
+            return ci.otherwise(F.lit(-1))
+
+        def _by_source_clause_index(is_m):
+            # first-match-wins over UNMATCHED target rows (no source
+            # columns in scope — enforced in merge_into)
+            ci = F.when(is_m, F.lit(-1))
+            for i, (_k, cond, _v) in enumerate(not_matched_by_source):
+                hit = (
+                    ~is_m
+                    if cond is None
+                    else ~is_m & F.coalesce(F.expr(cond), F.lit(False))
                 )
                 ci = ci.when(hit, F.lit(i))
             return ci.otherwise(F.lit(-1))
@@ -1421,6 +1467,12 @@ class Table:
 
         del_idx = [i for i, cl in enumerate(matched) if cl[0] == "delete"]
         upd_idx = [i for i, cl in enumerate(matched) if cl[0] == "update"]
+        bs_del_idx = [
+            i for i, cl in enumerate(not_matched_by_source) if cl[0] == "delete"
+        ]
+        bs_upd_idx = [
+            i for i, cl in enumerate(not_matched_by_source) if cl[0] == "update"
+        ]
 
         if self.table_type == "mor":
             # The merged view (latest-per-key window over base+deltas)
@@ -1446,6 +1498,8 @@ class Table:
                         j.where(is_m).select(F.col(f"{ta}.{self.key}").alias("__mi_k"))
                     )
                 j = j.withColumn("__mi_ci", _matched_clause_index(is_m))
+                if not_matched_by_source:
+                    j = j.withColumn("__mi_bi", _by_source_clause_index(is_m))
                 parts = []
                 for i in upd_idx:
                     sets = matched[i][2]
@@ -1461,17 +1515,41 @@ class Table:
                             ]
                         )
                     )
+                for i in bs_upd_idx:
+                    sets = not_matched_by_source[i][2]
+                    parts.append(
+                        j.where(F.col("__mi_bi") == i).select(
+                            *[
+                                (
+                                    F.expr(sets[c]).cast(by_type[c])
+                                    if c in sets
+                                    else F.col(f"{ta}.{c}")
+                                ).alias(c)
+                                for c in data_cols
+                            ]
+                        )
+                    )
                 ins_part = (
                     _insert_rows(src.join(snap, on_cond, "left_anti"))
                     if not_matched
                     else None
                 )
-                dels = (
-                    j.where(F.col("__mi_ci").isin(del_idx))
-                    .select(F.col(f"{ta}.{self.key}").alias(self.key))
-                    if del_idx
-                    else None
-                )
+                del_parts = []
+                if del_idx:
+                    del_parts.append(
+                        j.where(F.col("__mi_ci").isin(del_idx)).select(
+                            F.col(f"{ta}.{self.key}").alias(self.key)
+                        )
+                    )
+                if bs_del_idx:
+                    del_parts.append(
+                        j.where(F.col("__mi_bi").isin(bs_del_idx)).select(
+                            F.col(f"{ta}.{self.key}").alias(self.key)
+                        )
+                    )
+                dels = None
+                for p in del_parts:
+                    dels = p if dels is None else dels.unionByName(p)
                 # Cross-type agreement: when ON is not pure key equality
                 # an unmatched source row can insert a key another clause
                 # of the SAME statement updates or deletes. COW resolves
@@ -1533,7 +1611,10 @@ class Table:
         # and fails closed (no match → full scan, still correct).
         candidates = entries
         on_key_col = self._mi_on_key_col(on, ta, sa)
-        if entries and on_key_col is not None:
+        if entries and on_key_col is not None and not not_matched_by_source:
+            # a NOT MATCHED BY SOURCE clause may claim ANY target row —
+            # key pruning (which reasons only about rows the source CAN
+            # match) would skip files holding claimable unmatched rows
             src_keys = source.select(
                 F.col(on_key_col).alias(self.key)
             ).distinct()
@@ -1565,18 +1646,33 @@ class Table:
                     "MATCHED clause exists — dedup the source first"
                 )
             affected = list(row["files"] or [])
+        # A by-source clause widens the rewrite to EVERY candidate file
+        # (any unmatched target row may be claimed — the documented cost
+        # of the clause family); otherwise only files containing ON
+        # matches rewrite.
+        rewrite_entries = (
+            candidates
+            if not_matched_by_source
+            else (
+                self._affected_entries(candidates, affected)
+                if affected
+                else []
+            )
+        )
         out_parts = []
         removed: list[str] = []
-        if affected:
-            aff = self._read_entries(
-                self._affected_entries(candidates, affected)
-            ).alias(ta)
+        if rewrite_entries:
+            aff = self._read_entries(rewrite_entries).alias(ta)
             j = aff.join(src, on_cond, "left")
             is_m = F.col("__mi_m").isNotNull()
             j = j.withColumn("__mi_ci", _matched_clause_index(is_m))
+            if not_matched_by_source:
+                j = j.withColumn("__mi_bi", _by_source_clause_index(is_m))
             keep = (
                 ~F.col("__mi_ci").isin(del_idx) if del_idx else F.lit(True)
             )
+            if bs_del_idx:
+                keep = keep & ~F.col("__mi_bi").isin(bs_del_idx)
             cols = []
             for c in table_cols:
                 expr = F.col(f"{ta}.{c}")
@@ -1593,9 +1689,22 @@ class Table:
                     )
                     if val is not None:
                         expr = F.when(F.col("__mi_ci") == i, val).otherwise(expr)
+                for i in bs_upd_idx:
+                    sets = not_matched_by_source[i][2]
+                    val = (
+                        F.lit(commit)
+                        if c == META_COL
+                        else (
+                            F.expr(sets[c]).cast(by_type[c])
+                            if c in sets
+                            else None
+                        )
+                    )
+                    if val is not None:
+                        expr = F.when(F.col("__mi_bi") == i, val).otherwise(expr)
                 cols.append(expr.alias(c))
             out_parts.append(j.where(keep).select(*cols))
-            removed = self._to_rel(affected)
+            removed = [e["path"] for e in rewrite_entries]
         if not_matched:
             if candidates:
                 # a target row outside `candidates` can't match any
@@ -1634,11 +1743,7 @@ class Table:
                     out_parts[0] = out_parts[0].join(
                         ins_keys, self.key, "left_anti"
                     )
-                rewritten = (
-                    {e["path"] for e in self._affected_entries(candidates, affected)}
-                    if affected
-                    else set()
-                )
+                rewritten = {e["path"] for e in rewrite_entries}
                 remaining = [e for e in entries if e["path"] not in rewritten]
                 coll_cand = (
                     self._prune_by_keys(remaining, ins_keys) if remaining else []

@@ -219,14 +219,18 @@ MERGE_SRC_ROW = st.tuples(
     rows=BATCH,
     src=st.lists(MERGE_SRC_ROW, min_size=1, max_size=10),
     table_type=st.sampled_from(["cow", "mor"]),
+    by_source=st.booleans(),
 )
 def test_merge_into_matches_reference_model(
-    spark, tmp_path_factory, rows, src, table_type
+    spark, tmp_path_factory, rows, src, table_type, by_source
 ):
     """MERGE INTO algebra vs a dict reference model: conditional DELETE
     and UPDATE on matched keys (first-match-wins), a matched row no
-    clause claims is untouched, non-'D' unmatched rows insert, and the
-    result is identical on both table types."""
+    clause claims is untouched, non-'D' unmatched rows insert, and —
+    when ``by_source`` — target rows with no source match take the
+    first NOT MATCHED BY SOURCE clause whose condition holds
+    (conditional DELETE, then an unconditional stale-flag UPDATE).
+    Result identical on both table types."""
     t = Table.create(
         spark,
         f"{tmp_path_factory.mktemp('mi')}/t",
@@ -258,13 +262,32 @@ def test_merge_into_matches_reference_model(
                 {"id": "s.id", "ver": "s.ver", "val": "s.val"},
             )
         ],
+        not_matched_by_source=(
+            [
+                ("delete", "t.ver <= 2", None),
+                ("update", None, {"val": "'stale'"}),
+            ]
+            if by_source
+            else []
+        ),
     )
-    state = expected_single_batch(rows)
+    orig = expected_single_batch(rows)  # pre-merge target (match basis)
+    state = dict(orig)
+    src_keys = {k for k, _v, _val, _act in src_u}
+    if by_source:
+        for k in list(state):
+            if k in src_keys:
+                continue  # matched — by-source clauses don't apply
+            v, _val = state[k]
+            if v <= 2:
+                state.pop(k)             # first by-source clause: DELETE
+            else:
+                state[k] = (v, "stale")  # second clause: flag
     for k, v, val, act in src_u:
         tagged = f"{val}{k}:{v}"
-        if k in state:
+        if k in orig:
             if act == "D":
-                state.pop(k)
+                state.pop(k, None)
             elif act == "U":
                 state[k] = (v, tagged)
             # act == "I": matched, no clause claims it -> untouched

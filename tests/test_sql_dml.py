@@ -614,3 +614,114 @@ def test_merge_into_composes_with_cdc(spark, tpath):
         for r in t.changes(begin).select("id", "_change_type").collect()
     }
     assert changes == {1: "update", 2: "delete", 4: "insert"}
+
+
+# -- WHEN NOT MATCHED BY SOURCE ----------------------------------------
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_by_source_clauses_first_match_wins(spark, tpath, table_type):
+    """The third ANSI clause family: target rows with NO source match
+    take the first NOT MATCHED BY SOURCE clause whose condition holds —
+    here a conditional DELETE then an unconditional UPDATE — while
+    matched rows and source inserts behave as before, all in ONE
+    commit and identically on both table types."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(2, 9, "m", 21.0), (9, 1, "new", 90.0)],
+        "id long, ver long, val string, amt double",
+    )
+    src.createOrReplaceTempView("by_src_v")
+    sql_dml.execute(
+        spark,
+        "MERGE INTO tgt USING by_src_v AS s ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.val, amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.id = 3 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 'stale'",
+        {"tgt": t},
+    )
+    assert snap(t) == [
+        (1, "stale", 10.0),   # unmatched-by-source, second clause
+        (2, "m", 21.0),       # matched update
+        (9, "new", 90.0),     # source insert
+    ]                          # 3 deleted by the first by-source clause
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_by_source_only_statement(spark, tpath, table_type):
+    """A sync-style merge with ONLY a by-source clause (no matched /
+    insert family) — every target key absent from the source is
+    deleted; present keys carry through byte-identical (original
+    _commit_time preserved on COW)."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        META_COL,
+    )
+
+    t = make(spark, tpath, table_type=table_type)
+    before = {r.id: r[META_COL] for r in t.snapshot().collect()}
+    src = spark.createDataFrame([(1,), (3,)], "id long")
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        not_matched_by_source=[("delete", None, None)],
+    )
+    assert snap(t) == [(1, "a", 10.0), (3, "c", 30.0)]
+    after = {r.id: r[META_COL] for r in t.snapshot().collect()}
+    assert after == {k: v for k, v in before.items() if k in (1, 3)}
+
+
+def test_merge_by_source_rejects_source_references(spark, tpath):
+    t = make(spark, tpath)
+    src = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="only the target"):
+        t.merge_into(
+            src, on="t.id = s.id",
+            not_matched_by_source=[("update", "s.id > 0", {"val": "'x'"})],
+        )
+    with pytest.raises(ValueError, match="only the target"):
+        t.merge_into(
+            src, on="t.id = s.id",
+            not_matched_by_source=[("delete", None, None),
+                                   ("update", None, {"val": "s.val"})],
+        )
+
+
+def test_parse_merge_by_source_and_by_target():
+    p = sql_dml.parse_merge(
+        "MERGE INTO a USING b ON a.k = b.k "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND a.f < 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET f = 0"
+    )
+    assert p["not_matched"] == [("insert", None, None)]
+    assert p["not_matched_by_source"] == [
+        ("delete", "a.f < 0", None),
+        ("update", None, {"f": "0"}),
+    ]
+    with pytest.raises(ValueError, match="no BY qualifier"):
+        sql_dml.parse_merge(
+            "MERGE INTO a USING b ON a.k = b.k "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_by_source_insert_wins_on_collision(spark, tpath, table_type):
+    """Insert-wins extends to the by-source family: when a non-key ON
+    lets an unmatched source row insert a key that a by-source clause
+    would simultaneously delete/update, the insert takes precedence on
+    BOTH table types (same resolution as matched update/delete)."""
+    t = make(spark, tpath, table_type=table_type)
+    # no target row has val 'zzz' -> nothing matches; every target row
+    # is unmatched-by-source; source inserts key 2 with fresh payload
+    src = spark.createDataFrame(
+        [(2, 9, "zzz", 99.0)], "id long, ver long, val string, amt double"
+    )
+    t.merge_into(
+        src,
+        on="t.id = s.id AND t.val = s.val",
+        not_matched=[("insert", None, None)],
+        not_matched_by_source=[("delete", None, None)],
+    )
+    assert snap(t) == [(2, "zzz", 99.0)]  # 1,3 deleted; 2 = the insert
