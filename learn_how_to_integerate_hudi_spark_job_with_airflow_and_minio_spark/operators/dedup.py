@@ -649,6 +649,90 @@ def contamination_substring(
     )
 
 
+def contamination_index_build(
+    bench: DataFrame,
+    index_table,
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Hash the eval/benchmark set ONCE into a PERSISTED n-gram index —
+    the steady-state evolution of :func:`contamination_pairs`, the same
+    batch-vs-index shape :func:`incremental_lsh_pairs` gives MinHash
+    dedup and ``semantic_prune_incremental`` gives SemDeDup: the
+    recurring corpus pipeline should not rehash the (immutable) eval
+    set on every batch.
+
+    ``index_table`` is an engine ``Table`` keyed by ``_k`` =
+    ``"<xxhash64(ngram)>:<bench_id>"`` (precombine ``_h``) with columns
+    ``(_k, _h, bench_id)`` — one row per distinct (eval n-gram, eval
+    doc). Bounded by the benchmark's n-gram count, NOT the corpus.
+    Upsert-maintained: growing the benchmark later is another call
+    (idempotent — re-inserting the same n-grams replaces byte-equal
+    rows), and the index is ordinary table state (snapshot/time-travel/
+    clean all apply)."""
+    b_sh = (
+        exploded_shingles(
+            bench, bench_id, text_col, n, id_out="bench_id", out="_g"
+        )
+        .select("bench_id", F.xxhash64("_g").alias("_h"))
+        .select(
+            F.concat_ws(":", F.col("_h"), F.col("bench_id")).alias("_k"),
+            "_h",
+            "bench_id",
+        )
+    )
+    index_table.upsert(b_sh)
+
+
+def contamination_check_incremental(
+    batch: DataFrame,
+    index_table,
+    corpus_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag a NEW corpus batch against the PERSISTED eval-set index
+    (:func:`contamination_index_build`): the batch's n-grams hash
+    map-side and equi-join the stored 8-byte hashes — O(batch) work per
+    batch, with the eval set never re-tokenized and the corpus never
+    rescanned (steady state is independent of corpus size). Same
+    output shape and semantics as :func:`contamination_pairs`:
+    ``(corpus_id, bench_id, shared_ngrams, bench_ngrams, overlap)``
+    with overlap = fraction of the BENCHMARK's distinct n-grams found
+    in the corpus doc. ``bench_ngrams`` comes from the index itself
+    (per-doc row count), so no side lookup table is maintained. The
+    index side is bounded by the benchmark — no broadcast hint; AQE
+    broadcasts it at runtime when it is genuinely small."""
+    idx = index_table.snapshot().select("_h", "bench_id")
+    bench_sizes = idx.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams")
+    )
+    c_sh = exploded_shingles(
+        batch, corpus_id, text_col, n, id_out="corpus_id", out="_g"
+    ).select("corpus_id", F.xxhash64("_g").alias("_h"))
+    hits = (
+        c_sh.join(idx, "_h")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        hits.join(bench_sizes, "bench_id")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("shared_ngrams").cast("double") / F.col("bench_ngrams"),
+                6,
+            ),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select(
+            "corpus_id", "bench_id", "shared_ngrams", "bench_ngrams", "overlap"
+        )
+    )
+
+
 def substring_window_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -852,3 +852,70 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verdict frame is discarded; the inserts are eager)
     semantic_prune_incremental(reps, hist, "vec_id", "embedding", **kw)
     return semantic_prune_incremental(reps, batch, "vec_id", "embedding", **kw)
+
+
+@register(
+    "decontaminate_incremental",
+    # Oracle recomputes the overlap from raw shingle STRINGS over
+    # (eval set ∪ batch) — independently verifying both the persisted
+    # index content (bench n-grams hashed once at build time) and the
+    # batch check, plus the 8-byte join-key compression, exactly as
+    # decontaminate_ngram_overlap's oracle does for the one-shot path.
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) s
+    FROM toks
+),
+bench AS (
+    SELECT doc_id AS bench_id, s FROM sh
+    WHERE doc_id % 7 = 0 AND len(s) > 0
+),
+corp AS (
+    SELECT doc_id AS corpus_id, s FROM sh
+    WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+)
+SELECT c.corpus_id, b.bench_id,
+       CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS shared_ngrams,
+       CAST(len(b.s) AS BIGINT) AS bench_ngrams,
+       round(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(b.s), 6)
+           AS overlap
+FROM corp c CROSS JOIN bench b
+WHERE round(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) / len(b.s), 6)
+          >= 0.5
+    """,
+    doc="steady-state incremental decontamination: the eval set's "
+    "3-gram hashes live in a PERSISTED engine Table (built once, "
+    "upsert-maintained when the benchmark grows); each new corpus "
+    "batch (doc_id %% 3 = 0 here) hashes map-side and equi-joins the "
+    "stored index — O(batch) per batch, the eval set never re-"
+    "tokenized, corpus size absent from the steady-state cost. The "
+    "same batch-vs-persisted-index evolution dedup_incremental_lsh is "
+    "to dedup_minhash_lsh and dedup_semantic_incremental is to "
+    "dedup_semantic_prune, applied to decontaminate_ngram_overlap",
+)
+def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..table import Table
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    batch = d.where((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 3 == 0))
+    # "once": the benchmark is hashed into a persisted index (in
+    # production this table already exists; building it here is test
+    # scaffolding, not part of the measured steady state).
+    idx = Table.create(
+        spark,
+        tempfile.mkdtemp(prefix="engine_decon_idx_"),
+        key="_k",
+        precombine="_h",
+        table_name="decon_ngram_index",
+    )
+    D.contamination_index_build(bench, idx, "doc_id", "text", n=3)
+    # "every batch": only the batch is tokenized; the index is READ.
+    return D.contamination_check_incremental(
+        batch, idx, "doc_id", "text", n=3, threshold=0.5
+    )

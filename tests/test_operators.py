@@ -405,3 +405,67 @@ def test_semantic_prune_incremental_new_and_existing_buckets(spark, tmp_path):
         (r.vec_id, r.rep_id, r.kept) for r in out
     )
     assert {r.sig for r in reps.snapshot().select("sig").collect()} == stored_after
+
+
+def test_contamination_incremental_index_reused_across_batches(
+    spark, tmp_path
+):
+    """Steady-state decontamination: the eval set is hashed ONCE into a
+    persisted index; two successive batches check against it without
+    rebuilding, each matching the one-shot contamination_pairs verdict
+    for that batch. Growing the benchmark later is an idempotent upsert
+    that makes the new eval doc visible to subsequent checks."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        dedup as D,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    eval_a = "the quick brown fox jumps over the lazy dog"
+    eval_b = "pack my box with five dozen liquor jugs"
+    bench = spark.createDataFrame(
+        [(100, eval_a)], "doc_id long, text string"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, eval_a + " and then some extra words"),
+         (2, "completely unrelated content in this training document")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, eval_b + " padded with additional training text"),
+         (4, eval_a)],
+        "doc_id long, text string",
+    )
+    idx = Table.create(
+        spark, str(tmp_path / "idx"), key="_k", precombine="_h",
+        table_name="decon_idx",
+    )
+    D.contamination_index_build(bench, idx)
+    built = idx.latest_commit()
+
+    def verdict(df):
+        return sorted(
+            (r["corpus_id"], r["bench_id"], r["overlap"])
+            for r in D.contamination_check_incremental(df, idx).collect()
+        )
+
+    assert verdict(batch1) == [(1, 100, 1.0)]
+    # second batch: same index, NO rebuild (no new commit on the table)
+    assert verdict(batch2) == [(4, 100, 1.0)]
+    assert idx.latest_commit() == built
+    # benchmark grows: one upsert; eval_b now catches batch2's doc 3
+    D.contamination_index_build(
+        spark.createDataFrame([(200, eval_b)], "doc_id long, text string"),
+        idx,
+    )
+    assert verdict(batch2) == [(3, 200, 1.0), (4, 100, 1.0)]
+    # parity with the one-shot operator on the grown benchmark
+    both = spark.createDataFrame(
+        [(100, eval_a), (200, eval_b)], "doc_id long, text string"
+    )
+    oneshot = sorted(
+        (r["corpus_id"], r["bench_id"], r["overlap"])
+        for r in D.contamination_pairs(batch2, both, threshold=0.5).collect()
+    )
+    assert verdict(batch2) == oneshot
