@@ -59,69 +59,72 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-7 window (stalest-green rule): (0) round-7 births first
-# (standing rule), then (a) ALL 45 queries whose latest driver row
-# dates from round 3 — the complete remaining stale debt (staleness
-# computed from CORRECTNESS_r0{1..6}.json key sets; after this round
-# no query's latest driver row is older than r4) — then (b) two r4
-# rows to fill the window to exactly 50, chosen because this round
-# removed their forced dim-broadcast hints (q02/Q3), so they re-gate
-# on the changed plan. The whole catalog stays covered by
+# Round-8 window (stalest-green rule, per the r7 verdict brief):
+# (0) the 8 never-gated round-7 births (born after the r7 rotation —
+# standing rule puts them first), (1) the 4 round-8 births, then
+# (2) 38 of the 48 queries whose latest driver row dates from round 4
+# (alphabetical; staleness computed from CORRECTNESS_r0{1..7}.json key
+# sets) — the 10 that don't fit spill to the r9 window:
+# table_partition_pruning, table_time_travel, table_upsert_snapshot,
+# text_repetition_gopher, unpivot_metrics, win_lag_lead,
+# win_locf_ignore_nulls, win_ntile_cume_dist, win_range_frame,
+# win_sessionize. After this round every catalog query has at least
+# one driver row ever. The whole catalog stays covered by
 # tests/test_catalog_oracle.py every round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 7 — gate on first appearance (standing rule)
-    "table_sql_merge_into",
-    "dedup_semantic_incremental",
-    "stream_multimodal_feed",
-    # (a) latest driver row = round 3 — the complete stale set
-    "agg_approx_distinct",
-    "agg_bool",
-    "agg_corr_covar",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_exact_percentile",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_string_agg",
-    "agg_variance_stddev",
-    "decontaminate_ngram_overlap",
-    "dedup_apply_keep_representative",
-    "explode_token_counts",
-    "fuzzy_match_pairs",
-    "multimodal_frames",
-    "multimodal_resize",
-    "orderby_nulls_ordering",
-    "pandas_udf_scalar",
-    "sample_domain_mix",
-    "scalar_case_coalesce",
-    "scalar_cast_chain",
-    "scalar_hash_funcs",
-    "scalar_json_funcs",
-    "scalar_levenshtein",
-    "scalar_math_funcs",
-    "scalar_regexp_extended",
-    "setop_all_variants",
-    "sim_ivf_cells",
-    "sim_ivf_probe",
-    "sim_lsh_ann",
-    "skew_salted_join",
-    "source_csv_roundtrip",
-    "stream_dedup_watermark",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "table_cdc_changes",
-    "table_insert_overwrite_dynamic",
-    "table_mor_partitioned_pruning",
-    "table_schema_evolution",
-    "table_zorder_compaction",
-    "text_pack_sequences",
-    "text_tfidf_top_terms",
-    "win_first_last",
-    # (b) r4 backfill: plans changed this round (broadcast de-hinting)
-    "q02_flagship_join",
-    "join_tpch_q3",
+    # (0) born round 7, after the r7 rotation — never driver-gated
+    "agg_tpch_q6",
+    "join_tpch_q7",
+    "join_tpch_q13",
+    "join_tpch_q15",
+    "join_tpch_q18",
+    "join_tpch_q19",
+    "join_tpch_q22",
+    "table_mor_sql_merge_into",
+    # (1) born round 8 — gate on first appearance (standing rule)
+    "sql_catalog_pruned_select",
+    "join_tpch_q17",
+    "table_sql_merge_by_source",
+    "decontaminate_incremental",
+    # (2) latest driver row = round 4 (38 of 48; 10 spill to r9)
+    "agg_arg_minmax",
+    "agg_filter_clause",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_group_stats",
+    "dedup_minhash_estimate_contract",
+    "incremental_pipeline_gold",
+    "join_anti",
+    "join_asof",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_bands",
+    "join_semi",
+    "join_tpch_q5",
+    "multimodal_meta",
+    "pandas_grouped_map_rank",
+    "pipeline_llm_corpus_gold",
+    "q01_projection_alias",
+    "q03_distinct_orderby",
+    "q04_minmax_agg",
+    "q05_topk",
+    "q06_latest_per_key",
+    "q07_sql_transformer",
+    "sample_exact_k_per_stratum",
+    "scalar_bitwise_funcs",
+    "setop_union_intersect_except",
+    "sim_ivf_recall",
+    "skew_salted_agg",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "stream_mor_delta_feed",
+    "subquery_correlated",
+    "subquery_in",
+    "subquery_scalar",
+    "table_incremental_between",
+    "table_incremental_read",
+    "table_mor_cdc_changes",
+    "table_mor_incremental",
 ]
 
 
