@@ -98,6 +98,7 @@ HEADLINE = [
     "join_tpch_q17",
     "table_sql_merge_by_source",
     "decontaminate_incremental",
+    "decontaminate_substring_incremental",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

@@ -733,6 +733,53 @@ def contamination_check_incremental(
     )
 
 
+def contamination_substring_index_build(
+    bench: DataFrame,
+    index_table,
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> None:
+    """Exact-substring flavor of :func:`contamination_index_build`:
+    persist the eval set's rolling ``window``-token span hashes ONCE
+    into an engine Table (same ``_k = "<hash>:<bench_id>"`` key shape),
+    so the recurring corpus pipeline checks each batch for verbatim
+    copied spans without re-tokenizing the benchmark. Bounded by the
+    benchmark's span count; upsert-maintained and idempotent."""
+    b = _span_table(bench, bench_id, text_col, window)
+    index_table.upsert(
+        b.select(
+            F.concat_ws(":", F.col("_h"), F.col("_id")).alias("_k"),
+            "_h",
+            F.col("_id").alias("bench_id"),
+        )
+    )
+
+
+def contamination_substring_check_incremental(
+    batch: DataFrame,
+    index_table,
+    corpus_id: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag a NEW corpus batch against the persisted span index
+    (:func:`contamination_substring_index_build`): the batch's rolling
+    span hashes equi-join the stored 8-byte hashes — O(batch) per
+    batch, the Lee-et-al. copied-question check at steady-state cost.
+    Same output shape as :func:`contamination_substring`:
+    ``(corpus_id, bench_id, shared_windows)``."""
+    idx = index_table.snapshot().select("_h", "bench_id")
+    c = _span_table(batch, corpus_id, text_col, window)
+    return (
+        c.join(idx, "_h")
+        .groupBy(F.col("_id").alias("corpus_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared)
+    )
+
+
 def substring_window_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -919,3 +919,59 @@ def decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check_incremental(
         batch, idx, "doc_id", "text", n=3, threshold=0.5
     )
+
+
+@register(
+    "decontaminate_substring_incremental",
+    # Oracle re-derives the rolling 20-token windows as raw strings on
+    # both splits and joins them directly (same technique as
+    # decontaminate_exact_substring), restricted to the batch — so
+    # agreement verifies the persisted span index AND the batch check.
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        sp AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+19], ' ')
+                                  for i in range(1, len(w) - 18)]) s
+            FROM toks WHERE len(w) >= 20
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sp),
+        bench AS (SELECT doc_id AS bench_id, g FROM ex WHERE doc_id % 7 = 0),
+        corp AS (
+            SELECT doc_id AS corpus_id, g FROM ex
+            WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+        )
+        SELECT c.corpus_id, b.bench_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_windows
+        FROM corp c JOIN bench b ON c.g = b.g
+        GROUP BY c.corpus_id, b.bench_id
+        HAVING COUNT(*) >= 1
+    """,
+    doc="steady-state exact-substring decontamination: the eval set's "
+    "rolling 20-token span hashes live in a PERSISTED engine Table "
+    "(built once); each new corpus batch (doc_id %% 3 = 0) hashes its "
+    "spans map-side and equi-joins the stored index — the Lee et al. "
+    "copied-question check at O(batch) steady-state cost, the span "
+    "flavor of decontaminate_incremental",
+)
+def decontaminate_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..table import Table
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    batch = d.where((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 3 == 0))
+    idx = Table.create(
+        spark,
+        tempfile.mkdtemp(prefix="engine_decon_span_idx_"),
+        key="_k",
+        precombine="_h",
+        table_name="decon_span_index",
+    )
+    D.contamination_substring_index_build(bench, idx, "doc_id", "text", window=20)
+    return D.contamination_substring_check_incremental(
+        batch, idx, "doc_id", "text", window=20, min_shared=1
+    )

@@ -469,3 +469,38 @@ def test_contamination_incremental_index_reused_across_batches(
         for r in D.contamination_pairs(batch2, both, threshold=0.5).collect()
     )
     assert verdict(batch2) == oneshot
+
+
+def test_contamination_substring_incremental_parity(spark, tmp_path):
+    """Span-flavor incremental decontamination matches the one-shot
+    contamination_substring verdict for the batch, from a persisted
+    index built once."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        dedup as D,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    span = " ".join(f"w{i}" for i in range(20))  # one exact 20-token span
+    bench = spark.createDataFrame(
+        [(100, span + " tail tokens here")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "prefix words " + span), (2, "no shared span in this one at all")],
+        "doc_id long, text string",
+    )
+    idx = Table.create(
+        spark, str(tmp_path / "idx"), key="_k", precombine="_h",
+        table_name="span_idx",
+    )
+    D.contamination_substring_index_build(bench, idx)
+    inc = sorted(
+        (r["corpus_id"], r["bench_id"], r["shared_windows"])
+        for r in D.contamination_substring_check_incremental(batch, idx).collect()
+    )
+    oneshot = sorted(
+        (r["corpus_id"], r["bench_id"], r["shared_windows"])
+        for r in D.contamination_substring(batch, bench).collect()
+    )
+    assert inc == oneshot == [(1, 100, 1)]
