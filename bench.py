@@ -99,6 +99,7 @@ HEADLINE = [
     "table_sql_merge_by_source",
     "decontaminate_incremental",
     "decontaminate_substring_incremental",
+    "sql_catalog_auto_pruned_join",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

@@ -1070,12 +1070,15 @@ def join_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "their part's average quantity, for one brand. Testdata part has no "
     "p_container, so the filter is brand-only; the correlated-agg shape "
     "is unchanged. The per-part threshold aggregates BEFORE the join "
-    "(map-side-combinable, output bounded by |parts of brand|), both "
-    "branches reuse the brand-filtered lineitem's partkey shuffle, and "
-    "the below-threshold test runs in exact decimals — `5*cnt*qty < "
-    "sum_qty` avoids a double-rounded 0.2*avg whose last bits differ "
-    "across engines. No broadcast hints: part is SF-proportional, AQE "
-    "decides.",
+    "(map-side-combinable, output bounded by |parts of brand| ~1% of "
+    "part): AQE broadcasts that small aggregate, so the final join "
+    "adds NO shuffle — the brand-filtered lineitem is scanned twice "
+    "(threshold build + revenue pass, the standard Q17 shape; "
+    "persisting the SF-proportional intermediate would cost more at "
+    "scale than the second pushed-filter scan). The below-threshold "
+    "test runs in exact decimals — `5*cnt*qty < sum_qty` avoids a "
+    "double-rounded 0.2*avg whose last bits differ across engines. No "
+    "broadcast hints: part is SF-proportional, AQE decides.",
 )
 def join_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import dec

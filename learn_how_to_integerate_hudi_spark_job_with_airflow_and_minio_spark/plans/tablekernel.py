@@ -1342,3 +1342,58 @@ def table_sql_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"orders_bs": t},
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "sql_catalog_auto_pruned_join",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey >= 1000 AND o.o_orderkey <= 5000
+        GROUP BY c.c_mktsegment
+    """,
+    doc="AUTOMATIC manifest pruning on the SQL-string surface: sql_over "
+    "scans the query's own top-level WHERE conjuncts, attributes the "
+    "o_orderkey range to the orders view via its alias, and binds that "
+    "view pre-pruned (read_where) — the reader wrote plain SQL, no "
+    "API change, and the selective predicate stopped paying the "
+    "full-file-set listing. Attribution is double fail-closed "
+    "(strict col-op-literal conjuncts; ambiguous/self-join/OR shapes "
+    "extract nothing)",
+)
+def sql_catalog_auto_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog_api import sql_over
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    path_o = tempfile.mkdtemp(prefix="engine_tbl_")
+    to = Table.create(
+        spark, path_o, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders",
+    )
+    to.bulk_insert(
+        t["orders"].select(*_COLS).repartitionByRange(8, F.col("o_orderkey"))
+    )
+    path_c = tempfile.mkdtemp(prefix="engine_tbl_")
+    tc = Table.create(
+        spark, path_c, key="c_custkey", precombine="c_custkey",
+        table_name="customer",
+    )
+    tc.bulk_insert(
+        t["customer"].select("c_custkey", "c_name", "c_mktsegment")
+    )
+    return sql_over(
+        spark,
+        {"eng_ord_ap": to.path, "eng_cust_ap": tc.path},
+        """
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS spend
+        FROM eng_ord_ap o
+        JOIN eng_cust_ap c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey >= 1000 AND o.o_orderkey <= 5000
+        GROUP BY c.c_mktsegment
+        """,
+    )
