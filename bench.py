@@ -100,6 +100,7 @@ HEADLINE = [
     "decontaminate_incremental",
     "decontaminate_substring_incremental",
     "sql_catalog_auto_pruned_join",
+    "table_sql_merge_evolution",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

@@ -62,10 +62,10 @@ _GATE_WINDOW = 50
 # Round-8 window (stalest-green rule, per the r7 verdict brief):
 # (0) the 8 never-gated round-7 births (born after the r7 rotation —
 # standing rule puts them first), (1) the 4 round-8 births, then
-# (2) 36 of the 48 queries whose latest driver row dates from round 4
+# (2) 35 of the 48 queries whose latest driver row dates from round 4
 # (alphabetical; staleness computed from CORRECTNESS_r0{1..7}.json key
-# sets) — the 12 that don't fit spill to the r9 window:
-# table_mor_cdc_changes, table_mor_incremental,
+# sets) — the 13 that don't fit spill to the r9 window:
+# table_incremental_read, table_mor_cdc_changes, table_mor_incremental,
 # table_partition_pruning, table_time_travel, table_upsert_snapshot,
 # text_repetition_gopher, unpivot_metrics, win_lag_lead,
 # win_locf_ignore_nulls, win_ntile_cume_dist, win_range_frame,
@@ -89,7 +89,8 @@ _ROUND_PRIORITY: list[str] = [
     "decontaminate_incremental",
     "decontaminate_substring_incremental",
     "sql_catalog_auto_pruned_join",
-    # (2) latest driver row = round 4 (36 of 48; 12 spill to r9)
+    "table_sql_merge_evolution",
+    # (2) latest driver row = round 4 (35 of 48; 13 spill to r9)
     "agg_arg_minmax",
     "agg_filter_clause",
     "dedup_embedding_cosine",
@@ -125,7 +126,6 @@ _ROUND_PRIORITY: list[str] = [
     "subquery_in",
     "subquery_scalar",
     "table_incremental_between",
-    "table_incremental_read",
 ]
 
 

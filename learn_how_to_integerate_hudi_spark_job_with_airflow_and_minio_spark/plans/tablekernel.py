@@ -1397,3 +1397,44 @@ def sql_catalog_auto_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """,
     )
+
+
+@register(
+    "table_sql_merge_evolution",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 4 = 0 THEN 'HIGH' END AS o_priority
+        FROM orders
+    """,
+    doc="MERGE WITH SCHEMA EVOLUTION (Delta 3.1 / Spark-4 shape): the "
+    "source carries a column the target has never seen; the statement "
+    "widens the target schema in the same commit — matched rows take "
+    "the value, every pre-existing row surfaces NULL through the "
+    "manifest-schema read (no file rewrite for the widening itself, "
+    "the table's ordinary evolution-on-append machinery). Without the "
+    "WITH SCHEMA EVOLUTION prefix the same statement raises",
+)
+def table_sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import sql_dml
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_sqlevo_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_evo",
+    )
+    t.bulk_insert(orders)
+    orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", F.lit("HIGH").alias("o_priority")
+    ).createOrReplaceTempView("engine_evo_src")
+    sql_dml.execute(
+        spark,
+        """
+        MERGE WITH SCHEMA EVOLUTION INTO orders_evo t
+        USING engine_evo_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_priority = s.o_priority
+        """,
+        {"orders_evo": t},
+    )
+    return t.snapshot().drop(META_COL)

@@ -15,7 +15,8 @@ Grammar (case-insensitive keywords; ``<expr>`` = any Spark-SQL
 expression — parenthesize CASE expressions inside MERGE conditions so
 their WHEN/THEN tokens don't terminate a clause):
 
-    MERGE INTO <target> [[AS] alias] USING <source|(subquery)> [[AS] alias]
+    MERGE [WITH SCHEMA EVOLUTION] INTO <target> [[AS] alias]
+          USING <source|(subquery)> [[AS] alias]
     ON <expr>
     { WHEN MATCHED [AND <expr>] THEN { UPDATE SET col = <expr>[, ...]
                                      | DELETE }
@@ -123,9 +124,14 @@ def parse_merge(stmt: str) -> dict:
     argument shape. Returns ``{target, target_alias, source,
     source_alias, on, matched, not_matched}`` where ``source`` is a
     view name or a parenthesized subquery string."""
-    m = re.match(r"\s*MERGE\s+INTO\s+", stmt, re.IGNORECASE)
+    m = re.match(
+        r"\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+",
+        stmt,
+        re.IGNORECASE,
+    )
     if not m:
         raise ValueError("not a MERGE INTO statement")
+    evolve = bool(m.group(1))
     rest = stmt[m.end() :].rstrip().rstrip(";")
     using = _scan_top(rest, r"\bUSING\b")
     if len(using) != 1:
@@ -219,6 +225,7 @@ def parse_merge(stmt: str) -> dict:
         "matched": matched,
         "not_matched": not_matched,
         "not_matched_by_source": not_matched_by_source,
+        "evolve_schema": evolve,
     }
 
 
@@ -236,7 +243,9 @@ def execute(
     resolve against ``tables`` (current snapshot), then Spark temp
     views, then inline subqueries. Returns the commit id."""
     s = stmt.strip().rstrip(";")
-    if re.match(r"MERGE\s+INTO\b", s, re.IGNORECASE):
+    if re.match(
+        r"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\b", s, re.IGNORECASE
+    ):
         p = parse_merge(s)
         if p["target"] not in tables:
             raise ValueError(f"unknown MERGE target table {p['target']!r}")
@@ -253,6 +262,7 @@ def execute(
             target_alias=p["target_alias"],
             source_alias=p["source_alias"],
             not_matched_by_source=p["not_matched_by_source"],
+            evolve_schema=p["evolve_schema"],
         )
     m = re.match(
         rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)$",

@@ -1195,6 +1195,7 @@ class Table:
         target_alias: str = "t",
         source_alias: str = "s",
         not_matched_by_source: Sequence[tuple] = (),
+        evolve_schema: bool = False,
     ) -> str:
         """ANSI ``MERGE INTO`` with WHEN clauses, in one commit — the
         Hudi/Delta Spark-SQL MERGE surface (the reference's user
@@ -1265,6 +1266,25 @@ class Table:
                 "MERGE INTO an empty table is not supported; bulk_insert "
                 "or upsert the initial data first"
             )
+        if evolve_schema:
+            # MERGE WITH SCHEMA EVOLUTION (Delta 3.1 / Spark-4 shape):
+            # source columns the target has never seen WIDEN the target
+            # schema — the table's ordinary evolution-on-append
+            # machinery does the heavy lifting (manifest schema rules
+            # the read; files written before the column surface it as
+            # null), this merely legalizes the new names for SET /
+            # INSERT targets and threads typed-null columns through the
+            # target-side frames below. Without the flag, unknown
+            # columns keep raising (fail-closed default, like Delta
+            # with autoMerge off).
+            existing = set(f.name for f in table_schema.fields)
+            extra = [
+                StructField(f.name, f.dataType, True)
+                for f in source.schema.fields
+                if f.name not in existing and f.name != "_deleted"
+            ]
+            if extra:
+                table_schema = StructType([*table_schema.fields, *extra])
         table_cols = [f.name for f in table_schema.fields]
         data_cols = [c for c in table_cols if c != META_COL]
         structural = {self.key, META_COL}
@@ -1390,6 +1410,15 @@ class Table:
         src = source.withColumn("__mi_m", F.lit(True)).alias(sa)
         by_type = {f.name: f.dataType for f in table_schema.fields}
 
+        def _widen(df):
+            # schema evolution: target-side frames are read under the
+            # PRE-merge manifest schema — surface the newly-legalized
+            # columns as typed nulls so every clause/selection resolves
+            for c in data_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(by_type[c]))
+            return df
+
         def _matched_clause_index(is_m):
             ci = F.when(~is_m, F.lit(-1))
             for i, (_k, cond, _v) in enumerate(matched):
@@ -1485,8 +1514,7 @@ class Table:
             from pyspark import StorageLevel
 
             snap_df = (
-                self.snapshot()
-                .drop(META_COL)
+                _widen(self.snapshot().drop(META_COL))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             try:
@@ -1584,11 +1612,8 @@ class Table:
                     self._publish(commit, "merge", [], [], None)
                     return commit
                 if eff is None:
-                    eff = (
-                        self.snapshot()
-                        .select(*data_cols)
-                        .limit(0)
-                    )
+                    # snap_df is already widened under schema evolution
+                    eff = snap_df.select(*data_cols).limit(0)
                 eff = eff.withColumn("__mi_del", F.lit(False))
                 if dels is not None:
                     eff = eff.unionByName(
@@ -1662,7 +1687,7 @@ class Table:
         out_parts = []
         removed: list[str] = []
         if rewrite_entries:
-            aff = self._read_entries(rewrite_entries).alias(ta)
+            aff = _widen(self._read_entries(rewrite_entries)).alias(ta)
             j = aff.join(src, on_cond, "left")
             is_m = F.col("__mi_m").isNotNull()
             j = j.withColumn("__mi_ci", _matched_clause_index(is_m))
@@ -1754,8 +1779,10 @@ class Table:
                     else []
                 )
                 if coll:
-                    surv2 = self._read_entries(
-                        self._affected_entries(coll_cand, coll)
+                    surv2 = _widen(
+                        self._read_entries(
+                            self._affected_entries(coll_cand, coll)
+                        )
                     ).join(ins_keys, self.key, "left_anti")
                     out_parts.append(surv2)
                     removed = [*removed, *self._to_rel(coll)]

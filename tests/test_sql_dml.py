@@ -725,3 +725,81 @@ def test_merge_by_source_insert_wins_on_collision(spark, tpath, table_type):
         not_matched_by_source=[("delete", None, None)],
     )
     assert snap(t) == [(2, "zzz", 99.0)]  # 1,3 deleted; 2 = the insert
+
+
+# -- MERGE WITH SCHEMA EVOLUTION ---------------------------------------
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_schema_evolution_widens_target(spark, tpath, table_type):
+    """MERGE WITH SCHEMA EVOLUTION: source columns the target has never
+    seen widen the schema — matched rows take the new value, untouched
+    and carried rows surface NULL, inserts carry it, and both table
+    types land the identical state."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(2, 9, "hot"), (7, 1, "cold")],
+        "id long, ver long, tier string",
+    )
+    src.createOrReplaceTempView("evo_src")
+    sql_dml.execute(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO tgt USING evo_src s "
+        "ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET tier = s.tier, ver = s.ver "
+        "WHEN NOT MATCHED THEN "
+        "INSERT (id, ver, tier) VALUES (s.id, s.ver, s.tier)",
+        {"tgt": t},
+    )
+    got = sorted(
+        (r.id, r.val, r.tier)
+        for r in t.snapshot().select("id", "val", "tier").collect()
+    )
+    assert got == [
+        (1, "a", None),      # untouched file, evolved read -> null
+        (2, "b", "hot"),     # matched update wrote the new column
+        (3, "c", None),      # carried through the rewrite -> null
+        (7, None, "cold"),   # insert: old columns null, new one set
+    ]
+
+
+def test_merge_without_evolution_still_rejects_unknown_columns(
+    spark, tpath
+):
+    t = make(spark, tpath)
+    src = spark.createDataFrame([(2, "x")], "id long, tier string")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_into(
+            src, on="t.id = s.id",
+            matched=[("update", None, {"tier": "s.tier"})],
+        )
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_schema_evolution_insert_star_carries_new_columns(
+    spark, tpath, table_type
+):
+    """INSERT * under evolution maps every source column, including the
+    brand-new ones, and a later plain merge still works against the
+    widened schema."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(8, 1, "h", 80.0, 42)],
+        "id long, ver long, val string, amt double, score long",
+    )
+    t.merge_into(
+        src, on="t.id = s.id",
+        not_matched=[("insert", None, None)],
+        evolve_schema=True,
+    )
+    rows = {r.id: r.score for r in t.snapshot().select("id", "score").collect()}
+    assert rows == {1: None, 2: None, 3: None, 8: 42}
+    # follow-up NON-evolving merge on the widened schema
+    t.merge_into(
+        spark.createDataFrame([(8, 2, 43)], "id long, ver long, score long"),
+        on="t.id = s.id",
+        matched=[("update", None, {"score": "s.score", "ver": "s.ver"})],
+    )
+    assert {
+        r.id: r.score for r in t.snapshot().select("id", "score").collect()
+    } == {1: None, 2: None, 3: None, 8: 43}
