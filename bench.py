@@ -228,7 +228,17 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(result, f, indent=1)
-    printed = {k: v for k, v in result.items() if k != "spread"}
+    printed = {
+        k: v
+        for k, v in result.items()
+        if k not in ("spread", "repeats", "warmup")
+    }
+    # 2-decimal medians in the PRINTED line only (BENCH_SELF.json keeps
+    # 3): at 65 rows the extra digit is the difference between fitting
+    # the driver's 2000-char tail window and dropping rows
+    printed["queries"] = {
+        n: round(v, 2) for n, v in printed["queries"].items()
+    }
     if drift_sentinel:
         printed["drift_sentinel"] = {"factor": drift_sentinel.get("factor")}
     line = json.dumps(printed, separators=(",", ":"))
