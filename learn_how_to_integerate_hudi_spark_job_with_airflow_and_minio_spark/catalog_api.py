@@ -40,7 +40,7 @@ from .table import Table, _filters_from_predicate
 
 def attach(
     spark: SparkSession,
-    tables: dict[str, str],
+    tables: dict[str, str | Table],
     query_type: str = "snapshot",
     where: dict[str, str] | None = None,
     **read_kw,
@@ -51,13 +51,24 @@ def attach(
     views bind manifest-pruned reads (:meth:`Table.read_where`) instead
     of the full snapshot — same rows as filtering the snapshot, but a
     selective key/partition predicate scans only the files whose stats
-    admit it.
+    admit it. ``read_where`` is a SNAPSHOT read, so naming a view in
+    ``where`` while asking for a different ``query_type`` is a
+    conflict and raises rather than silently widening an incremental/
+    CDC window to filtered-full-history.
+
+    ``tables`` values may be paths or already-opened :class:`Table`
+    handles (no second manifest load on the hot read path).
 
     Returns the opened Table handles (for writes/services on the same
     objects)."""
+    if where and query_type != "snapshot":
+        raise ValueError(
+            f"where= binds snapshot reads; conflicting "
+            f"query_type={query_type!r} for view(s) {sorted(where)}"
+        )
     out: dict[str, Table] = {}
     for name, path in tables.items():
-        t = Table.load(spark, path)
+        t = path if isinstance(path, Table) else Table.load(spark, path)
         pred = (where or {}).get(name)
         if pred is not None:
             df = t.read_where(pred)
@@ -82,6 +93,38 @@ _QCOL_RX = re.compile(
     rf"({_LITERAL})\s*$",
     re.IGNORECASE,
 )
+
+
+def _idents_in_parens(s: str) -> set[str]:
+    """Lower-cased identifier tokens that occur at paren depth > 0,
+    outside quoted strings/backticks. Subqueries are parenthesized, so
+    any view NAME appearing here may be read independently of its
+    top-level FROM binding — pruning that binding would change the
+    subquery's input."""
+    out: set[str] = set()
+    i, n, depth = 0, len(s), 0
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            j = s.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        m = re.match(r"[A-Za-z_][\w$]*", s[i:])
+        if m:
+            if depth > 0:
+                out.add(m.group(0).lower())
+            i += m.end()
+            continue
+        i += 1
+    return out
 
 
 def _from_relations(query: str) -> dict[str, str] | None:
@@ -148,6 +191,11 @@ def _auto_where(
     The returned fragments feed :meth:`Table.read_where` per view —
     which itself extracts only provable ``col op literal`` conjuncts —
     so double fail-closed."""
+    if scan_top(query, r"\bWITH\b"):
+        # a CTE can shadow an attached view's name or read the view
+        # inside its (parenthesized, hence invisible) body — pre-
+        # filtering the binding would change what the CTE sees
+        return {}
     wh = scan_top(query, r"\bWHERE\b")
     if len(wh) != 1:
         return {}
@@ -200,12 +248,21 @@ def _auto_where(
         # that happens to contain "<qual>.")
         frag = f"{col} {m.group(3)} {m.group(4)}"
         out.setdefault(rels[qual], []).append(frag)
-    return {name: " AND ".join(frags) for name, frags in out.items()}
+    # a view whose NAME also appears inside any parenthesized region
+    # (scalar/IN/EXISTS subquery) is read there independently of the
+    # top-level FROM binding — pruning the binding would filter that
+    # second read too. Drop such views from attribution.
+    deep = _idents_in_parens(query)
+    return {
+        name: " AND ".join(frags)
+        for name, frags in out.items()
+        if name.lower() not in deep
+    }
 
 
 def sql_over(
     spark: SparkSession,
-    tables: dict[str, str],
+    tables: dict[str, str | Table],
     query: str,
     where: dict[str, str] | None = None,
 ) -> DataFrame:
@@ -215,13 +272,16 @@ def sql_over(
     are attributed to the attached views (see :func:`_auto_where`) and
     those views bind pre-pruned, so a selective SQL-string reader
     plans only the files whose stats admit its predicate."""
+    opened = {
+        n: (p if isinstance(p, Table) else Table.load(spark, p))
+        for n, p in tables.items()
+    }
     if where is None:
-        opened = {n: Table.load(spark, p) for n, p in tables.items()}
         auto = _auto_where(query, opened)
         where = {
             name: pred
             for name, pred in auto.items()
             if _filters_from_predicate(pred, opened[name]._schema())
         } or None
-    attach(spark, tables, where=where)
+    attach(spark, opened, where=where)
     return spark.sql(query)

@@ -61,7 +61,7 @@ _GATE_WINDOW = 50
 #
 # Round-8 window (stalest-green rule, per the r7 verdict brief):
 # (0) the 8 never-gated round-7 births (born after the r7 rotation —
-# standing rule puts them first), (1) the 4 round-8 births, then
+# standing rule puts them first), (1) the 7 round-8 births, then
 # (2) 35 of the 48 queries whose latest driver row dates from round 4
 # (alphabetical; staleness computed from CORRECTNESS_r0{1..7}.json key
 # sets) — the 13 that don't fit spill to the r9 window:

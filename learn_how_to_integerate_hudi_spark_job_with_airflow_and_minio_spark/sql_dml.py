@@ -70,7 +70,7 @@ def _parse_rel(s: str) -> tuple[str, str]:
         depth, i, n = 0, 0, len(s)
         while i < n:
             c = s[i]
-            if c == "'" or c == "`":  # quoted parens don't count
+            if c == "'" or c == "`" or c == '"':  # quoted parens don't count
                 j = s.find(c, i + 1)
                 i = n if j < 0 else j + 1
                 continue

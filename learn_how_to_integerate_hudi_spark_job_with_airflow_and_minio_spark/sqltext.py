@@ -2,11 +2,12 @@
 (:mod:`.sql_dml`) and the manifest-prune predicate extractor
 (:meth:`.table.Table.read_where`).
 
-Not a SQL parser: just enough lexical awareness (single-quoted strings,
-backtick identifiers, paren depth) to find top-level keyword tokens so
-callers can split statements/predicates without being fooled by quoted
-or parenthesized content. Anything these helpers can't see through, the
-callers treat fail-closed.
+Not a SQL parser: just enough lexical awareness (single- AND
+double-quoted strings — Spark SQL treats ``"..."`` as a string literal
+by default — backtick identifiers, paren depth) to find top-level
+keyword tokens so callers can split statements/predicates without
+being fooled by quoted or parenthesized content. Anything these
+helpers can't see through, the callers treat fail-closed.
 """
 
 from __future__ import annotations
@@ -18,14 +19,14 @@ IDENT = r"[A-Za-z_][\w$]*|`[^`]+`"
 
 def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
     """(start, end) spans of ``pattern`` matches at paren depth 0,
-    outside single-quoted strings and backtick identifiers."""
+    outside single/double-quoted strings and backtick identifiers."""
     rx = re.compile(pattern, re.IGNORECASE)
     spans: list[tuple[int, int]] = []
     depth = 0
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c == "'" or c == "`":
+        if c == "'" or c == "`" or c == '"':
             j = s.find(c, i + 1)
             i = n if j < 0 else j + 1
             continue

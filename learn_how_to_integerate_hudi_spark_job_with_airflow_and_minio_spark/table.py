@@ -1283,8 +1283,11 @@ class Table:
                 for f in source.schema.fields
                 if f.name not in existing and f.name != "_deleted"
             ]
+            evolved = bool(extra)
             if extra:
                 table_schema = StructType([*table_schema.fields, *extra])
+        else:
+            evolved = False
         table_cols = [f.name for f in table_schema.fields]
         data_cols = [c for c in table_cols if c != META_COL]
         structural = {self.key, META_COL}
@@ -1304,7 +1307,10 @@ class Table:
         )
         for _kind, cond, sets in not_matched_by_source:
             for expr_s in (cond or "", *(sets or {}).values()):
-                if sa_ref.search(expr_s):
+                # blank out quoted literals first so a string like
+                # 's.suffix' can't false-positive as a source reference
+                bare = re.sub(r"'[^']*'|\"[^\"]*\"", "''", expr_s)
+                if sa_ref.search(bare):
                     raise ValueError(
                         "WHEN NOT MATCHED BY SOURCE clauses may reference "
                         f"only the target: {expr_s!r} names the source "
@@ -1338,6 +1344,7 @@ class Table:
                 source, on, on_cond, matched, not_matched, ta, sa,
                 table_schema, table_cols, data_cols,
                 not_matched_by_source,
+                evolved=evolved,
             )
         finally:
             source.unpersist()
@@ -1406,6 +1413,7 @@ class Table:
         table_cols: list[str],
         data_cols: list[str],
         not_matched_by_source: Sequence[tuple] = (),
+        evolved: bool = False,
     ) -> str:
         src = source.withColumn("__mi_m", F.lit(True)).alias(sa)
         by_type = {f.name: f.dataType for f in table_schema.fields}
@@ -1609,7 +1617,12 @@ class Table:
                     eff = p if eff is None else eff.unionByName(p)
                 if eff is None and dels is None:
                     commit = self._next_commit()
-                    self._publish(commit, "merge", [], [], None)
+                    # an evolving statement widens the schema even when
+                    # it changes no rows (Delta semantics) — record it
+                    self._publish(
+                        commit, "merge", [], [],
+                        table_schema if evolved else None,
+                    )
                     return commit
                 if eff is None:
                     # snap_df is already widened under schema evolution
@@ -1688,8 +1701,31 @@ class Table:
         removed: list[str] = []
         if rewrite_entries:
             aff = _widen(self._read_entries(rewrite_entries)).alias(ta)
-            j = aff.join(src, on_cond, "left")
-            is_m = F.col("__mi_m").isNotNull()
+            if matched:
+                # the cardinality gate above guarantees <= 1 source
+                # match per target row, so the left join cannot fan out
+                j = aff.join(src, on_cond, "left")
+                is_m = F.col("__mi_m").isNotNull()
+            else:
+                # by-source-only statement: no gate ran (the contract
+                # allows multi-matched target rows when no MATCHED
+                # clause exists), so a left join would emit a matched
+                # row once PER matching source row and the carried
+                # copies would persist as duplicate keys. Only
+                # MEMBERSHIP matters here (no clause reads source
+                # columns) — tag it with semi/anti joins, which never
+                # multiply rows.
+                j = (
+                    aff.join(src, on_cond, "left_semi")
+                    .withColumn("__mi_m", F.lit(True))
+                    .unionByName(
+                        aff.join(src, on_cond, "left_anti").withColumn(
+                            "__mi_m", F.lit(False)
+                        )
+                    )
+                    .alias(ta)
+                )
+                is_m = F.col("__mi_m")
             j = j.withColumn("__mi_ci", _matched_clause_index(is_m))
             if not_matched_by_source:
                 j = j.withColumn("__mi_bi", _by_source_clause_index(is_m))
@@ -1788,7 +1824,10 @@ class Table:
                     removed = [*removed, *self._to_rel(coll)]
             out_parts.append(ins.select(*table_cols))
         if not out_parts:
-            self._publish(commit, "merge", [], [], None)
+            # evolving no-op merges still record the widened schema
+            self._publish(
+                commit, "merge", [], [], table_schema if evolved else None
+            )
             return commit
         out = out_parts[0]
         for p in out_parts[1:]:

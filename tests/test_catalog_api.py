@@ -150,3 +150,61 @@ def test_sql_over_outer_join_semantics_preserved(spark, two_tables):
     auto = sql_over(spark, tabs, q).collect()
     attach(spark, tabs)
     assert auto == spark.sql(q).collect()
+
+
+def test_auto_where_ignores_view_reread_in_subquery(spark, two_tables):
+    """Code-review regression: a scalar/IN subquery that reads the
+    attached view BY NAME must disable auto-pruning for that view —
+    pruning the binding would filter the subquery's input too
+    (global_max came back 3 instead of the true max)."""
+    o, c = two_tables
+    tabs = {"eng_o": o.path, "eng_c": c.path}
+    q = (
+        "SELECT a.ok, (SELECT max(ok) FROM eng_o) AS global_max "
+        "FROM eng_o a WHERE a.ok <= 3"
+    )
+    rows = sql_over(spark, tabs, q).collect()
+    assert rows and all(r.global_max == 99 for r in rows)
+    # CTE queries disable extraction entirely (the CTE body is
+    # invisible to the top-level scan and may shadow/read the view)
+    got = _auto_where(
+        "WITH x AS (SELECT * FROM eng_o) SELECT * FROM x WHERE ok = 5",
+        {"eng_o": o, "eng_c": c},
+    )
+    assert got == {}
+
+
+def test_filters_from_predicate_double_quoted_literal(spark, two_tables):
+    """Code-review regression: Spark treats double quotes as string
+    literals by default, so ' AND col = 5 AND ' INSIDE \"...\" must not
+    fabricate a prune filter (rows with that literal value would
+    vanish)."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        _filters_from_predicate,
+    )
+
+    o, _c = two_tables
+    schema = o._schema()
+    assert _filters_from_predicate(
+        'status = "a AND ok = 5 AND b"', schema
+    ) == {}
+    # and end-to-end: read_where over such a predicate scans unpruned
+    # and returns exactly the snapshot filter result
+    pred = "status = \"s1 AND ok = 5 AND x\" OR ok = 7"
+    import pyspark.sql.functions as F
+
+    assert sorted(r.ok for r in o.read_where(pred).collect()) == sorted(
+        r.ok for r in o.snapshot().where(pred).collect()
+    )
+
+
+def test_attach_where_conflicts_with_query_type(spark, two_tables):
+    """Code-review regression: where= is a snapshot read — combining it
+    with an incremental/CDC query_type must raise, not silently widen
+    the window to filtered full history."""
+    o, _c = two_tables
+    with pytest.raises(ValueError, match="conflicting"):
+        attach(
+            spark, {"v": o.path}, query_type="incremental",
+            begin="0", where={"v": "ok > 5"},
+        )

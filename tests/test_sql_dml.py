@@ -803,3 +803,97 @@ def test_merge_schema_evolution_insert_star_carries_new_columns(
     assert {
         r.id: r.score for r in t.snapshot().select("id", "score").collect()
     } == {1: None, 2: None, 3: None, 8: 43}
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_evolution_with_by_source_clause(spark, tpath, table_type):
+    """The two new families compose: one evolving statement widens the
+    schema AND flags target rows absent from the source by writing the
+    NEW column on them (by-source SETs may target evolved columns with
+    literal values — they just can't reference the source)."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame(
+        [(2, 9, "fresh")], "id long, ver long, state string"
+    )
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        matched=[("update", None, {"state": "s.state"})],
+        not_matched_by_source=[("update", None, {"state": "'stale'"})],
+        evolve_schema=True,
+    )
+    got = sorted(
+        (r.id, r.val, r.state)
+        for r in t.snapshot().select("id", "val", "state").collect()
+    )
+    assert got == [
+        (1, "a", "stale"),
+        (2, "b", "fresh"),
+        (3, "c", "stale"),
+    ]
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_by_source_only_multi_matched_target_not_duplicated(
+    spark, tpath, table_type
+):
+    """Code-review regression: a by-source-ONLY statement (no MATCHED
+    clause, so no cardinality gate) whose target row is matched by
+    MULTIPLE source rows must carry that row through exactly once —
+    the COW rewrite used a fan-out left join and persisted duplicate
+    keys; membership is now tagged with semi/anti joins."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame([(1,), (1,), (1,)], "id long")
+    t.merge_into(
+        src, on="t.id = s.id",
+        not_matched_by_source=[("delete", None, None)],
+    )
+    assert snap(t) == [(1, "a", 10.0)]  # kept ONCE; 2 and 3 deleted
+
+
+def test_by_source_guard_ignores_quoted_literals(spark, tpath):
+    """Code-review regression: a string literal containing 's.' inside
+    a by-source SET/condition is not a source reference."""
+    t = make(spark, tpath)
+    src = spark.createDataFrame([(1,)], "id long")
+    t.merge_into(
+        src, on="t.id = s.id",
+        not_matched_by_source=[
+            ("update", "t.val != 's.skip'", {"val": "concat(t.val, 's.x')"})
+        ],
+    )
+    assert snap(t) == [(1, "a", 10.0), (2, "bs.x", 20.0), (3, "cs.x", 30.0)]
+    # real source references still raise
+    with pytest.raises(ValueError, match="only the target"):
+        t.merge_into(
+            src, on="t.id = s.id",
+            not_matched_by_source=[("update", None, {"val": "s.val"})],
+        )
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_merge_evolution_persists_on_noop_statement(
+    spark, tpath, table_type
+):
+    """Code-review regression: MERGE WITH SCHEMA EVOLUTION that touches
+    ZERO rows (disjoint source) must still widen the table schema in
+    its commit — Delta evolves transactionally even at 0 rows; the
+    no-op publish used to record schema None, silently dropping the
+    widening."""
+    t = make(spark, tpath, table_type=table_type)
+    src = spark.createDataFrame([(99, 1, "x")], "id long, ver long, tier string")
+    t.merge_into(
+        src,
+        on="t.id = s.id",
+        matched=[("update", None, {"tier": "s.tier"})],  # no key matches
+        evolve_schema=True,
+    )
+    assert "tier" in t.snapshot().columns
+    # follow-up non-evolving statement may now target the column
+    t.merge_into(
+        spark.createDataFrame([(2, "set")], "id long, tier string"),
+        on="t.id = s.id",
+        matched=[("update", None, {"tier": "s.tier"})],
+    )
+    got = {r.id: r.tier for r in t.snapshot().select("id", "tier").collect()}
+    assert got == {1: None, 2: "set", 3: None}
