@@ -43,6 +43,7 @@ def attach(
     tables: dict[str, str | Table],
     query_type: str = "snapshot",
     where: dict[str, str] | None = None,
+    as_of: dict[str, str] | None = None,
     **read_kw,
 ) -> dict[str, Table]:
     """Register each ``{view_name: table_path}`` as a temp view.
@@ -56,6 +57,10 @@ def attach(
     conflict and raises rather than silently widening an incremental/
     CDC window to filtered-full-history.
 
+    ``as_of`` maps view names to commit ids: those views bind the
+    table state AT that commit (time travel). Composes with ``where``
+    (pruned time-traveled read); snapshot-only like ``where``.
+
     ``tables`` values may be paths or already-opened :class:`Table`
     handles (no second manifest load on the hot read path).
 
@@ -66,12 +71,20 @@ def attach(
             f"where= binds snapshot reads; conflicting "
             f"query_type={query_type!r} for view(s) {sorted(where)}"
         )
+    if as_of and query_type != "snapshot":
+        raise ValueError(
+            f"as_of= binds snapshot reads; conflicting "
+            f"query_type={query_type!r} for view(s) {sorted(as_of)}"
+        )
     out: dict[str, Table] = {}
     for name, path in tables.items():
         t = path if isinstance(path, Table) else Table.load(spark, path)
         pred = (where or {}).get(name)
+        ver = (as_of or {}).get(name)
         if pred is not None:
-            df = t.read_where(pred)
+            df = t.read_where(pred, as_of=ver)
+        elif ver is not None:
+            df = t.snapshot(as_of=ver)
         else:
             df = t.read(query_type, **read_kw)
         df.createOrReplaceTempView(name)
@@ -125,6 +138,80 @@ def _idents_in_parens(s: str) -> set[str]:
             continue
         i += 1
     return out
+
+
+_TT_RX = re.compile(
+    rf"({IDENT})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def _time_travel(
+    query: str, tables: dict[str, Table]
+) -> tuple[str, dict[str, str]]:
+    """Extract ``view VERSION|TIMESTAMP AS OF <literal>`` clauses
+    (Delta/Spark-v2 time-travel syntax — Spark itself rejects it on
+    temp views) for ATTACHED views, at any paren depth but never inside
+    quoted strings/backticks. Returns the rewritten query (clauses
+    replaced by the bare view name) and ``{view: commit_id}``.
+
+    The commit binds the view NAME for the whole query — every
+    reference to it (including column qualifiers) sees the same as-of
+    state — so two clauses naming one view must agree or raise.
+    ``VERSION AS OF`` takes a commit number (``1``) or the exact commit
+    id string; ``TIMESTAMP AS OF`` takes a wall-clock string resolved
+    via :meth:`Table.commit_at_timestamp` (newest commit at or before
+    it; predating the first commit raises — Delta semantics). Clauses
+    naming something that is NOT an attached view are left untouched
+    (Spark raises its own error — fail closed, never a guess)."""
+    out: dict[str, str] = {}
+    pieces: list[str] = []
+    i, last, n = 0, 0, len(query)
+    while i < n:
+        c = query[i]
+        if c in ("'", '"', "`"):
+            j = query.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        # only try at a token boundary: a view name must not match the
+        # SUFFIX of a longer identifier ("myconv VERSION..." with view
+        # "conv"), and "t1.v VERSION..." qualifies a column, not a view
+        if i > 0 and (query[i - 1] in "$." or query[i - 1].isalnum()
+                      or query[i - 1] == "_"):
+            i += 1
+            continue
+        m = _TT_RX.match(query, i)
+        if not m:
+            i += 1
+            continue
+        name = m.group(1).strip("`")
+        if name not in tables:
+            i = m.end(1)  # not ours — leave for Spark to reject
+            continue
+        t, kind, lit = tables[name], m.group(2).upper(), m.group(3)
+        if kind == "VERSION":
+            commit = f"{int(lit):020d}" if not lit.startswith("'") else lit[1:-1]
+        else:
+            if not lit.startswith("'"):
+                raise ValueError(
+                    f"TIMESTAMP AS OF needs a quoted timestamp string: "
+                    f"{m.group(0)!r}"
+                )
+            commit = t.commit_at_timestamp(lit[1:-1])
+        if commit not in t.commits(include_archived=True):
+            raise ValueError(
+                f"view {name!r} has no commit {commit!r} to travel to"
+            )
+        if out.setdefault(name, commit) != commit:
+            raise ValueError(
+                f"conflicting time-travel versions for view {name!r}: "
+                f"{out[name]!r} vs {commit!r}"
+            )
+        pieces.append(query[last : m.start()])
+        pieces.append(m.group(1))
+        last = i = m.end()
+    pieces.append(query[last:])
+    return "".join(pieces), out
 
 
 def _from_relations(query: str) -> dict[str, str] | None:
@@ -271,17 +358,29 @@ def sql_over(
     ``where`` overrides it, the query's own top-level WHERE conjuncts
     are attributed to the attached views (see :func:`_auto_where`) and
     those views bind pre-pruned, so a selective SQL-string reader
-    plans only the files whose stats admit its predicate."""
+    plans only the files whose stats admit its predicate.
+
+    ``view VERSION AS OF <n|'commit'>`` / ``view TIMESTAMP AS OF
+    '<ts>'`` in the query time-travels that view's binding (see
+    :func:`_time_travel`) — the Delta/Spark-v2 syntax Spark itself
+    cannot plan over temp views."""
     opened = {
         n: (p if isinstance(p, Table) else Table.load(spark, p))
         for n, p in tables.items()
     }
+    query, travel = _time_travel(query, opened)
     if where is None:
         auto = _auto_where(query, opened)
         where = {
             name: pred
             for name, pred in auto.items()
-            if _filters_from_predicate(pred, opened[name]._schema())
+            # a time-traveled view keeps its full as-of read: the auto
+            # extractor attributed columns against the CURRENT schema,
+            # which an evolving table may not have had at the target
+            # commit — fail closed rather than prune against the wrong
+            # stats generation
+            if name not in travel
+            and _filters_from_predicate(pred, opened[name]._schema())
         } or None
-    attach(spark, opened, where=where)
+    attach(spark, opened, where=where, as_of=travel or None)
     return spark.sql(query)

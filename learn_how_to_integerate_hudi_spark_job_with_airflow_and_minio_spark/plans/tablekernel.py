@@ -1438,3 +1438,95 @@ def table_sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"orders_evo": t},
     )
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_call_procedures",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    doc="CALL procedure surface (Hudi Spark-SQL procedures over the "
+    "table services): create_savepoint pins the initial commit, two "
+    "update commits land, run_clustering rewrites sort-and-size, "
+    "run_clean GCs beyond a 1-commit window (the savepoint is what "
+    "keeps the pinned state readable), and rollback_to_savepoint "
+    "restores it — the final snapshot equals the original load, so "
+    "the oracle checks savepoint/cleaner/restore interplay end-to-end",
+)
+def table_sql_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_dml import call_procedure
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_call_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_call",
+    )
+    c1 = t.bulk_insert(orders)
+    tabs = {"orders_call": t}
+    call_procedure(
+        spark, f"CALL create_savepoint(table => 'orders_call', "
+        f"commit_time => '{c1}')", tabs,
+    )
+    t.upsert(_update_batch(orders))
+    t.upsert(_update_batch(orders).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    ))
+    call_procedure(
+        spark,
+        "CALL run_clustering(table => 'orders_call', order => 'o_orderkey')",
+        tabs,
+    )
+    call_procedure(
+        spark,
+        "CALL run_clean(table => 'orders_call', retain_commits => 1)",
+        tabs,
+    )
+    call_procedure(
+        spark, f"CALL rollback_to_savepoint(table => 'orders_call', "
+        f"instant_time => '{c1}')", tabs,
+    )
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "sql_catalog_time_travel",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               max(o_orderkey) AS max_key,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Time-travel SQL syntax on the view catalog: `FROM v VERSION AS "
+    "OF 1` in a plain SQL string binds the view to the table state at "
+    "commit 1 (Delta/Spark-v2 syntax, which Spark itself cannot plan "
+    "over temp views) — run after a later update commit, the query "
+    "aggregates the ORIGINAL load, proving the clause rebinds the "
+    "manifest replay and not just the text",
+)
+def sql_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog_api import sql_over
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tt_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_tt",
+    )
+    t.bulk_insert(orders)
+    t.upsert(_update_batch(orders))
+    return sql_over(
+        spark,
+        {"eng_orders_tt": t},
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               max(o_orderkey) AS max_key,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS spend
+        FROM eng_orders_tt VERSION AS OF 1
+        GROUP BY o_orderstatus
+        """,
+    )

@@ -31,6 +31,10 @@ their WHEN/THEN tokens don't terminate a clause):
     OPTIMIZE <target> [ZORDER BY (col[, ...])]
     VACUUM <target> [RETAIN <n> COMMITS]   -- default: RETAIN 5 COMMITS
 
+    CALL <procedure>(key => value[, ...])  -- see :func:`call_procedure`
+                                           -- (returns a DataFrame, so it
+                                           -- has its own entry point)
+
 ``INSERT INTO`` routes through the keyed upsert (Hudi Spark-SQL's
 INSERT INTO semantics on a primary-keyed table): a re-inserted key
 replaces the stored row rather than duplicating it — the keyed
@@ -59,7 +63,7 @@ from .sqltext import scan_top as _scan_top
 from .sqltext import split_top as _split_top
 from .table import Table, TableServices
 
-__all__ = ["execute", "parse_merge"]
+__all__ = ["call_procedure", "execute", "parse_merge"]
 
 
 def _parse_rel(s: str) -> tuple[str, str]:
@@ -348,4 +352,218 @@ def execute(
         # clean() publishes no commit — return the (unchanged) latest
         # commit id; documented in the module grammar
         return tables[name].latest_commit()
+    if re.match(r"CALL\b", s, re.IGNORECASE):
+        raise ValueError(
+            "CALL returns a result DataFrame, not a commit id — use "
+            "sql_dml.call_procedure for procedure statements"
+        )
     raise ValueError(f"unsupported DML statement: {s[:80]!r}")
+
+
+# -- CALL procedures ----------------------------------------------------
+#
+# Hudi's Spark-SQL procedure surface (the public ``CALL`` statement
+# family: show_commits / create_savepoint / rollback_to_savepoint /
+# run_compaction / run_clustering / run_clean / archive_commits ...)
+# re-expressed over the engine's table services. Named arguments only
+# (``CALL proc(table => 't', ...)``); every procedure returns a small
+# result DataFrame like Hudi's do — maintenance procedures run the
+# corresponding :class:`TableServices` job and report what it did,
+# ``show_*`` procedures are metadata-plane reads (manifest headers
+# only, no data files touched).
+
+_CALL_ARG_RX = re.compile(
+    rf"\s*({_IDENT})\s*=>\s*('[^']*'|\"[^\"]*\"|[+-]?\d+\.?\d*|true|false)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_call(stmt: str) -> tuple[str, dict]:
+    """``CALL name(k => v, ...)`` → (name, {k: python_value})."""
+    m = re.match(
+        rf"\s*CALL\s+({_IDENT})\s*\((.*)\)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"not a CALL statement: {stmt[:80]!r}")
+    name = m.group(1).strip("`").lower()
+    args: dict = {}
+    body = m.group(2).strip()
+    for part in _split_top(body, r",") if body else []:
+        am = _CALL_ARG_RX.match(part)
+        if not am:
+            raise ValueError(
+                f"cannot parse CALL argument {part!r} (named "
+                "`key => value` arguments only; strings quoted)"
+            )
+        k = am.group(1).strip("`").lower()
+        v: object = am.group(2)
+        if v[0] in "'\"":
+            v = v[1:-1]
+        elif v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        elif "." in v:
+            v = float(v)
+        else:
+            v = int(v)
+        if k in args:
+            raise ValueError(f"duplicate CALL argument {k!r}")
+        args[k] = v
+    return name, args
+
+
+def _call_target(args: dict, tables: dict[str, Table]) -> Table:
+    name = args.pop("table", None)
+    if name is None:
+        raise ValueError("CALL procedure needs a table => '<name>' argument")
+    if name not in tables:
+        raise ValueError(f"unknown CALL target table {name!r}")
+    return tables[name]
+
+
+def call_procedure(
+    spark: SparkSession, stmt: str, tables: dict[str, Table]
+) -> DataFrame:
+    """Execute a ``CALL`` procedure statement against engine tables.
+
+    Supported (signatures mirror Hudi's Spark-SQL procedures; all take
+    ``table => '<name>'`` resolved against ``tables``):
+
+    - ``show_commits(table[, limit])`` — newest-first timeline rows
+      (default limit 10).
+    - ``show_fsview_all(table)`` — the live file set with stats.
+    - ``show_table_properties(table)`` — table config as key/value.
+    - ``show_savepoints(table)`` — savepointed commit ids.
+    - ``create_savepoint(table[, commit_time])`` — pin a commit
+      against the cleaner (defaults to the latest).
+    - ``delete_savepoint(table, instant_time)`` — release the pin.
+    - ``rollback_to_savepoint(table, instant_time)`` — restore the
+      table to a SAVEPOINTED commit (raises if not savepointed —
+      Hudi's contract; the pin is what guarantees the files survived
+      the cleaner).
+    - ``rollback_to_instant(table, instant_time)`` — restore to any
+      commit still readable (manifest surgery, no data copied).
+    - ``run_compaction(table[, op])`` — ``op => 'run'`` (default)
+      folds MOR deltas into the base; ``op => 'schedule'`` only
+      reports whether the trigger policy would compact.
+    - ``run_clustering(table[, order][, zorder])`` — sort-and-size
+      rewrite; ``order`` is a comma-separated column list,
+      ``zorder => true`` Morton-clusters on those columns instead of
+      linear sorting.
+    - ``run_clean(table[, retain_commits])`` — retention GC (default
+      5, the VACUUM default).
+    - ``archive_commits(table[, keep_active])`` — fold old manifests
+      into the archive (default keep_active 20).
+    """
+    name, args = _parse_call(stmt)
+    t = _call_target(args, tables)
+    svc = TableServices(t)
+
+    def _df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    known = {
+        "show_commits", "show_fsview_all", "show_table_properties",
+        "show_savepoints", "create_savepoint", "delete_savepoint",
+        "rollback_to_savepoint", "rollback_to_instant", "run_compaction",
+        "run_clustering", "run_clean", "archive_commits",
+    }
+    if name not in known:
+        raise ValueError(f"unknown CALL procedure {name!r}")
+
+    def _take(*keys) -> dict:
+        unknown = set(args) - set(keys)
+        if unknown:
+            raise ValueError(
+                f"unexpected argument(s) for {name}: {sorted(unknown)}"
+            )
+        return args
+
+    if name == "show_commits":
+        kw = _take("limit")
+        limit = int(kw.get("limit", 10))
+        return t.history_df().orderBy(F.desc("commit")).limit(limit)
+    if name == "show_fsview_all":
+        _take()
+        return t.files_df()
+    if name == "show_table_properties":
+        _take()
+        rows = sorted(
+            (k, _json_str(v)) for k, v in t.meta.items() if v is not None
+        )
+        return _df(rows, "key string, value string")
+    if name == "show_savepoints":
+        _take()
+        return _df(
+            [(c,) for c in t.savepoints()], "savepoint_time string"
+        )
+    if name == "create_savepoint":
+        kw = _take("commit_time")
+        c = t.savepoint(kw.get("commit_time"))
+        return _df([(c, True)], "savepoint_time string, result boolean")
+    if name == "delete_savepoint":
+        kw = _take("instant_time")
+        t.release_savepoint(kw["instant_time"])
+        return _df(
+            [(kw["instant_time"], True)],
+            "savepoint_time string, result boolean",
+        )
+    if name == "rollback_to_savepoint":
+        kw = _take("instant_time")
+        target = kw["instant_time"]
+        if target not in t.savepoints():
+            raise ValueError(
+                f"commit {target!r} is not savepointed — use "
+                "rollback_to_instant for unpinned commits"
+            )
+        c = t.restore(target)
+        return _df([(target, c, True)],
+                   "instant_time string, commit string, result boolean")
+    if name == "rollback_to_instant":
+        kw = _take("instant_time")
+        c = t.restore(kw["instant_time"])
+        return _df([(kw["instant_time"], c, True)],
+                   "instant_time string, commit string, result boolean")
+    if name == "run_compaction":
+        kw = _take("op")
+        op = str(kw.get("op", "run")).lower()
+        if op == "schedule":
+            return _df([(svc.should_compact(),)], "should_compact boolean")
+        if op != "run":
+            raise ValueError(f"run_compaction op must be run|schedule: {op!r}")
+        c = svc.compact()
+        return _df([(c, "completed")], "commit string, state string")
+    if name == "run_clustering":
+        kw = _take("order", "zorder", "target_records_per_file")
+        cols = (
+            [c.strip().strip("`") for c in str(kw["order"]).split(",")]
+            if "order" in kw
+            else None
+        )
+        tr = kw.get("target_records_per_file")
+        if kw.get("zorder"):
+            if not cols:
+                raise ValueError(
+                    "run_clustering zorder => true needs order => 'c1,c2'"
+                )
+            c = svc.compact(
+                zorder_cols=cols, target_records_per_file=tr
+            )
+        else:
+            c = svc.compact(sort_cols=cols, target_records_per_file=tr)
+        return _df([(c, "completed")], "commit string, state string")
+    if name == "run_clean":
+        kw = _take("retain_commits")
+        deleted = svc.clean(retain_commits=int(kw.get("retain_commits", 5)))
+        return _df([(len(deleted),)], "deleted_files bigint")
+    # archive_commits
+    kw = _take("keep_active")
+    archived = svc.archive_timeline(keep_active=int(kw.get("keep_active", 20)))
+    return _df([(len(archived),)], "archived_commits bigint")
+
+
+def _json_str(v) -> str:
+    import json
+
+    return v if isinstance(v, str) else json.dumps(v)

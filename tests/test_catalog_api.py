@@ -208,3 +208,139 @@ def test_attach_where_conflicts_with_query_type(spark, two_tables):
             spark, {"v": o.path}, query_type="incremental",
             begin="0", where={"v": "ok > 5"},
         )
+
+
+# -- time-travel SQL syntax ---------------------------------------------
+
+
+@pytest.fixture()
+def versioned(spark, tmp_path):
+    """Engine table with commit 1 = ids 0..9 ver 1, commit 2 = ids 0..4
+    rewritten at ver 2 with amt += 100."""
+    t = Table.create(
+        spark, str(tmp_path / "v"), key="ok", precombine="over",
+        table_name="v",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(10)],
+            "ok long, over long, amt double",
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 2, float(i) + 100) for i in range(5)],
+            "ok long, over long, amt double",
+        )
+    )
+    return t
+
+
+def test_sql_version_as_of(spark, versioned):
+    t = versioned
+    tabs = {"eng_v": t}
+    old = sql_over(
+        spark, tabs, "SELECT sum(amt) AS s, count(*) AS n "
+        "FROM eng_v VERSION AS OF 1"
+    ).collect()[0]
+    assert (old.s, old.n) == (45.0, 10)
+    # quoted full commit id form; latest without the clause
+    c1 = t.commits()[0]
+    old2 = sql_over(
+        spark, tabs,
+        f"SELECT sum(amt) AS s FROM eng_v VERSION AS OF '{c1}'",
+    ).collect()[0]
+    assert old2.s == 45.0
+    new = sql_over(spark, tabs, "SELECT sum(amt) AS s FROM eng_v").collect()[0]
+    assert new.s == 45.0 + 5 * 100
+
+
+def test_sql_timestamp_as_of(spark, versioned):
+    t = versioned
+    c1 = t.commits()[0]
+    ts = t._manifest(c1)["ts"]
+    got = sql_over(
+        spark, {"eng_v": t},
+        f"SELECT count(*) AS n, sum(amt) AS s "
+        f"FROM eng_v TIMESTAMP AS OF '{ts}'",
+    ).collect()[0]
+    assert (got.n, got.s) == (10, 45.0)
+    # predating the first commit refuses (Delta semantics), never
+    # falls through to latest
+    with pytest.raises(ValueError, match="first commit"):
+        sql_over(
+            spark, {"eng_v": t},
+            "SELECT 1 AS x FROM eng_v TIMESTAMP AS OF '1999-01-01'",
+        )
+
+
+def test_time_travel_binds_whole_query_and_conflicts_raise(spark, versioned):
+    t = versioned
+    tabs = {"eng_v": t}
+    # the as-of binding applies to qualifier references of the same name
+    got = sql_over(
+        spark, tabs,
+        "SELECT max(eng_v.amt) AS m FROM eng_v VERSION AS OF 1",
+    ).collect()[0]
+    assert got.m == 9.0
+    # two agreeing clauses are fine (self-join of the same version)
+    rows = sql_over(
+        spark, tabs,
+        "SELECT count(*) AS n FROM eng_v VERSION AS OF 1 a "
+        "JOIN eng_v VERSION AS OF 1 b ON a.ok = b.ok",
+    ).collect()[0]
+    assert rows.n == 10
+    with pytest.raises(ValueError, match="conflicting"):
+        sql_over(
+            spark, tabs,
+            "SELECT * FROM eng_v VERSION AS OF 1 a "
+            "JOIN eng_v VERSION AS OF 2 b ON a.ok = b.ok",
+        )
+    with pytest.raises(ValueError, match="no commit"):
+        sql_over(spark, tabs, "SELECT * FROM eng_v VERSION AS OF 99")
+
+
+def test_time_travel_lexical_guards(spark, versioned):
+    t = versioned
+    tabs = {"eng_v": t}
+    # inside a string literal → untouched (still aggregates the LATEST)
+    got = sql_over(
+        spark, tabs,
+        "SELECT sum(amt) AS s, max('eng_v VERSION AS OF 1') AS lit FROM eng_v",
+    ).collect()[0]
+    assert got.s == 45.0 + 500 and got.lit == "eng_v VERSION AS OF 1"
+    # a LONGER identifier ending in the view name must not rewrite:
+    # the unknown relation surfaces as Spark's own error, not a silent
+    # time travel of eng_v
+    import pyspark.sql.utils  # noqa: F401
+
+    with pytest.raises(Exception, match="xeng_v|TABLE_OR_VIEW_NOT_FOUND"):
+        sql_over(spark, tabs, "SELECT * FROM xeng_v VERSION AS OF 1")
+
+
+def test_time_travel_disables_auto_prune_for_that_view(spark, versioned):
+    """A time-traveled view reads its full as-of file set: the auto
+    extractor's schema attribution ran against the CURRENT schema, so
+    it must not prune an as-of binding (evolution could have renamed
+    the column between the two states). Values must still be exact."""
+    t = versioned
+    rows = sql_over(
+        spark, {"eng_v": t},
+        "SELECT ok, amt FROM eng_v VERSION AS OF 1 WHERE ok >= 8",
+    ).collect()
+    assert sorted((r.ok, r.amt) for r in rows) == [(8, 8.0), (9, 9.0)]
+
+
+def test_attach_as_of_composes_with_where(spark, versioned):
+    t = versioned
+    c1 = t.commits()[0]
+    attach(
+        spark, {"eng_v": t}, where={"eng_v": "ok >= 8"}, as_of={"eng_v": c1}
+    )
+    got = spark.sql("SELECT sum(amt) AS s FROM eng_v").collect()[0]
+    assert got.s == 17.0
+    with pytest.raises(ValueError, match="as_of= binds snapshot"):
+        attach(
+            spark, {"eng_v": t}, query_type="incremental", begin="0",
+            as_of={"eng_v": c1},
+        )
