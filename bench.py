@@ -103,6 +103,8 @@ HEADLINE = [
     "table_sql_merge_evolution",
     "table_sql_call_procedures",
     "sql_catalog_time_travel",
+    "table_sql_ddl_lifecycle",
+    "table_sql_ctas",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,
@@ -203,7 +205,7 @@ def main() -> None:
             )
 
     result = {
-        "metric": "headline_queries_total",
+        "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -254,8 +256,11 @@ def main() -> None:
     # Future-proofing: as the headline set grows the line will one day
     # outgrow the window again — degrade by omitting the FASTEST rows
     # (least informative; full set always in BENCH_SELF.json) until it
-    # fits, and say how many were dropped.
-    while len(line) > 1900 and printed["queries"]:
+    # fits, and say how many were dropped. Threshold vs the driver's
+    # 2000-char stdout tail window: the line is the LAST stdout this
+    # script emits (one trailing newline), so 1960 leaves ~40 chars of
+    # safety; measured r8 line at 69 rows is ~1900.
+    while len(line) > 1960 and printed["queries"]:
         fastest = min(printed["queries"], key=printed["queries"].get)
         del printed["queries"][fastest]
         printed["queries_omitted"] = (

@@ -1530,3 +1530,94 @@ def sql_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """,
     )
+
+
+@register(
+    "table_sql_ddl_lifecycle",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               CASE WHEN o_totalprice > 200000 THEN 'HIGH' END AS priority_flag
+        FROM orders
+    """,
+    doc="SQL DDL lifecycle (sql_ddl.execute_ddl — the Hudi Spark-SQL "
+    "DDL family over engine tables): CREATE TABLE with a declared "
+    "column list + structural TBLPROPERTIES, positional INSERT INTO "
+    "SELECT mapped onto the declared schema, metadata-only ALTER TABLE "
+    "ADD COLUMNS (no file rewritten; old rows null-surface the new "
+    "column via the manifest-schema read), then UPDATE fills it for "
+    "high-value orders — the oracle checks the full statement chain "
+    "produced exactly a CASE projection of the raw input",
+)
+def table_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_ddl import execute_ddl
+    from ..sql_dml import execute
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    orders.createOrReplaceTempView("ddl_orders_src")
+    base = tempfile.mkdtemp(prefix="engine_ddl_")
+    cat: dict[str, Table] = {}
+    execute_ddl(
+        spark,
+        """
+        CREATE TABLE orders_ddl (
+            o_orderkey bigint, o_custkey bigint, o_orderstatus string,
+            o_totalprice double, o_orderdate timestamp_ntz
+        ) USING engine
+        TBLPROPERTIES (primaryKey = 'o_orderkey',
+                       preCombineField = 'o_orderdate')
+        """,
+        cat,
+        base_dir=base,
+    )
+    execute(
+        spark,
+        "INSERT INTO orders_ddl SELECT * FROM ddl_orders_src",
+        cat,
+    )
+    execute_ddl(
+        spark, "ALTER TABLE orders_ddl ADD COLUMNS (priority_flag string)",
+        cat,
+    )
+    execute(
+        spark,
+        "UPDATE orders_ddl SET priority_flag = 'HIGH' "
+        "WHERE o_totalprice > 200000",
+        cat,
+    )
+    return cat["orders_ddl"].snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_ctas",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_totalprice > 150000
+    """,
+    doc="CREATE TABLE AS SELECT through the DDL surface: the CTAS "
+    "query (a filtered projection of the attached source view) defines "
+    "the new MOR table's schema and first commit, ALTER TABLE RENAME "
+    "TO rekeys the catalog entry, and the renamed handle serves the "
+    "snapshot — oracled by running the same SELECT in DuckDB",
+)
+def table_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_ddl import execute_ddl
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    orders.createOrReplaceTempView("ctas_orders_src")
+    base = tempfile.mkdtemp(prefix="engine_ctas_")
+    cat: dict[str, Table] = {}
+    execute_ddl(
+        spark,
+        """
+        CREATE TABLE orders_top USING engine
+        TBLPROPERTIES (primaryKey = 'o_orderkey',
+                       preCombineField = 'o_orderdate', type = 'mor')
+        AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+           FROM ctas_orders_src WHERE o_totalprice > 150000
+        """,
+        cat,
+        base_dir=base,
+    )
+    execute_ddl(spark, "ALTER TABLE orders_top RENAME TO top_orders", cat)
+    return cat["top_orders"].snapshot().drop(META_COL)

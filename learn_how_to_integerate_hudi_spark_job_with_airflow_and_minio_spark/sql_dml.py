@@ -308,8 +308,14 @@ def execute(
         else:
             # no column list: positional mapping onto the table's data
             # columns (standard SQL INSERT semantics — VALUES/SELECT
-            # outputs arrive as col1..colN / arbitrary names)
+            # outputs arrive as col1..colN / arbitrary names); an empty
+            # table created via DDL with an explicit column list maps
+            # onto that declared schema
             schema = t._schema()
+            if schema is None and t.meta.get("declared_schema"):
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(t.meta["declared_schema"])
             if schema is None:
                 raise ValueError(
                     "INSERT INTO an empty table needs an explicit "

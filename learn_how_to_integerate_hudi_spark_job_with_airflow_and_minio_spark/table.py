@@ -1901,6 +1901,43 @@ class Table:
         self._publish(commit, "alter_drop_column", [], [], new_schema)
         return commit
 
+    def alter_add_columns(self, cols: list[tuple[str, str]]) -> str:
+        """Metadata-only column add (``ALTER TABLE .. ADD COLUMNS``,
+        the explicit-DDL mirror of the evolution-on-append the write
+        paths already do): publishes a commit whose manifest schema
+        appends each ``(name, spark_ddl_type)`` as a nullable field. NO
+        data is rewritten — every read scans with the manifest schema,
+        so files written before the add surface the new columns as
+        typed nulls, and time travel to an earlier commit doesn't see
+        them at all (``_schema(as_of)``). New fields slot in BEFORE the
+        meta column so user columns stay contiguous.
+        """
+        schema = self._schema()
+        if schema is None:
+            raise ValueError(
+                "cannot ADD COLUMNS to a table with no commits yet "
+                "(no schema to widen — write a first batch instead)"
+            )
+        existing = {f.name for f in schema.fields}
+        added: list[StructField] = []
+        for name, ddl_type in cols:
+            if name in existing or any(f.name == name for f in added):
+                raise ValueError(f"column {name!r} already exists")
+            try:
+                field = StructType.fromDDL(f"`{name}` {ddl_type}").fields[0]
+            except Exception as e:  # Spark's parser error, re-anchored
+                raise ValueError(
+                    f"cannot parse column type {ddl_type!r} for "
+                    f"{name!r}: {e}"
+                ) from None
+            added.append(StructField(field.name, field.dataType, True))
+        fields = [f for f in schema.fields if f.name != META_COL]
+        meta_fields = [f for f in schema.fields if f.name == META_COL]
+        new_schema = StructType([*fields, *added, *meta_fields])
+        commit = self._next_commit()
+        self._publish(commit, "alter_add_columns", [], [], new_schema)
+        return commit
+
     def partial_update(self, df: DataFrame) -> str:
         """Column-subset upsert (the Hudi ``PARTIAL_UPDATE`` payload
         surface, admitted by ``hoodie.datasource.write.payload.class`` on

@@ -1,0 +1,349 @@
+"""SQL DDL surface (sql_ddl.execute_ddl): CREATE TABLE / CTAS /
+ALTER TABLE / DROP TABLE / SHOW / DESCRIBE statement strings over an
+explicit {name: Table} catalog.
+
+Pins the parser contract (clause order freedom, required structural
+TBLPROPERTIES, IF NOT EXISTS semantics, structural-property immutability),
+the metadata-only ADD COLUMNS evolution (old files null-surface, time
+travel predates the column), and the catalog mutations (CREATE adds,
+DROP removes — PURGE deletes files, RENAME rekeys)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+    execute_ddl,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_dml import (
+    execute,
+)
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+    Table,
+)
+
+PROPS = "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver')"
+
+
+@pytest.fixture
+def cat():
+    return {}
+
+
+def _create(spark, cat, base, name="t", extra="", props=PROPS):
+    return execute_ddl(
+        spark,
+        f"CREATE TABLE {name} (id bigint, ver bigint, amt double) "
+        f"USING engine {extra} {props} LOCATION '{base}/{name}'",
+        cat,
+    )
+
+
+def _rows(spark, n=5, ver=1, amt0=0.0):
+    return spark.createDataFrame(
+        [(i, ver, amt0 + i) for i in range(n)],
+        "id long, ver long, amt double",
+    )
+
+
+# -- CREATE TABLE --------------------------------------------------------
+
+
+def test_create_and_insert(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    assert cat["t"] is t
+    assert (t.key, t.precombine, t.table_type) == ("id", "ver", "cow")
+    # positional INSERT maps onto the DECLARED schema (no commits yet)
+    execute(spark, "INSERT INTO t VALUES (1, 1, 10.0), (2, 1, 20.0)", cat)
+    assert t.snapshot().count() == 2
+
+
+def test_create_requires_structural_props(spark, cat, tmp_path):
+    with pytest.raises(ValueError, match="primaryKey"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE t (id bigint) USING engine LOCATION '{tmp_path}/t'",
+            cat,
+        )
+    with pytest.raises(ValueError, match="USING"):
+        execute_ddl(
+            spark, f"CREATE TABLE t (id bigint) LOCATION '{tmp_path}/t'", cat
+        )
+    # declared columns must include the structural columns
+    with pytest.raises(ValueError, match="structural"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE t (a bigint) USING engine {PROPS} "
+            f"LOCATION '{tmp_path}/t'",
+            cat,
+        )
+    assert not cat and not os.path.exists(tmp_path / "t")
+
+
+def test_create_duplicate_and_if_not_exists(spark, cat, tmp_path):
+    _create(spark, cat, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        _create(spark, cat, tmp_path)
+    again = execute_ddl(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS t (id bigint, ver bigint, amt double) "
+        f"USING engine {PROPS} LOCATION '{tmp_path}/t'",
+        cat,
+    )
+    assert again is cat["t"]
+
+
+def test_create_if_not_exists_attaches_preexisting_files(
+    spark, cat, tmp_path
+):
+    old = Table.create(
+        spark, str(tmp_path / "t"), key="id", precombine="ver",
+        table_name="t",
+    )
+    old.bulk_insert(_rows(spark, 3))
+    # CTAS under IF NOT EXISTS must NOT re-run the query — it attaches
+    t = execute_ddl(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS t USING engine {PROPS} "
+        f"LOCATION '{tmp_path}/t' AS SELECT * FROM range(100)",
+        cat,
+    )
+    assert t.snapshot().count() == 3
+
+
+def test_create_mor_and_properties(spark, cat, tmp_path):
+    t = _create(
+        spark, cat, tmp_path,
+        props="TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "type='mor', maxRecordsPerFile=2, owner='data-eng')",
+    )
+    assert t.table_type == "mor"
+    assert t.meta["max_records_per_file"] == 2
+    assert t.meta["tblproperties"] == {"owner": "data-eng"}
+    # survives a fresh load
+    assert Table.load(spark, t.path).meta["tblproperties"] == {
+        "owner": "data-eng"
+    }
+
+
+def test_create_partitioned_any_clause_order(spark, cat, tmp_path):
+    t = execute_ddl(
+        spark,
+        f"CREATE TABLE t (id bigint, ver bigint, region string) "
+        f"USING engine LOCATION '{tmp_path}/t' {PROPS} "
+        f"PARTITIONED BY (region)",
+        cat,
+    )
+    assert t.meta["partition_fields"] == ["region"]
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "eu"), (2, 1, "us")], "id long, ver long, region string"
+        )
+    )
+    files = [e["path"] for e in t.current_files()]
+    assert any("region=eu" in p for p in files)
+
+
+def test_ctas(spark, cat, tmp_path):
+    spark.range(10).selectExpr(
+        "id", "1 as ver", "cast(id * 1.5 as double) as amt"
+    ).createOrReplaceTempView("ctas_src")
+    t = execute_ddl(
+        spark,
+        f"CREATE TABLE t USING engine {PROPS} LOCATION '{tmp_path}/t' "
+        "AS SELECT * FROM ctas_src WHERE id < 7",
+        cat,
+    )
+    assert t.snapshot().count() == 7
+    with pytest.raises(ValueError, match="drop the.*column list"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE u (id bigint) USING engine {PROPS} "
+            f"LOCATION '{tmp_path}/u' AS SELECT * FROM ctas_src",
+            cat,
+        )
+    with pytest.raises(ValueError, match="structural column"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE u USING engine {PROPS} LOCATION '{tmp_path}/u' "
+            "AS SELECT id FROM ctas_src",
+            cat,
+        )
+
+
+def test_create_no_location_needs_base_dir(spark, cat, tmp_path):
+    with pytest.raises(ValueError, match="LOCATION"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE t (id bigint, ver bigint) USING engine {PROPS}",
+            cat,
+        )
+    t = execute_ddl(
+        spark,
+        f"CREATE TABLE t (id bigint, ver bigint) USING engine {PROPS}",
+        cat,
+        base_dir=str(tmp_path),
+    )
+    assert t.path == str(tmp_path / "t")
+
+
+# -- ALTER TABLE ---------------------------------------------------------
+
+
+def test_add_columns_metadata_only(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    t.bulk_insert(_rows(spark, 3))
+    before = [e["path"] for e in t.current_files()]
+    c = execute_ddl(
+        spark, "ALTER TABLE t ADD COLUMNS (flag string, score double)", cat
+    )
+    assert isinstance(c, str)
+    # no data rewritten; old rows null-surface the new columns
+    assert [e["path"] for e in t.current_files()] == before
+    snap = t.snapshot()
+    assert {"flag", "score"} <= set(snap.columns)
+    assert snap.where("flag IS NULL AND score IS NULL").count() == 3
+    # time travel to before the ALTER doesn't see the columns
+    assert "flag" not in t.snapshot(as_of="00000000000000000001").columns
+    # a later write fills them
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, 9.9, "hot", 0.5)],
+            "id long, ver long, amt double, flag string, score double",
+        )
+    )
+    assert t.snapshot().where("flag = 'hot'").count() == 1
+
+
+def test_add_columns_rejects_duplicates_and_empty(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    with pytest.raises(ValueError, match="no commits"):
+        execute_ddl(spark, "ALTER TABLE t ADD COLUMNS (x int)", cat)
+    t.bulk_insert(_rows(spark, 1))
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE t ADD COLUMNS (amt double)", cat)
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE t ADD COLUMNS (x int, x int)", cat)
+    with pytest.raises(ValueError, match="cannot parse column type"):
+        execute_ddl(spark, "ALTER TABLE t ADD COLUMNS (x nosuchtype)", cat)
+
+
+def test_drop_column_route(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    t.bulk_insert(_rows(spark, 2))
+    execute_ddl(spark, "ALTER TABLE t DROP COLUMN amt", cat)
+    assert "amt" not in t.snapshot().columns
+
+
+def test_set_tblproperties(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    assert (
+        execute_ddl(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES (maxRecordsPerFile = 7, "
+            "owner = 'x')",
+            cat,
+        )
+        is None
+    )
+    assert t.meta["max_records_per_file"] == 7
+    assert Table.load(spark, t.path).meta["tblproperties"] == {"owner": "x"}
+    for k in ("primaryKey", "preCombineField", "type"):
+        with pytest.raises(ValueError, match="structural"):
+            execute_ddl(
+                spark, f"ALTER TABLE t SET TBLPROPERTIES ({k} = 'z')", cat
+            )
+
+
+def test_rename(spark, cat, tmp_path):
+    _create(spark, cat, tmp_path)
+    execute_ddl(spark, "ALTER TABLE t RENAME TO t2", cat)
+    assert sorted(cat) == ["t2"]
+    assert cat["t2"].meta["table_name"] == "t2"
+    _create(spark, cat, tmp_path, name="t3")
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE t3 RENAME TO t2", cat)
+
+
+# -- DROP TABLE ----------------------------------------------------------
+
+
+def test_drop_table(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    t.bulk_insert(_rows(spark, 2))
+    execute_ddl(spark, "DROP TABLE t", cat)
+    assert not cat
+    # files untouched without PURGE — reattachable
+    assert Table.load(spark, t.path).snapshot().count() == 2
+    with pytest.raises(ValueError, match="unknown table"):
+        execute_ddl(spark, "DROP TABLE t", cat)
+    assert execute_ddl(spark, "DROP TABLE IF EXISTS t", cat) is None
+
+
+def test_drop_table_purge(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    t.bulk_insert(_rows(spark, 2))
+    execute_ddl(spark, "DROP TABLE t PURGE", cat)
+    remaining = [
+        os.path.join(r, f) for r, _d, fs in os.walk(t.path) for f in fs
+    ]
+    assert remaining == []
+
+
+# -- SHOW / DESCRIBE -----------------------------------------------------
+
+
+def test_show_tables_and_describe(spark, cat, tmp_path):
+    assert execute_ddl(spark, "SHOW TABLES", cat).count() == 0
+    t = _create(spark, cat, tmp_path)
+    t.bulk_insert(_rows(spark, 1))
+    rows = execute_ddl(spark, "SHOW TABLES", cat).collect()
+    assert [(r.tableName, r.type) for r in rows] == [("t", "cow")]
+    d = execute_ddl(spark, "DESC t", cat).collect()
+    assert [(r.col_name, r.data_type) for r in d[:3]] == [
+        ("id", "bigint"), ("ver", "bigint"), ("amt", "double"),
+    ]
+    ext = execute_ddl(spark, "DESCRIBE EXTENDED t", cat).collect()
+    info = {r.col_name: r.data_type for r in ext}
+    assert info["Primary Key"] == "id"
+    assert info["Location"] == t.path
+
+
+def test_show_create_table_round_trips(spark, cat, tmp_path):
+    t = _create(
+        spark, cat, tmp_path,
+        props="TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "type='mor', owner='data-eng')",
+    )
+    t.bulk_insert(_rows(spark, 2))
+    stmt = execute_ddl(spark, "SHOW CREATE TABLE t", cat).collect()[0][0]
+    # re-executing the emitted DDL at a fresh location reproduces the
+    # table shape
+    stmt2 = stmt.replace(t.path, str(tmp_path / "copy")).replace(
+        "`t`", "t_copy"
+    )
+    t2 = execute_ddl(spark, stmt2, cat)
+    assert (t2.key, t2.precombine, t2.table_type) == ("id", "ver", "mor")
+    assert t2.meta["tblproperties"] == {"owner": "data-eng"}
+    d1 = [r for r in execute_ddl(spark, "DESC t", cat).collect()]
+    d2 = [r for r in execute_ddl(spark, "DESC t_copy", cat).collect()]
+    # declared schema of the copy matches the live schema of the source
+    assert [tuple(r) for r in d1] == [tuple(r) for r in d2]
+
+
+def test_describe_empty_table_uses_declared_schema(spark, cat, tmp_path):
+    _create(spark, cat, tmp_path)
+    d = execute_ddl(spark, "DESCRIBE t", cat).collect()
+    assert [r.col_name for r in d] == ["id", "ver", "amt"]
+
+
+def test_unknown_statements_raise(spark, cat, tmp_path):
+    _create(spark, cat, tmp_path)
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_ddl(spark, "ALTER TABLE t ZORDER BY id", cat)
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        execute_ddl(spark, "TRUNCATE TABLE t", cat)
+    with pytest.raises(ValueError, match="unknown table"):
+        execute_ddl(spark, "DESCRIBE missing", cat)
