@@ -105,6 +105,7 @@ HEADLINE = [
     "sql_catalog_time_travel",
     "table_sql_ddl_lifecycle",
     "table_sql_ctas",
+    "sql_session_statement_pipeline",
 ]
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

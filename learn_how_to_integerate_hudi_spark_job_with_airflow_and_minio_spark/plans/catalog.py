@@ -61,15 +61,15 @@ _GATE_WINDOW = 50
 #
 # Round-8 window (stalest-green rule, per the r7 verdict brief):
 # (0) the 8 never-gated round-7 births (born after the r7 rotation —
-# standing rule puts them first), (1) the 11 round-8 births (the CALL-
-# procedure/SQL-time-travel pair and the DDL pair landed mid-round
-# BEFORE the r8 gate ran, so they join the window instead of waiting
-# for r9), then
-# (2) 31 of the 48 queries whose latest driver row dates from round 4
+# standing rule puts them first), (1) the 12 round-8 births (the CALL-
+# procedure/SQL-time-travel pair, the DDL pair, and the SqlSession
+# router landed mid-round BEFORE the r8 gate ran, so they join the
+# window instead of waiting for r9), then
+# (2) 30 of the 48 queries whose latest driver row dates from round 4
 # (alphabetical; staleness computed from CORRECTNESS_r0{1..7}.json key
-# sets) — the 17 that don't fit spill to the r9 window:
-# subquery_correlated, subquery_in, subquery_scalar,
-# table_incremental_between, table_incremental_read,
+# sets) — the 18 that don't fit spill to the r9 window:
+# stream_mor_delta_feed, subquery_correlated, subquery_in,
+# subquery_scalar, table_incremental_between, table_incremental_read,
 # table_mor_cdc_changes, table_mor_incremental, table_partition_pruning,
 # table_time_travel, table_upsert_snapshot, text_repetition_gopher,
 # unpivot_metrics, win_lag_lead, win_locf_ignore_nulls,
@@ -99,7 +99,8 @@ _ROUND_PRIORITY: list[str] = [
     "sql_catalog_time_travel",
     "table_sql_ddl_lifecycle",
     "table_sql_ctas",
-    # (2) latest driver row = round 4 (31 of 48; 17 spill to r9)
+    "sql_session_statement_pipeline",
+    # (2) latest driver row = round 4 (30 of 48; 18 spill to r9)
     "agg_arg_minmax",
     "agg_filter_clause",
     "dedup_embedding_cosine",
@@ -130,7 +131,6 @@ _ROUND_PRIORITY: list[str] = [
     "skew_salted_agg",
     "source_json_roundtrip",
     "source_orc_roundtrip",
-    "stream_mor_delta_feed",
 ]
 
 

@@ -1621,3 +1621,59 @@ def table_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     execute_ddl(spark, "ALTER TABLE orders_top RENAME TO top_orders", cat)
     return cat["top_orders"].snapshot().drop(META_COL)
+
+
+@register(
+    "sql_session_statement_pipeline",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
+                                       THEN o_totalprice * 2
+                                       ELSE o_totalprice END
+                              AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                   AS spend
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="SqlSession one-entry-point router: a ;-script runs CREATE "
+    "TABLE (DDL) + INSERT INTO SELECT (DML reading the source view) + "
+    "UPDATE (predicate write) + OPTIMIZE (maintenance) through "
+    "session.sql dispatch, then the final SELECT routes through the "
+    "auto-pruning read surface — one statement stream over one shared "
+    "catalog, the reference's SQL-strings-only interface end-to-end",
+)
+def sql_session_statement_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    orders.createOrReplaceTempView("sess_orders_src")
+    sess = SqlSession(
+        spark, base_dir=tempfile.mkdtemp(prefix="engine_sess_")
+    )
+    sess.script(
+        """
+        CREATE TABLE ord (
+            o_orderkey bigint, o_custkey bigint, o_orderstatus string,
+            o_totalprice double, o_orderdate timestamp_ntz
+        ) USING engine
+        TBLPROPERTIES (primaryKey = 'o_orderkey',
+                       preCombineField = 'o_orderdate');
+        INSERT INTO ord SELECT * FROM sess_orders_src;
+        UPDATE ord SET o_totalprice = o_totalprice * 2
+            WHERE o_orderkey % 5 = 0;
+        OPTIMIZE ord;
+        """
+    )
+    return sess.sql(
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS STRING) AS DOUBLE) AS spend
+        FROM ord
+        GROUP BY o_orderstatus
+        """
+    )

@@ -32,6 +32,7 @@ Grammar (case-insensitive keywords; clauses in any order after
     ALTER TABLE <name> DROP COLUMN <col>
     ALTER TABLE <name> SET TBLPROPERTIES (k = v[, ...])
     ALTER TABLE <name> RENAME TO <newname>
+    TRUNCATE TABLE <name>
     DROP TABLE [IF EXISTS] <name> [PURGE]
     SHOW TABLES
     SHOW CREATE TABLE <name>
@@ -278,6 +279,10 @@ def _create(
         write_json(posixpath.join(t.path, "_table.json"), t.meta)
     if p["select"] is not None:
         df = spark.sql(p["select"])
+        if META_COL in df.columns:
+            # SELECT * from an attached engine view carries the system
+            # meta column; the new table stamps its own
+            df = df.drop(META_COL)
         for c in (key, precombine, *p["partition"]):
             if c not in df.columns:
                 raise ValueError(
@@ -434,6 +439,21 @@ def execute_ddl(
             catalog[new] = catalog.pop(old)
             return None
         raise ValueError(f"unsupported ALTER TABLE clause: {body[:60]!r}")
+    m = re.match(
+        rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$", s, re.IGNORECASE
+    )
+    if m:
+        # manifest-only truncate (Hudi TRUNCATE TABLE): one commit
+        # retires every live file — no data deleted, so time travel to
+        # any pre-truncate commit still reads the rows, and VACUUM
+        # reclaims the bytes on its own retention schedule
+        t = _lookup(catalog, m.group(1))
+        commit = t._next_commit()
+        t._publish(
+            commit, "truncate",
+            [], [e["path"] for e in t.current_files()], t._schema(),
+        )
+        return commit
     m = re.match(
         rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})(\s+PURGE)?\s*$",
         s,

@@ -339,11 +339,25 @@ def test_describe_empty_table_uses_declared_schema(spark, cat, tmp_path):
     assert [r.col_name for r in d] == ["id", "ver", "amt"]
 
 
+def test_truncate_table(spark, cat, tmp_path):
+    t = _create(spark, cat, tmp_path)
+    t.bulk_insert(_rows(spark, 4))
+    c = execute_ddl(spark, "TRUNCATE TABLE t", cat)
+    assert isinstance(c, str)
+    assert t.snapshot().count() == 0
+    assert t.snapshot().columns  # schema survives the truncate
+    # manifest-only: pre-truncate commits still time-travel
+    assert t.snapshot(as_of="00000000000000000001").count() == 4
+    # and the table accepts new writes
+    t.upsert(_rows(spark, 2, ver=2))
+    assert t.snapshot().count() == 2
+
+
 def test_unknown_statements_raise(spark, cat, tmp_path):
     _create(spark, cat, tmp_path)
     with pytest.raises(ValueError, match="unsupported ALTER"):
         execute_ddl(spark, "ALTER TABLE t ZORDER BY id", cat)
     with pytest.raises(ValueError, match="unsupported DDL"):
-        execute_ddl(spark, "TRUNCATE TABLE t", cat)
+        execute_ddl(spark, "ANALYZE TABLE t COMPUTE STATISTICS", cat)
     with pytest.raises(ValueError, match="unknown table"):
         execute_ddl(spark, "DESCRIBE missing", cat)
