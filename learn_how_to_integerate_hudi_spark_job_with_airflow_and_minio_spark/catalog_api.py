@@ -169,20 +169,37 @@ def _time_travel(
     i, last, n = 0, 0, len(query)
     while i < n:
         c = query[i]
-        if c in ("'", '"', "`"):
+        if c in ("'", '"'):
             j = query.find(c, i + 1)
             i = n if j < 0 else j + 1
             continue
+        # SQL comments must not time-travel: a stale "-- v VERSION AS
+        # OF 1" comment would silently rebind the live view
+        if query.startswith("--", i):
+            j = query.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if query.startswith("/*", i):
+            j = query.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         # only try at a token boundary: a view name must not match the
         # SUFFIX of a longer identifier ("myconv VERSION..." with view
-        # "conv"), and "t1.v VERSION..." qualifies a column, not a view
-        if i > 0 and (query[i - 1] in "$." or query[i - 1].isalnum()
-                      or query[i - 1] == "_"):
-            i += 1
-            continue
-        m = _TT_RX.match(query, i)
+        # "conv"), and "t1.v VERSION..." qualifies a column, not a view.
+        # Backticks are tried BEFORE being skipped as quoting so
+        # `view` VERSION AS OF works (the regex's IDENT covers them).
+        at_boundary = not (
+            i > 0
+            and (query[i - 1] in "$." or query[i - 1].isalnum()
+                 or query[i - 1] == "_")
+        )
+        m = _TT_RX.match(query, i) if at_boundary else None
         if not m:
-            i += 1
+            if c == "`":
+                j = query.find("`", i + 1)
+                i = n if j < 0 else j + 1
+            else:
+                i += 1
             continue
         name = m.group(1).strip("`")
         if name not in tables:

@@ -261,6 +261,22 @@ def _create(
                 raise ValueError(
                     f"declared column list lacks structural column {c!r}"
                 )
+    ctas_df = None
+    if p["select"] is not None:
+        # analyze + validate the CTAS query BEFORE creating anything on
+        # disk too: a bad query must not leave an orphan _table.json
+        # that blocks re-running the corrected statement at the same
+        # LOCATION
+        ctas_df = spark.sql(p["select"])
+        if META_COL in ctas_df.columns:
+            # SELECT * from an attached engine view carries the system
+            # meta column; the new table stamps its own
+            ctas_df = ctas_df.drop(META_COL)
+        for c in (key, precombine, *p["partition"]):
+            if c not in ctas_df.columns:
+                raise ValueError(
+                    f"CTAS query output lacks structural column {c!r}"
+                )
     t = Table.create(
         spark,
         path,
@@ -277,18 +293,8 @@ def _create(
         t.meta["tblproperties"] = extra
     if extra or declared is not None:
         write_json(posixpath.join(t.path, "_table.json"), t.meta)
-    if p["select"] is not None:
-        df = spark.sql(p["select"])
-        if META_COL in df.columns:
-            # SELECT * from an attached engine view carries the system
-            # meta column; the new table stamps its own
-            df = df.drop(META_COL)
-        for c in (key, precombine, *p["partition"]):
-            if c not in df.columns:
-                raise ValueError(
-                    f"CTAS query output lacks structural column {c!r}"
-                )
-        t.bulk_insert(df)
+    if ctas_df is not None:
+        t.bulk_insert(ctas_df)
     catalog[name] = t
     return t
 
@@ -301,9 +307,7 @@ def _lookup(catalog: dict[str, Table], name: str) -> Table:
 
 
 def _show_create(spark: SparkSession, name: str, t: Table) -> DataFrame:
-    schema = t._schema()
-    if schema is None and t.meta.get("declared_schema"):
-        schema = StructType.fromJson(t.meta["declared_schema"])
+    schema = t.effective_schema()
     cols = (
         ",\n  ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
@@ -340,9 +344,7 @@ def _show_create(spark: SparkSession, name: str, t: Table) -> DataFrame:
 def _describe(
     spark: SparkSession, name: str, t: Table, extended: bool
 ) -> DataFrame:
-    schema = t._schema()
-    if schema is None and t.meta.get("declared_schema"):
-        schema = StructType.fromJson(t.meta["declared_schema"])
+    schema = t.effective_schema()
     rows: list[tuple[str, str, str]] = []
     if schema is not None:
         rows += [
@@ -437,6 +439,9 @@ def execute_ddl(
             t.meta["table_name"] = new
             write_json(posixpath.join(t.path, "_table.json"), t.meta)
             catalog[new] = catalog.pop(old)
+            # a temp view bound under the OLD name by a prior read
+            # would keep serving the renamed table's stale snapshot
+            spark.catalog.dropTempView(old)
             return None
         raise ValueError(f"unsupported ALTER TABLE clause: {body[:60]!r}")
     m = re.match(
@@ -466,6 +471,9 @@ def execute_ddl(
                 return None
             raise ValueError(f"unknown table {name!r} in the catalog")
         t = catalog.pop(name)
+        # without this, a temp view bound by a prior read keeps serving
+        # the dropped table's full (stale) snapshot by name
+        spark.catalog.dropTempView(name)
         if m.group(3):
             fs = fs_for(t.path)
             for f in sorted(fs.list(t.path), reverse=True):

@@ -303,6 +303,11 @@ def execute(
             raise ValueError(f"unknown INSERT target table {name!r}")
         df = spark.sql(m.group(4))
         t = tables[name]
+        if "_commit_time" in df.columns:
+            # SELECT * from an attached engine view carries the system
+            # meta column; the target stamps its own (same rule as CTAS)
+            df = df.drop("_commit_time")
+        schema = t.effective_schema()
         if m.group(3):
             cols = [c.strip().strip("`") for c in m.group(3).split(",")]
         else:
@@ -311,11 +316,6 @@ def execute(
             # outputs arrive as col1..colN / arbitrary names); an empty
             # table created via DDL with an explicit column list maps
             # onto that declared schema
-            schema = t._schema()
-            if schema is None and t.meta.get("declared_schema"):
-                from pyspark.sql.types import StructType
-
-                schema = StructType.fromJson(t.meta["declared_schema"])
             if schema is None:
                 raise ValueError(
                     "INSERT INTO an empty table needs an explicit "
@@ -327,7 +327,20 @@ def execute(
                 f"INSERT column/select arity mismatch: {len(cols)} "
                 f"columns vs {len(df.columns)} query outputs"
             )
-        return t.upsert(df.toDF(*cols))
+        out = df.toDF(*cols)
+        if schema is not None:
+            # standard INSERT INTO semantics: the query's output types
+            # cast to the TABLE's types (VALUES literals arrive as
+            # int/NullType; without the cast the first write would
+            # silently publish the drifted types as the table schema)
+            by_name = {f.name: f.dataType for f in schema.fields}
+            out = out.select(
+                *(
+                    F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
+                    for c in out.columns
+                )
+            )
+        return t.upsert(out)
     m = re.match(
         rf"OPTIMIZE\s+({_IDENT})"
         r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
@@ -548,6 +561,8 @@ def call_procedure(
             else None
         )
         tr = kw.get("target_records_per_file")
+        if tr is not None:
+            tr = int(tr)  # users habitually quote CALL args
         if kw.get("zorder"):
             if not cols:
                 raise ValueError(

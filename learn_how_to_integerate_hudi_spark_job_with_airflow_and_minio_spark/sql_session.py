@@ -129,12 +129,10 @@ class SqlSession:
         live: dict[str, Table] = {}
         for n, t in refs.items():
             if t.latest_commit() is None:
-                sch = t.meta.get("declared_schema")
-                if sch:
-                    from pyspark.sql.types import StructType
-
+                sch = t.effective_schema()
+                if sch is not None:
                     self.spark.createDataFrame(
-                        [], StructType.fromJson(sch)
+                        [], sch
                     ).createOrReplaceTempView(n)
                 # no declared schema either: leave unbound — Spark's
                 # own table-not-found error is the right failure
@@ -158,15 +156,21 @@ class SqlSession:
             return call_procedure(self.spark, s, self.catalog)
         if kw in _DML_KW:
             # bind current snapshots for embedded SELECT/USING text so
-            # DML can read catalog tables by name
-            live = self._bind_views(self._referenced(s))
-            if live:
-                attach(self.spark, live)
+            # DML can read catalog tables by name — but ONLY for the
+            # statements that can embed a query (INSERT .. SELECT,
+            # MERGE .. USING); UPDATE/DELETE/OPTIMIZE/VACUUM compile
+            # expressions against the target alone, so binding views
+            # for them is a wasted manifest replay per statement
+            if kw in ("INSERT", "MERGE"):
+                live = self._bind_views(self._referenced(s))
+                if live:
+                    attach(self.spark, live)
             return execute(self.spark, s, self.catalog)
         if kw in _DDL_KW:
-            live = self._bind_views(self._referenced(s))
-            if live:
-                attach(self.spark, live)  # CTAS queries read by name
+            if kw == "CREATE":
+                live = self._bind_views(self._referenced(s))
+                if live:
+                    attach(self.spark, live)  # CTAS queries read by name
             return execute_ddl(self.spark, s, self.catalog, self.base_dir)
         raise ValueError(f"unrecognized statement keyword {kw!r}")
 

@@ -30,6 +30,17 @@ def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
             j = s.find(c, i + 1)
             i = n if j < 0 else j + 1
             continue
+        # SQL comments (Spark lexes -- and /* */ outside strings): a
+        # keyword inside a comment is not a keyword, and an unbalanced
+        # quote/paren inside one must not derail the depth tracking
+        if c == "-" and s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "/" and s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         if c == "(":
             depth += 1
             i += 1

@@ -280,7 +280,16 @@ class Table:
 
         O(active timeline) manifest-header reads in the common case;
         archive batches are loaded only when no ACTIVE commit is old
-        enough (deep time travel past the archive horizon)."""
+        enough (deep time travel past the archive horizon).
+
+        The comparison is lexical against the manifests'
+        ``YYYY-MM-DDTHH:MM:SS...`` strings, so the standard SQL
+        spelling with a space separator is normalized to ``T`` first —
+        without that, ``' ' < 'T'`` makes every same-day manifest ts
+        compare GREATER than the literal and the resolution silently
+        lands on the previous day's last commit."""
+        if len(ts) > 10 and ts[10] == " ":
+            ts = ts[:10] + "T" + ts[11:]
         best: str | None = None
         for c in self.commits():
             m = self._manifest(c)
@@ -354,6 +363,18 @@ class Table:
             if m.get("schema"):
                 return StructType.fromJson(m["schema"])
         return None
+
+    def effective_schema(self) -> StructType | None:
+        """The schema readers/writers should assume right now: the
+        latest MANIFEST schema once anything has committed, else the
+        schema a ``CREATE TABLE (col type, ...)`` statement declared
+        (``sql_ddl`` stores it in meta) — the one shared fallback for
+        every SQL surface that must resolve columns against a table
+        that may not have been written yet."""
+        schema = self._schema()
+        if schema is None and self.meta.get("declared_schema"):
+            schema = StructType.fromJson(self.meta["declared_schema"])
+        return schema
 
     # -- reads ---------------------------------------------------------
 
