@@ -59,78 +59,71 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-8 window (stalest-green rule, per the r7 verdict brief):
-# (0) the 8 never-gated round-7 births (born after the r7 rotation —
-# standing rule puts them first), (1) the 12 round-8 births (the CALL-
-# procedure/SQL-time-travel pair, the DDL pair, and the SqlSession
-# router landed mid-round BEFORE the r8 gate ran, so they join the
-# window instead of waiting for r9), then
-# (2) 30 of the 48 queries whose latest driver row dates from round 4
-# (alphabetical; staleness computed from CORRECTNESS_r0{1..7}.json key
-# sets) — the 18 that don't fit spill to the r9 window:
-# stream_mor_delta_feed, subquery_correlated, subquery_in,
-# subquery_scalar, table_incremental_between, table_incremental_read,
-# table_mor_cdc_changes, table_mor_incremental, table_partition_pruning,
-# table_time_travel, table_upsert_snapshot, text_repetition_gopher,
-# unpivot_metrics, win_lag_lead, win_locf_ignore_nulls,
-# win_ntile_cume_dist, win_range_frame, win_sessionize. After this
-# round every catalog query has at least one driver row ever. The whole
+# Round-9 window (stalest-green rule, per the r8 verdict brief):
+# (0) round-9 births, gated on first appearance (standing rule);
+# (1) the 18 queries whose latest driver row dates from round 4 — the
+# spill the r8 rotation scheduled for this window (staleness computed
+# from CORRECTNESS_r0{1..8}.json key sets);
+# (2) the stalest round-5 rows, alphabetical, filling to 50. After
+# this round no query's latest driver row predates round 5. The whole
 # catalog stays covered by tests/test_catalog_oracle.py every round
 # regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 7, after the r7 rotation — never driver-gated
-    "agg_tpch_q6",
-    "join_tpch_q7",
-    "join_tpch_q13",
-    "join_tpch_q15",
-    "join_tpch_q18",
-    "join_tpch_q19",
-    "join_tpch_q22",
-    "table_mor_sql_merge_into",
-    # (1) born round 8 — gate on first appearance (standing rule)
-    "sql_catalog_pruned_select",
-    "join_tpch_q17",
-    "table_sql_merge_by_source",
-    "decontaminate_incremental",
-    "decontaminate_substring_incremental",
-    "sql_catalog_auto_pruned_join",
-    "table_sql_merge_evolution",
-    "table_sql_call_procedures",
-    "sql_catalog_time_travel",
-    "table_sql_ddl_lifecycle",
-    "table_sql_ctas",
-    "sql_session_statement_pipeline",
-    # (2) latest driver row = round 4 (30 of 48; 18 spill to r9)
-    "agg_arg_minmax",
-    "agg_filter_clause",
-    "dedup_embedding_cosine",
-    "dedup_exact_substring",
-    "dedup_group_stats",
-    "dedup_minhash_estimate_contract",
-    "incremental_pipeline_gold",
-    "join_anti",
-    "join_asof",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_bands",
-    "join_semi",
-    "join_tpch_q5",
-    "multimodal_meta",
-    "pandas_grouped_map_rank",
-    "pipeline_llm_corpus_gold",
-    "q01_projection_alias",
-    "q03_distinct_orderby",
-    "q04_minmax_agg",
-    "q05_topk",
-    "q06_latest_per_key",
-    "q07_sql_transformer",
-    "sample_exact_k_per_stratum",
-    "scalar_bitwise_funcs",
-    "setop_union_intersect_except",
-    "sim_ivf_recall",
-    "skew_salted_agg",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
+    # (0) born round 9 — gate on first appearance (standing rule);
+    # each birth is PREPENDED here the same commit it registers, and
+    # the last round-5 fill row drops so the list stays exactly 50
+    # (1) latest driver row = round 4 (the r8 spill, all 18)
+    "stream_mor_delta_feed",
+    "subquery_correlated",
+    "subquery_in",
+    "subquery_scalar",
+    "table_incremental_between",
+    "table_incremental_read",
+    "table_mor_cdc_changes",
+    "table_mor_incremental",
+    "table_partition_pruning",
+    "table_time_travel",
+    "table_upsert_snapshot",
+    "text_repetition_gopher",
+    "unpivot_metrics",
+    "win_lag_lead",
+    "win_locf_ignore_nulls",
+    "win_ntile_cume_dist",
+    "win_range_frame",
+    "win_sessionize",
+    # (2) latest driver row = round 5 (alphabetical fill to 50)
+    "agg_bitmap_distinct",
+    "agg_grouping_id",
+    "agg_histogram_numeric",
+    "agg_linear_regression",
+    "agg_retention_cohorts",
+    "decontaminate_exact_substring",
+    "dedup_containment",
+    "dedup_embedding_lsh",
+    "dedup_incremental_lsh",
+    "dedup_remove_spans",
+    "funnel_steps",
+    "join_lateral_topk",
+    "join_null_safe_eq",
+    "join_tpch_q14",
+    "join_tpch_q8",
+    "mv_incremental_refresh",
+    "pipeline_span_clean_gold",
+    "q00_inmemory_ingest",
+    "sample_dsir_top_k",
+    "sample_weighted_reservoir",
+    "scalar_collation_lcase",
+    "scalar_try_functions",
+    "scalar_variant_json",
+    "sim_hard_negatives",
+    "sim_label_centroid",
+    "sim_quantized_topk",
+    "skyline_pareto_2d",
+    "source_csv_corrupt_records",
+    "source_python_datasource",
+    "sql_recursive_cte",
+    "stream_mv_refresh",
+    "stream_python_datasource",
 ]
 
 
