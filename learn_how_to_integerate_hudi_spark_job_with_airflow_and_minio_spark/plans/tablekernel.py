@@ -1677,3 +1677,65 @@ def sql_session_statement_pipeline(
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "table_sql_insert_overwrite",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 3
+                    WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="INSERT OVERWRITE as a SQL statement string (Hudi's "
+    "insert_overwrite write op, reachable from SqlSession): a static "
+    "PARTITION (o_orderstatus = 'F') spec replaces exactly that "
+    "partition with tripled prices, then a dynamic-mode overwrite "
+    "(spark.sql.sources.partitionOverwriteMode=dynamic, the conf the "
+    "reference's jobs set) replaces only partition 'P' with doubled "
+    "prices — partition 'O' is never rewritten; both engines replay "
+    "the replace as a CASE over the raw parquet",
+)
+def table_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    orders.createOrReplaceTempView("iow_sql_src")
+    path = tempfile.mkdtemp(prefix="engine_iow_sql_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="ordiow",
+    )
+    t.bulk_insert(orders)
+    sess = SqlSession(spark, tables={"ordiow": t})
+    sess.sql(
+        """
+        INSERT OVERWRITE ordiow PARTITION (o_orderstatus = 'F')
+        SELECT o_orderkey, o_custkey, o_totalprice * 3, o_orderdate
+        FROM iow_sql_src WHERE o_orderstatus = 'F'
+        """
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        sess.sql(
+            """
+            INSERT OVERWRITE TABLE ordiow
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice * 2, o_orderdate
+            FROM iow_sql_src WHERE o_orderstatus = 'P'
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev)
+    return t.snapshot().drop(META_COL)

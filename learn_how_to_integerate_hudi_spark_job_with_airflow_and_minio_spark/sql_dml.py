@@ -28,6 +28,8 @@ their WHEN/THEN tokens don't terminate a clause):
     DELETE FROM <target> WHERE <expr>
     UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
     INSERT INTO <target> [(col[, ...])] { SELECT ... | VALUES ... }
+    INSERT OVERWRITE [TABLE] <target> [PARTITION (col = lit[, ...])]
+           [(col[, ...])] { SELECT ... | VALUES ... }
     OPTIMIZE <target> [ZORDER BY (col[, ...])]
     VACUUM <target> [RETAIN <n> COMMITS]   -- default: RETAIN 5 COMMITS
 
@@ -38,7 +40,16 @@ their WHEN/THEN tokens don't terminate a clause):
 ``INSERT INTO`` routes through the keyed upsert (Hudi Spark-SQL's
 INSERT INTO semantics on a primary-keyed table): a re-inserted key
 replaces the stored row rather than duplicating it — the keyed
-snapshot invariant outranks the append-only SQL reading. ``OPTIMIZE``
+snapshot invariant outranks the append-only SQL reading.
+``INSERT OVERWRITE`` routes to :meth:`Table.insert_overwrite` (Hudi's
+insert_overwrite / insert_overwrite_table write ops, the reference's
+``method`` param at ``create_hudi_tables.py:218-221``): a static
+``PARTITION (col = lit)`` spec replaces exactly the named partition
+(the literals become the batch's partition values); without a spec,
+``spark.sql.sources.partitionOverwriteMode`` decides — ``dynamic``
+replaces only the partitions present in the query output (the conf
+the reference's jobs set), the ``static`` default replaces the whole
+table, exactly Spark's own INSERT OVERWRITE contract. ``OPTIMIZE``
 is sort-and-size compaction (``ZORDER BY`` = Morton-clustered);
 ``VACUUM`` is the retention cleaner, retaining 5 commits of history
 when the RETAIN clause is omitted. VACUUM is the one statement that
@@ -239,6 +250,40 @@ def _resolve_source(spark: SparkSession, source: str) -> DataFrame:
     return spark.table(source)
 
 
+_PART_LIT = r"'[^']*'|[+-]?(?:\d+\.?\d*|\.\d+)|true|false|null"
+
+
+def _parse_partition_spec(spec: str, t: Table) -> dict[str, str]:
+    """``col = literal[, ...]`` → {col: literal_sql}. Static values
+    only — a bare column name (Spark's mixed static/dynamic spec) is
+    rejected with guidance to drop the PARTITION clause instead (the
+    dynamic kernel reads partition values from the batch). The spec
+    must name EXACTLY the table's partition fields: a partial spec
+    would silently widen the replace envelope to sibling partitions."""
+    out: dict[str, str] = {}
+    for piece in _split_top(spec, r","):
+        pm = re.match(
+            rf"\s*({_IDENT})\s*=\s*({_PART_LIT})\s*$", piece, re.IGNORECASE
+        )
+        if not pm:
+            raise ValueError(
+                f"unsupported PARTITION spec entry {piece.strip()!r}: "
+                "static `col = literal` entries only — omit the "
+                "PARTITION clause for dynamic partition overwrite"
+            )
+        col = pm.group(1).strip("`")
+        if col in out:
+            raise ValueError(f"duplicate PARTITION spec column {col!r}")
+        out[col] = pm.group(2)
+    parts = t.meta.get("partition_fields") or []
+    if sorted(out) != sorted(parts):
+        raise ValueError(
+            f"PARTITION spec columns {sorted(out)} must name exactly "
+            f"the table's partition fields {sorted(parts)}"
+        )
+    return out
+
+
 def execute(
     spark: SparkSession, stmt: str, tables: dict[str, Table]
 ) -> str:
@@ -293,41 +338,65 @@ def execute(
             sets, cond = body, "true"
         return tables[name].update_where(_parse_assignments(sets), cond)
     m = re.match(
-        rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(SELECT\b.*|VALUES\b.*)$",
+        rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
+        rf"(?:PARTITION\s*\(([^)]*)\)\s*)?"
+        rf"(\(([^)]*)\)\s*)?(SELECT\b.*|VALUES\b.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name = m.group(1).strip("`")
+        verb = m.group(1).upper()
+        name = m.group(2).strip("`")
         if name not in tables:
             raise ValueError(f"unknown INSERT target table {name!r}")
-        df = spark.sql(m.group(4))
         t = tables[name]
+        if m.group(3) is not None and verb == "INTO":
+            raise ValueError(
+                "PARTITION spec is only supported with INSERT OVERWRITE "
+                "(INSERT INTO routes through the keyed upsert, which "
+                "places rows in their partitions by value)"
+            )
+        static = _parse_partition_spec(m.group(3), t) if m.group(3) else {}
+        df = spark.sql(m.group(6))
         if "_commit_time" in df.columns:
             # SELECT * from an attached engine view carries the system
             # meta column; the target stamps its own (same rule as CTAS)
             df = df.drop("_commit_time")
         schema = t.effective_schema()
-        if m.group(3):
-            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        if m.group(5):
+            cols = [c.strip().strip("`") for c in m.group(5).split(",")]
+            clash = sorted(set(cols) & set(static))
+            if clash:
+                raise ValueError(
+                    f"column(s) {clash} appear in both the column list "
+                    "and the static PARTITION spec"
+                )
         else:
             # no column list: positional mapping onto the table's data
             # columns (standard SQL INSERT semantics — VALUES/SELECT
             # outputs arrive as col1..colN / arbitrary names); an empty
             # table created via DDL with an explicit column list maps
-            # onto that declared schema
+            # onto that declared schema. Statically-specified partition
+            # columns are filled from the spec, so the query's output
+            # maps onto the REMAINING columns (Spark INSERT semantics).
             if schema is None:
                 raise ValueError(
-                    "INSERT INTO an empty table needs an explicit "
+                    f"INSERT {verb} an empty table needs an explicit "
                     "column list (no schema to map positionally onto)"
                 )
-            cols = [f.name for f in schema.fields if f.name != "_commit_time"]
+            cols = [
+                f.name
+                for f in schema.fields
+                if f.name != "_commit_time" and f.name not in static
+            ]
         if len(cols) != len(df.columns):
             raise ValueError(
                 f"INSERT column/select arity mismatch: {len(cols)} "
                 f"columns vs {len(df.columns)} query outputs"
             )
         out = df.toDF(*cols)
+        for pcol, lit in static.items():
+            out = out.withColumn(pcol, F.expr(lit))
         if schema is not None:
             # standard INSERT INTO semantics: the query's output types
             # cast to the TABLE's types (VALUES literals arrive as
@@ -340,7 +409,31 @@ def execute(
                     for c in out.columns
                 )
             )
-        return t.upsert(out)
+            # INSERT writes rows, never a column order: restore the
+            # TABLE's column order so the commit re-publishes the same
+            # schema (a static PARTITION spec appends its column last,
+            # which would otherwise reorder the schema and break later
+            # positional INSERTs)
+            have = set(out.columns)
+            order = [
+                f.name
+                for f in schema.fields
+                if f.name != "_commit_time" and f.name in have
+            ]
+            if len(order) == len(out.columns):
+                out = out.select(*order)
+        if verb == "INTO":
+            return t.upsert(out)
+        if static:
+            # a fully-static PARTITION spec constructs a batch that
+            # lives entirely in the named partition — the dynamic
+            # kernel then replaces exactly that partition (Spark's
+            # static-spec INSERT OVERWRITE semantics)
+            return t.insert_overwrite(out, dynamic=True)
+        mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        return t.insert_overwrite(out, dynamic=mode.lower() == "dynamic")
     m = re.match(
         rf"OPTIMIZE\s+({_IDENT})"
         r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",

@@ -897,3 +897,125 @@ def test_merge_evolution_persists_on_noop_statement(
     )
     got = {r.id: r.tier for r in t.snapshot().select("id", "tier").collect()}
     assert got == {1: None, 2: "set", 3: None}
+
+
+# -- INSERT OVERWRITE statement route ------------------------------------
+
+
+def make_part(spark, path):
+    t = Table.create(
+        spark,
+        path,
+        key="id",
+        precombine="ver",
+        partition_fields=["p"],
+        table_name="tp",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0), (2, 1, "a", 20.0), (3, 1, "b", 30.0)],
+            "id long, ver long, p string, amt double",
+        )
+    )
+    return t
+
+
+def psnap(t):
+    return sorted(
+        (r.id, r.p, r.amt) for r in t.snapshot().select("id", "p", "amt").collect()
+    )
+
+
+def test_insert_overwrite_static_partition_spec(spark, tpath):
+    """PARTITION (p = 'a') replaces exactly that partition; 'b' rows and
+    files are untouched; the spec column is filled from the literal."""
+    t = make_part(spark, tpath)
+    before_b = [e["path"] for e in t.current_files() if e["partition"]["p"] == "b"]
+    spark.createDataFrame(
+        [(9, 2, 90.0)], "id long, ver long, amt double"
+    ).createOrReplaceTempView("iow_static_src")
+    sql_dml.execute(
+        spark,
+        "INSERT OVERWRITE t PARTITION (p = 'a') "
+        "SELECT id, ver, amt FROM iow_static_src",
+        {"t": t},
+    )
+    assert psnap(t) == [(3, "b", 30.0), (9, "a", 90.0)]
+    after_b = [e["path"] for e in t.current_files() if e["partition"]["p"] == "b"]
+    assert after_b == before_b  # partition 'b' files byte-untouched
+
+
+def test_insert_overwrite_mode_conf_static_vs_dynamic(spark, tpath):
+    """Without a PARTITION spec, spark.sql.sources.partitionOverwriteMode
+    decides: dynamic replaces only the partitions in the batch, the
+    static default replaces the whole table (Spark's own contract)."""
+    t = make_part(spark, tpath)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    # build_session pins this conf to "dynamic" (the reference's job
+    # conf), so assert both modes explicitly and restore the session's
+    # value afterwards
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        sql_dml.execute(
+            spark, "INSERT OVERWRITE TABLE t VALUES (7, 2, 'b', 70.0)", {"t": t}
+        )
+        assert psnap(t) == [(1, "a", 10.0), (2, "a", 20.0), (7, "b", 70.0)]
+        spark.conf.set(key, "static")
+        sql_dml.execute(
+            spark, "INSERT OVERWRITE t VALUES (5, 3, 'c', 50.0)", {"t": t}
+        )
+        assert psnap(t) == [(5, "c", 50.0)]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_insert_overwrite_preserves_table_column_order(spark, tpath):
+    """A static-spec overwrite appends the partition literal to the
+    batch; the commit must still publish the TABLE's column order, or
+    the next positional INSERT maps onto the wrong columns."""
+    t = make_part(spark, tpath)
+    spark.createDataFrame(
+        [(8, 2, 80.0)], "id long, ver long, amt double"
+    ).createOrReplaceTempView("iow_order_src")
+    sql_dml.execute(
+        spark,
+        "INSERT OVERWRITE t PARTITION (p = 'a') "
+        "SELECT id, ver, amt FROM iow_order_src",
+        {"t": t},
+    )
+    assert [f.name for f in t.effective_schema().fields if f.name != "_commit_time"] == [
+        "id",
+        "ver",
+        "p",
+        "amt",
+    ]
+    # positional INSERT INTO right after the overwrite still maps cleanly
+    sql_dml.execute(spark, "INSERT INTO t VALUES (6, 1, 'c', 60.0)", {"t": t})
+    assert (6, "c", 60.0) in psnap(t)
+
+
+def test_insert_overwrite_rejections(spark, tpath):
+    t = make_part(spark, tpath)
+    with pytest.raises(ValueError, match="only supported with INSERT OVERWRITE"):
+        sql_dml.execute(
+            spark, "INSERT INTO t PARTITION (p = 'a') VALUES (1, 1, 10.0)", {"t": t}
+        )
+    with pytest.raises(ValueError, match="static `col = literal`"):
+        sql_dml.execute(
+            spark, "INSERT OVERWRITE t PARTITION (p) VALUES (1, 1, 'a', 10.0)", {"t": t}
+        )
+    with pytest.raises(ValueError, match="exactly the table's partition fields"):
+        sql_dml.execute(
+            spark, "INSERT OVERWRITE t PARTITION (x = 1) VALUES (1, 1, 10.0)", {"t": t}
+        )
+    with pytest.raises(ValueError, match="column list and the static PARTITION"):
+        sql_dml.execute(
+            spark,
+            "INSERT OVERWRITE t PARTITION (p = 'a') (id, ver, p, amt) "
+            "VALUES (1, 1, 'a', 10.0)",
+            {"t": t},
+        )
