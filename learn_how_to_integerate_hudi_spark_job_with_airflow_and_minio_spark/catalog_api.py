@@ -231,6 +231,104 @@ def _time_travel(
     return "".join(pieces), out
 
 
+_TC_RX = re.compile(
+    rf"table_changes\s*\(\s*(?:'([^']*)'|({IDENT}))\s*,\s*'([^']*)'"
+    rf"\s*(?:,\s*'([^']*)'\s*)?(?:,\s*'([^']*)'\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _table_changes(
+    spark: SparkSession, query: str, tables: dict[str, Table]
+) -> str:
+    """Rewrite ``table_changes(<view>, '<mode>', '<begin>'[, '<end>'])``
+    calls — the SQL form of incremental/CDC reads, mirroring Hudi
+    0.14's ``hudi_table_changes(table, mode, begin [, end])``
+    table-valued function (the reference pins Hudi 0.14.0,
+    ``AirflowHudiLabs/Lab2/jobs/python/incremental_etl_orders.py``
+    consumes exactly this incremental window) — into bound temp views.
+
+    The view may be a bare identifier or a quoted string (Hudi's
+    form). ``mode`` is ``latest_state`` (incremental: the latest
+    version of every key changed in the window) or ``cdc`` (per-key
+    change rows with ``_change_type``). ``begin`` is a commit id, a
+    bare commit NUMBER (``'3'`` → the zero-padded id, same codec as
+    ``VERSION AS OF``), or ``'earliest'`` (from the start of the
+    timeline); the window is begin-EXCLUSIVE / end-INCLUSIVE, exactly
+    :meth:`Table.incremental`. Occurrences inside quoted strings or
+    comments are untouched, and a first argument that is not an
+    attached view is left for Spark to reject (fail closed — Spark has
+    no ``table_changes`` TVF, so the error is loud, never a guess)."""
+
+    def _commit(t: Table, lit: str) -> str | None:
+        if lit.lower() == "earliest":
+            return None
+        c = f"{int(lit):020d}" if lit.isdigit() else lit
+        if c not in t.commits(include_archived=True):
+            raise ValueError(
+                f"table_changes: no commit {c!r} in the table's timeline"
+            )
+        return c
+
+    pieces: list[str] = []
+    i, last, n, bound = 0, 0, len(query), 0
+    while i < n:
+        c = query[i]
+        if c in ("'", '"', "`"):
+            j = query.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if query.startswith("--", i):
+            j = query.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if query.startswith("/*", i):
+            j = query.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        at_boundary = not (
+            i > 0
+            and (
+                query[i - 1] in "$."
+                or query[i - 1].isalnum()
+                or query[i - 1] == "_"
+            )
+        )
+        m = _TC_RX.match(query, i) if at_boundary else None
+        if not m:
+            i += 1
+            continue
+        name = (m.group(1) if m.group(1) is not None else m.group(2)).strip("`")
+        if name not in tables:
+            i = m.end()  # not ours — Spark raises its own TVF error
+            continue
+        t = tables[name]
+        mode = m.group(3).lower()
+        if mode not in ("latest_state", "cdc"):
+            raise ValueError(
+                f"table_changes mode must be 'latest_state' or 'cdc', "
+                f"got {m.group(3)!r}"
+            )
+        if m.group(4) is None:
+            raise ValueError(
+                "table_changes needs a begin commit: "
+                "table_changes(view, mode, begin [, end])"
+            )
+        begin = _commit(t, m.group(4))
+        end = _commit(t, m.group(5)) if m.group(5) is not None else None
+        df = t.incremental(begin, end) if mode == "latest_state" else t.changes(
+            begin, end
+        )
+        view = f"__tc_{name}_{bound}"
+        bound += 1
+        df.createOrReplaceTempView(view)
+        pieces.append(query[last : m.start()])
+        pieces.append(view)
+        last = i = m.end()
+    pieces.append(query[last:])
+    return "".join(pieces)
+
+
 def _from_relations(query: str) -> dict[str, str] | None:
     """{qualifier: view_name} for every relation in the query's single
     top-level FROM clause, or None (fail closed: no FROM / more than
@@ -380,12 +478,17 @@ def sql_over(
     ``view VERSION AS OF <n|'commit'>`` / ``view TIMESTAMP AS OF
     '<ts>'`` in the query time-travels that view's binding (see
     :func:`_time_travel`) — the Delta/Spark-v2 syntax Spark itself
-    cannot plan over temp views."""
+    cannot plan over temp views. ``table_changes(view, mode, begin
+    [, end])`` reads an incremental/CDC commit window as a table
+    (see :func:`_table_changes`) — the SQL form of
+    ``attach(query_type="incremental"|"cdc")``, mirroring Hudi's
+    ``hudi_table_changes`` TVF."""
     opened = {
         n: (p if isinstance(p, Table) else Table.load(spark, p))
         for n, p in tables.items()
     }
     query, travel = _time_travel(query, opened)
+    query = _table_changes(spark, query, opened)
     if where is None:
         auto = _auto_where(query, opened)
         where = {

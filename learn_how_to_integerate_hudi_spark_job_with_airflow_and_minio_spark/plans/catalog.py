@@ -73,6 +73,7 @@ _ROUND_PRIORITY: list[str] = [
     # each birth is PREPENDED here the same commit it registers, and
     # the last round-5 fill row drops so the list stays exactly 50
     "table_sql_insert_overwrite",
+    "sql_catalog_table_changes",
     # (1) latest driver row = round 4 (the r8 spill, all 18)
     "stream_mor_delta_feed",
     "subquery_correlated",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "source_csv_corrupt_records",
     "source_python_datasource",
     "sql_recursive_cte",
-    "stream_mv_refresh",
 ]
 
 

@@ -1739,3 +1739,43 @@ def table_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(mode_key, prev)
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "sql_catalog_table_changes",
+    oracle="""
+        SELECT o_orderkey,
+               'U' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+    """,
+    doc="table_changes() TVF: the SQL-string form of incremental reads "
+    "(Hudi 0.14's hudi_table_changes table-valued function — the "
+    "reference's flagship consumption mode, previously API-only via "
+    "attach(query_type='incremental')). The window ('1','2') over a "
+    "3-commit table returns ONLY the mod-5 update commit's keys at "
+    "their commit-2 values — begin-exclusive (the load commit is out), "
+    "end-inclusive, and commit 3's mod-7 rewrite is invisible, proving "
+    "the TVF rebinds the manifest replay to the window, not a text "
+    "filter over the live snapshot",
+)
+def sql_catalog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog_api import sql_over
+
+    t, _, _, orders = _build_orders_table(spark, sf_dir)
+    # third commit AFTER the window: must not leak into ('1','2')
+    t.upsert(
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 4)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .select(*_COLS)
+    )
+    return sql_over(
+        spark,
+        {"eng_orders_tc": t},
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM table_changes(eng_orders_tc, 'latest_state', '1', '2')
+        """,
+    )

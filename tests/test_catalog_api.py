@@ -344,3 +344,150 @@ def test_attach_as_of_composes_with_where(spark, versioned):
             spark, {"eng_v": t}, query_type="incremental", begin="0",
             as_of={"eng_v": c1},
         )
+
+
+# -- table_changes() TVF --------------------------------------------------
+
+
+@pytest.fixture()
+def three_commit_table(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "tc"), key="k", precombine="v", table_name="tc"
+    )
+    c1 = t.upsert(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k int, v int, s string")
+    )
+    c2 = t.upsert(
+        spark.createDataFrame([(2, 2, "B"), (3, 1, "c")], "k int, v int, s string")
+    )
+    c3 = t.upsert(spark.createDataFrame([(4, 1, "d")], "k int, v int, s string"))
+    return t, c1, c2, c3
+
+
+def test_table_changes_window_matches_incremental(spark, three_commit_table):
+    """begin-exclusive / end-inclusive: the TVF result equals
+    Table.incremental over the same (begin, end] window."""
+    t, c1, c2, _ = three_commit_table
+    got = sorted(
+        (r.k, r.s)
+        for r in sql_over(
+            spark,
+            {"tc": t},
+            f"SELECT k, s FROM table_changes(tc, 'latest_state', '{c1}', '{c2}')",
+        ).collect()
+    )
+    want = sorted((r.k, r.s) for r in t.incremental(c1, c2).collect())
+    assert got == want == [(2, "B"), (3, "c")]
+
+
+def test_table_changes_numeric_earliest_and_quoted_forms(
+    spark, three_commit_table
+):
+    t, c1, _, _ = three_commit_table
+    # bare commit NUMBER resolves via the VERSION AS OF codec
+    got = sorted(
+        r.k
+        for r in sql_over(
+            spark,
+            {"tc": t},
+            "SELECT k FROM table_changes(tc, 'latest_state', '2')",
+        ).collect()
+    )
+    assert got == [4]
+    # quoted view name (Hudi's TVF form) + 'earliest' = full history
+    n = (
+        sql_over(
+            spark,
+            {"tc": t},
+            "SELECT count(*) AS n FROM table_changes('tc', 'latest_state', 'earliest')",
+        )
+        .collect()[0]
+        .n
+    )
+    assert n == 4
+
+
+def test_table_changes_cdc_mode(spark, three_commit_table):
+    t, c1, c2, _ = three_commit_table
+    rows = sorted(
+        (r.k, r._change_type)
+        for r in sql_over(
+            spark,
+            {"tc": t},
+            f"SELECT k, _change_type FROM table_changes(tc, 'cdc', '{c1}', '{c2}')",
+        ).collect()
+    )
+    assert rows == [(2, "update"), (3, "insert")]
+
+
+def test_table_changes_joins_with_live_snapshot(spark, three_commit_table):
+    """The TVF binds its own view; the ORIGINAL view stays live in the
+    same query, so changes join against the current snapshot."""
+    t, _, c2, _ = three_commit_table
+    rows = sorted(
+        (r.k, r.cur)
+        for r in sql_over(
+            spark,
+            {"tc": t},
+            f"SELECT c.k, tc.s AS cur FROM "
+            f"table_changes(tc, 'latest_state', '{c2}') c "
+            f"JOIN tc ON tc.k = c.k",
+        ).collect()
+    )
+    assert rows == [(4, "d")]
+
+
+def test_table_changes_inside_string_literal_untouched(
+    spark, three_commit_table
+):
+    t, _, _, _ = three_commit_table
+    lit = (
+        sql_over(
+            spark,
+            {"tc": t},
+            "SELECT 'table_changes(tc, ''cdc'', ''1'')' AS lit",
+        )
+        .collect()[0]
+        .lit
+    )
+    assert lit == "table_changes(tc, 'cdc', '1')"
+
+
+def test_table_changes_rejections(spark, three_commit_table):
+    t, c1, _, _ = three_commit_table
+    with pytest.raises(ValueError, match="mode must be"):
+        sql_over(
+            spark, {"tc": t},
+            f"SELECT * FROM table_changes(tc, 'bogus', '{c1}')",
+        )
+    with pytest.raises(ValueError, match="no commit"):
+        sql_over(
+            spark, {"tc": t},
+            "SELECT * FROM table_changes(tc, 'latest_state', '99')",
+        )
+    with pytest.raises(ValueError, match="needs a begin commit"):
+        sql_over(
+            spark, {"tc": t},
+            "SELECT * FROM table_changes(tc, 'latest_state')",
+        )
+
+
+def test_table_changes_through_sql_session_quoted_name(
+    spark, three_commit_table
+):
+    """SqlSession's reference scan blanks quoted strings — the TVF
+    pre-scan must still bind a table named only inside the call."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_session import (
+        SqlSession,
+    )
+
+    t, c1, _, _ = three_commit_table
+    sess = SqlSession(spark, tables={"tc": t})
+    n = (
+        sess.sql(
+            f"SELECT count(*) AS n FROM table_changes('tc', 'latest_state', '{c1}')"
+        )
+        .collect()[0]
+        .n
+    )
+    assert n == 3
