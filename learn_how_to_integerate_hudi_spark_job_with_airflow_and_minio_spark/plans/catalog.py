@@ -74,6 +74,7 @@ _ROUND_PRIORITY: list[str] = [
     # the last round-5 fill row drops so the list stays exactly 50
     "table_sql_insert_overwrite",
     "sql_catalog_table_changes",
+    "table_sql_truncate_restore",
     # (1) latest driver row = round 4 (the r8 spill, all 18)
     "stream_mor_delta_feed",
     "subquery_correlated",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "skyline_pareto_2d",
     "source_csv_corrupt_records",
     "source_python_datasource",
-    "sql_recursive_cte",
 ]
 
 

@@ -1779,3 +1779,57 @@ def sql_catalog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM table_changes(eng_orders_tc, 'latest_state', '1', '2')
         """,
     )
+
+
+@register(
+    "table_sql_truncate_restore",
+    oracle="""
+        SELECT 'live' AS state, CAST(0 AS BIGINT) AS n,
+               CAST(0 AS DOUBLE) AS spend
+        UNION ALL
+        SELECT 'as_of_2' AS state, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 5 = 0
+                                       THEN o_totalprice * 2
+                                       ELSE o_totalprice END
+                              AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                   AS spend
+        FROM orders
+    """,
+    doc="TRUNCATE TABLE through the SqlSession router: a ;-script runs "
+    "CREATE + INSERT INTO SELECT (commit 1) + UPDATE (commit 2) + "
+    "TRUNCATE (commit 3, manifest-only — one commit retires every live "
+    "file, zero data files touched), then the live read counts 0 rows "
+    "while VERSION AS OF 2 still aggregates the full updated load — "
+    "truncate is a timeline event, not a deletion, until VACUUM "
+    "reclaims the bytes",
+)
+def table_sql_truncate_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    orders.createOrReplaceTempView("trunc_src")
+    sess = SqlSession(spark, base_dir=tempfile.mkdtemp(prefix="engine_trunc_"))
+    sess.script(
+        """
+        CREATE TABLE trunc_t (
+            o_orderkey bigint, o_custkey bigint, o_orderstatus string,
+            o_totalprice double, o_orderdate timestamp_ntz
+        ) USING engine
+        TBLPROPERTIES (primaryKey = 'o_orderkey',
+                       preCombineField = 'o_orderdate');
+        INSERT INTO trunc_t SELECT * FROM trunc_src;
+        UPDATE trunc_t SET o_totalprice = o_totalprice * 2
+            WHERE o_orderkey % 5 = 0;
+        TRUNCATE TABLE trunc_t;
+        """
+    )
+    agg = (
+        "COUNT(*) AS n, "
+        "COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "AS STRING) AS DOUBLE), CAST(0 AS DOUBLE)) AS spend"
+    )
+    live = sess.sql(f"SELECT 'live' AS state, {agg} FROM trunc_t")
+    as_of = sess.sql(
+        f"SELECT 'as_of_2' AS state, {agg} FROM trunc_t VERSION AS OF 2"
+    )
+    return live.unionAll(as_of)
