@@ -329,6 +329,55 @@ def _table_changes(
     return "".join(pieces)
 
 
+def _skip_parens(s: str, i: int) -> int | None:
+    """``i`` at an opening ``(``: index just past its matching ``)``,
+    honoring quoted strings/backticks; None if unbalanced."""
+    depth, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            j = s.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+def _cte_names(query: str, start: int) -> set[str] | None:
+    """Lower-cased names of the top-level CTEs declared by the WITH
+    whose keyword ends at ``start``. None = any shape the strict
+    ``name [(cols)] AS (body)[, ...]`` walk can't parse, including
+    WITH RECURSIVE (a recursive CTE re-reads its own body; stay out)
+    — callers treat None as fail-closed."""
+    if re.match(r"\s*RECURSIVE\b", query[start:], re.IGNORECASE):
+        return None
+    out: set[str] = set()
+    i = start
+    while True:
+        m = re.match(
+            rf"\s*({IDENT})\s*(?:\([^)]*\)\s*)?AS\s*\(",
+            query[i:],
+            re.IGNORECASE,
+        )
+        if not m:
+            return None
+        out.add(m.group(1).strip("`").lower())
+        j = _skip_parens(query, i + m.end() - 1)
+        if j is None:
+            return None
+        i = j
+        m2 = re.match(r"\s*,", query[i:])
+        if not m2:
+            return out
+        i += m2.end()
+
+
 def _from_relations(query: str) -> dict[str, str] | None:
     """{qualifier: view_name} for every relation in the query's single
     top-level FROM clause, or None (fail closed: no FROM / more than
@@ -393,11 +442,23 @@ def _auto_where(
     The returned fragments feed :meth:`Table.read_where` per view —
     which itself extracts only provable ``col op literal`` conjuncts —
     so double fail-closed."""
-    if scan_top(query, r"\bWITH\b"):
-        # a CTE can shadow an attached view's name or read the view
-        # inside its (parenthesized, hence invisible) body — pre-
-        # filtering the binding would change what the CTE sees
-        return {}
+    withs = scan_top(query, r"\bWITH\b")
+    if withs:
+        # CTE queries prune only under a provably-safe shape: exactly
+        # one top-level WITH whose declaration list parses strictly
+        # (no RECURSIVE) and whose CTE names shadow NO attached view —
+        # a shadowing CTE would make the main FROM read the CTE while
+        # attribution pruned the view binding underneath it. Views
+        # READ inside a CTE body are already protected: bodies are
+        # parenthesized, so _idents_in_parens (below) drops any view
+        # named in one from attribution. Everything else stays the
+        # r8 fail-closed bail (a scalar subquery once read a pruned
+        # binding — the global_max regression).
+        if len(withs) > 1:
+            return {}
+        ctes = _cte_names(query, withs[0][1])
+        if ctes is None or any(n.lower() in ctes for n in tables):
+            return {}
     wh = scan_top(query, r"\bWHERE\b")
     if len(wh) != 1:
         return {}

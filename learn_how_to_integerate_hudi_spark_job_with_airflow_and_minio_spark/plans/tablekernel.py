@@ -1833,3 +1833,48 @@ def table_sql_truncate_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT 'as_of_2' AS state, {agg} FROM trunc_t VERSION AS OF 2"
     )
     return live.unionAll(as_of)
+
+
+@register(
+    "sql_catalog_pruned_cte",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
+        FROM orders
+        WHERE o_orderkey >= 500 AND o_orderkey <= 4000
+          AND o_totalprice > 100000
+        GROUP BY o_orderstatus
+    """,
+    doc="Auto-pruning through a CTE query (narrow r9 relaxation of the "
+    "r8 any-WITH bail): the main FROM's key-range conjuncts bind the "
+    "view manifest-pruned because the CTE list parses strictly, no CTE "
+    "shadows the view, and the view is not read inside any CTE body; "
+    "the cross-relation threshold comparison stays unextracted "
+    "(fail-closed) and is applied exactly by Catalyst — same rows as "
+    "the unpruned plan, a fraction of the files",
+)
+def sql_catalog_pruned_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog_api import sql_over
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_tbl_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders",
+    )
+    t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderkey")))
+    return sql_over(
+        spark,
+        {"eng_orders_cte": t},
+        """
+        WITH params AS (SELECT CAST(100000 AS DOUBLE) AS thresh)
+        SELECT o.o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS spend
+        FROM eng_orders_cte o, params p
+        WHERE o.o_orderkey >= 500 AND o.o_orderkey <= 4000
+          AND o.o_totalprice > p.thresh
+        GROUP BY o.o_orderstatus
+        """,
+    )

@@ -491,3 +491,58 @@ def test_table_changes_through_sql_session_quoted_name(
         .n
     )
     assert n == 3
+
+
+def test_auto_where_prunes_single_reference_cte_query(spark, two_tables):
+    """r8 bailed on ANY WITH query; the narrow relaxation prunes when
+    the CTE list parses strictly, no CTE shadows an attached view, and
+    the view is referenced only in the one top-level FROM."""
+    o, c = two_tables
+    tabs = {"eng_o": o, "eng_c": c}
+    q = (
+        "WITH lim AS (SELECT 1 AS one) "
+        "SELECT a.ok FROM eng_o a, lim WHERE a.ok >= 30 AND a.ok < 40 "
+        "ORDER BY a.ok"
+    )
+    assert _auto_where(q, tabs) == {"eng_o": "ok >= 30 AND ok < 40"}
+    auto = sql_over(spark, {"eng_o": o.path, "eng_c": c.path}, q).collect()
+    pruned_files = len(spark.table("eng_o").inputFiles())
+    assert 0 < pruned_files < len(o.snapshot().inputFiles())
+    attach(spark, {"eng_o": o.path, "eng_c": c.path})
+    assert auto == spark.sql(q).collect()
+
+
+def test_auto_where_cte_body_reading_view_still_bails(spark, two_tables):
+    """A view read INSIDE a CTE body must keep its full binding — the
+    CTE's aggregate would otherwise see the pruned input (the same
+    failure mode as the global_max scalar-subquery regression)."""
+    o, c = two_tables
+    tabs = {"eng_o": o.path, "eng_c": c.path}
+    q = (
+        "WITH x AS (SELECT max(ok) AS m FROM eng_o) "
+        "SELECT a.ok, x.m FROM eng_o a, x WHERE a.ok <= 3"
+    )
+    assert _auto_where(q, {"eng_o": o, "eng_c": c}) == {}
+    rows = sql_over(spark, tabs, q).collect()
+    assert rows and all(r.m == 99 for r in rows)
+
+
+def test_auto_where_cte_fail_closed_shapes(spark, two_tables):
+    o, c = two_tables
+    tabs = {"eng_o": o, "eng_c": c}
+    # CTE shadowing an attached view name: the main FROM reads the CTE
+    assert _auto_where(
+        "WITH eng_o AS (SELECT 5 AS ok) SELECT * FROM eng_o WHERE ok = 5",
+        tabs,
+    ) == {}
+    # recursive CTEs stay out
+    assert _auto_where(
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM r WHERE n < 3) "
+        "SELECT a.ok FROM eng_o a, r WHERE a.ok = 5",
+        tabs,
+    ) == {}
+    # unparseable CTE list (no AS-parens) -> bail
+    assert _auto_where(
+        "WITH x SELECT * FROM eng_o WHERE ok = 5", tabs
+    ) == {}
