@@ -697,3 +697,217 @@ def semantic_prune_incremental(
         F.when(F.col("vec_id") != F.col("rep_id"), cos).alias("cos_rep"),
         ((F.col("vec_id") == F.col("rep_id")) | (cos < threshold)).alias("kept"),
     )
+
+
+# -- incremental IVF index (persisted-index pattern) ----------------------
+#
+# The one-shot IVF (ivf_write/ivf_probe) rebuilds cells per run; the
+# 100 TB serving shape is the persisted-index pattern the engine ships
+# for LSH dedup, SemDeDup, and decontamination: centroids + cell
+# assignments live in engine Tables, each batch pays O(batch) to join
+# the stored state, and probes never touch the raw corpus store.
+#
+# Centroids are LEARNED ONCE from the bootstrap batch (per-LSH-cell
+# quantized means — the coarse quantizer) and then FROZEN: every later
+# batch assigns to the nearest stored centroid, so assignments never
+# flap when the corpus grows (first-writer-wins, the same immutability
+# rule semantic_prune_incremental uses for bucket representatives).
+# All centroid math is quantized-integer-exact (sum of round(x*1e6) as
+# BIGINT, one IEEE division) so an independent engine recomputes the
+# same centroids bit-for-bit — the property the DuckDB oracle checks.
+
+_IVF_QUANT = 1_000_000.0
+
+
+def _stored_centroids(centroids_table) -> list[tuple[int, list[float]]]:
+    """(cell, centroid) pairs from the persisted quantizer — a
+    metadata-plane collect bounded by the cell count (≤ 2^bits rows by
+    construction), never corpus data."""
+    rows = centroids_table.snapshot().select("cell", "centroid").collect()
+    return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+
+
+def _cell_score_array(
+    vec_col: str, cents: list[tuple[int, list[float]]], round_digits: int
+) -> Column:
+    """Per-row array of struct(score, negcell) sorted DESC — score =
+    rounded cosine to each stored centroid, ties broken toward the
+    SMALLEST cell id (negcell descending ≡ cell ascending). The
+    centroids are literal expressions, so assignment and probing are
+    map-only projections: no join, no shuffle, whatever the batch
+    size — the per-row cost is |cells| · dim multiply-adds inside
+    whole-stage codegen."""
+    pairs = F.array(
+        *(
+            F.struct(
+                F.round(
+                    cosine(
+                        F.col(vec_col),
+                        F.array(*(F.lit(float(x)) for x in cv)),
+                    ),
+                    round_digits,
+                ).alias("score"),
+                F.lit(-cell).cast("int").alias("negcell"),
+            )
+            for cell, cv in cents
+        )
+    )
+    return F.sort_array(pairs, asc=False)
+
+
+def ivf_index_build(
+    centroids_table,
+    index_table,
+    bootstrap: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> tuple[str, str]:
+    """Bootstrap the persisted IVF index: learn the coarse quantizer
+    from ``bootstrap`` and assign the bootstrap itself through it.
+
+    Centroid = per-LSH-cell quantized mean (Σ round(x·1e6) as BIGINT,
+    then one exact double division) — deterministic and
+    cross-engine-reproducible. The centroids commit FIRST; bootstrap
+    assignment then reads the PERSISTED quantizer (like every later
+    append), so build-then-append and one-shot builds are pointwise
+    identical. Raises if the quantizer already exists — centroids are
+    frozen at build (re-clustering an incremental index would silently
+    invalidate every stored assignment; create a new index instead).
+
+    Returns (centroids_commit, index_commit).
+    """
+    if centroids_table.latest_commit() is not None:
+        raise ValueError(
+            "IVF quantizer already built — centroids are frozen; "
+            "use ivf_index_append for new batches"
+        )
+    planes = hyperplanes(dim, bits, seed)
+    cells = bootstrap.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("cell"),
+    )
+    ex = cells.select("cell", F.posexplode("_v").alias("pos", "x"))
+    qs = F.round(F.col("x").cast("double") * F.lit(_IVF_QUANT)).cast("long")
+    per = ex.groupBy("cell", "pos").agg(
+        F.sum(qs).alias("_qs"), F.count(F.lit(1)).alias("_n")
+    )
+    comp = (F.col("_qs").cast("double") / (F.col("_n").cast("double") * F.lit(_IVF_QUANT))).alias("c")
+    cent = per.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), comp))),
+            lambda s: s["c"],
+        ).alias("centroid"),
+        F.first("_n").cast("long").alias("n_vectors"),
+    )
+    c_commit = centroids_table.bulk_insert(
+        cent.select("cell", "n_vectors", "centroid")
+    )
+    i_commit = ivf_index_append(
+        centroids_table,
+        index_table,
+        bootstrap,
+        id_col,
+        vec_col,
+        round_digits=round_digits,
+    )
+    return c_commit, i_commit
+
+
+def ivf_index_append(
+    centroids_table,
+    index_table,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """Assign a new batch to the nearest FROZEN centroid and append it
+    to the index in one commit. The stored quantizer is collected
+    (≤ 2^bits rows) into literal expressions, so the assignment is a
+    map-only projection over the batch — O(batch) work, zero shuffle,
+    corpus size absent from the cost. Ids are expected unique across
+    batches (a corpus index); the keyed snapshot resolves accidental
+    re-ingest toward the newest commit."""
+    cents = _stored_centroids(centroids_table)
+    if not cents:
+        raise ValueError("no centroids stored — run ivf_index_build first")
+    scored = _cell_score_array(vec_col, cents, round_digits)
+    assigned = batch.select(
+        F.col(id_col).alias("vec_id"),
+        (-scored[0]["negcell"]).cast("int").alias("cell"),
+        F.col(vec_col).alias("embedding"),
+    )
+    return index_table.insert(assigned, dedup_batch=False)
+
+
+def ivf_index_probe(
+    queries: DataFrame,
+    centroids_table,
+    index_table,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k served ENTIRELY from the persisted index: each query
+    probes its ``nprobe`` nearest frozen centroids (map-only literal
+    scoring, same function as assignment), the probed cells' vectors
+    are read per-cell through manifest/partition pruning (the index
+    table is partitioned by ``cell`` — a probe plans only the matched
+    cell directories' files, never the corpus), and candidates are
+    exactly re-scored with the rounded cosine, ranked per query.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank ≤ k,
+    self-matches excluded."""
+    cents = _stored_centroids(centroids_table)
+    if not cents:
+        raise ValueError("no centroids stored — run ivf_index_build first")
+    scored = _cell_score_array("_qv", cents, round_digits)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(scored, 1, min(nprobe, len(cents))),
+                lambda s: (-s["negcell"]).cast("int"),
+            )
+        ),
+    )
+    # the probed-cell SET is bounded by 2^bits — collect it and read
+    # each cell as its own manifest-pruned snapshot (partition stats
+    # admit exactly one cell directory per read)
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    from functools import reduce
+
+    corpus = reduce(
+        DataFrame.unionAll,
+        (
+            index_table.snapshot(filters={"cell": c}).select(
+                "cell",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_nv"),
+            )
+            for c in probed
+        ),
+    )
+    cand = q.join(corpus, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    score = F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", score.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -76,6 +76,7 @@ _ROUND_PRIORITY: list[str] = [
     "sql_catalog_table_changes",
     "table_sql_truncate_restore",
     "sql_catalog_pruned_cte",
+    "sim_ivf_incremental",
     # (1) latest driver row = round 4 (the r8 spill, all 18)
     "stream_mor_delta_feed",
     "subquery_correlated",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "sim_label_centroid",
     "sim_quantized_topk",
     "skyline_pareto_2d",
-    "source_csv_corrupt_records",
 ]
 
 

@@ -504,3 +504,127 @@ def test_contamination_substring_incremental_parity(spark, tmp_path):
         for r in D.contamination_substring(batch, bench).collect()
     )
     assert inc == oneshot == [(1, 100, 1)]
+
+
+# -- incremental IVF index ------------------------------------------------
+
+
+def _mk_ivf_tables(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    ct = Table.create(
+        spark, str(tmp_path / "ivfc"), key="cell", precombine="n_vectors",
+        table_name="ivfc",
+    )
+    it = Table.create(
+        spark, str(tmp_path / "ivfi"), key="vec_id", precombine="cell",
+        partition_fields=["cell"], table_name="ivfi",
+    )
+    return ct, it
+
+
+def _emb(spark, sf="0.01"):
+    return spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+
+
+def test_ivf_incremental_append_batching_invariant(spark, tmp_path):
+    """Assignment is a pure per-row function of the FROZEN centroids,
+    so appending the second half in one batch or two sub-batches gives
+    the identical index content."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    boot = e.where(F.col("vec_id") % 2 == 0)
+    rest = e.where(F.col("vec_id") % 2 == 1)
+    ct1, it1 = _mk_ivf_tables(spark, tmp_path / "a")
+    S.ivf_index_build(ct1, it1, boot, "vec_id")
+    S.ivf_index_append(ct1, it1, rest, "vec_id")
+    ct2, it2 = _mk_ivf_tables(spark, tmp_path / "b")
+    S.ivf_index_build(ct2, it2, boot, "vec_id")
+    S.ivf_index_append(ct2, it2, rest.where(F.col("vec_id") % 4 == 1), "vec_id")
+    S.ivf_index_append(ct2, it2, rest.where(F.col("vec_id") % 4 == 3), "vec_id")
+    a = sorted(
+        (r.vec_id, r.cell)
+        for r in it1.snapshot().select("vec_id", "cell").collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cell)
+        for r in it2.snapshot().select("vec_id", "cell").collect()
+    )
+    assert a == b and len(a) == e.count()
+    # centroids are identical too (same bootstrap), and frozen: the two
+    # appends added exactly two index commits and ZERO centroid commits
+    assert ct2.commits() == ct1.commits()
+    assert len(it2.commits()) == 3 and len(it1.commits()) == 2
+
+
+def test_ivf_incremental_build_freezes_centroids(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    e = _emb(spark)
+    ct, it = _mk_ivf_tables(spark, tmp_path)
+    S.ivf_index_build(ct, it, e.where(F.col("vec_id") % 2 == 0), "vec_id")
+    with _pytest.raises(ValueError, match="frozen"):
+        S.ivf_index_build(ct, it, e, "vec_id")
+
+
+def test_ivf_incremental_append_is_shuffle_free(spark, tmp_path):
+    """O(batch) contract: assignment against the stored quantizer is a
+    map-only literal projection — the assigned batch's physical plan
+    has no Exchange."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    ct, it = _mk_ivf_tables(spark, tmp_path)
+    S.ivf_index_build(ct, it, e.where(F.col("vec_id") % 2 == 0), "vec_id")
+    cents = S._stored_centroids(ct)
+    assert 0 < len(cents) <= 16
+    scored = S._cell_score_array("embedding", cents, 6)
+    assigned = e.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id", (-scored[0]["negcell"]).cast("int").alias("cell")
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ivf_incremental_probe_reads_only_probed_cells(spark, tmp_path):
+    """The probe's corpus read is manifest-pruned per cell: the planned
+    file set only contains cell=<probed>/ paths."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark)
+    ct, it = _mk_ivf_tables(spark, tmp_path)
+    S.ivf_index_build(ct, it, e.where(F.col("vec_id") % 2 == 0), "vec_id")
+    S.ivf_index_append(ct, it, e.where(F.col("vec_id") % 2 == 1), "vec_id")
+    queries = e.where(F.col("vec_id") < 3)
+    nprobe = 2
+    probe = S.ivf_index_probe(queries, ct, it, "vec_id", k=5, nprobe=nprobe)
+    files = set(probe.inputFiles())
+    index_files = {f for f in files if "/ivfi/" in f}
+    cells_read = {
+        seg.split("=", 1)[1]
+        for f in index_files
+        for seg in f.split("/")
+        if seg.startswith("cell=")
+    }
+    # ≤ |queries| · nprobe distinct cells; strictly fewer than all 16
+    assert 0 < len(cells_read) <= 3 * nprobe
+    all_cells = {
+        str(r.cell) for r in it.snapshot().select("cell").distinct().collect()
+    }
+    assert cells_read < all_cells
