@@ -106,7 +106,28 @@ HEADLINE = [
     "table_sql_ddl_lifecycle",
     "table_sql_ctas",
     "sql_session_statement_pipeline",
+    # born round 9
+    "table_sql_insert_overwrite",
+    "sql_catalog_table_changes",
+    "table_sql_truncate_restore",
+    "sql_catalog_pruned_cte",
+    "sim_ivf_incremental",
 ]
+
+# Rows timed every run but omitted from the printed driver line (see
+# the print-retirement note in main): fast, stable, family-redundant.
+PRINT_OMIT = {
+    "q05_topk",
+    "q07_sql_transformer",
+    "agg_tpch_q6",
+    "join_tpch_q19",
+    "join_tpch_q22",
+    "ts_moving_median",
+    "text_chunk_sliding",
+    "win_gaps_islands",
+    "sample_weighted_reservoir",
+    "table_delete_where",
+}
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,
 # shape-diverse queries (join, window, map-only text), each stamped
@@ -119,13 +140,13 @@ HEADLINE = [
 # other rows were measured under — a dedicated cold pre-pass measured
 # 1.3-2x high from session-start JIT/IO effects that one warm-up
 # repeat doesn't cover. Refs are sf0.1 medians from the PREVIOUS
-# round's driver bench (BENCH_r07 — re-stamped each round so the
+# round's driver bench (BENCH_r08 — re-stamped each round so the
 # factor always reads this-round weather vs last round), so the
 # sentinel is only stamped when benching sf0.1.
 SENTINEL_REF = {
-    "q02_flagship_join": 0.59,
-    "win_topk_per_group": 0.287,
-    "text_quality": 0.274,
+    "q02_flagship_join": 0.69,
+    "win_topk_per_group": 0.411,
+    "text_quality": 0.311,
 }
 
 
@@ -244,6 +265,17 @@ def main() -> None:
     printed["queries"] = {
         n: round(v, 2) for n, v in printed["queries"].items()
     }
+    # Deterministic print retirement (round 9): at 75 rows even the
+    # compact line outgrows the tail window, and the drop-fastest
+    # backstop below would cut a WEATHER-DEPENDENT row set — useless
+    # for round-over-round comparison. Instead a fixed set of fast
+    # (≲0.5 s at sf0.1), multi-round-stable rows whose operator family
+    # keeps other printed rows is omitted from the LINE only: they are
+    # still timed every run and recorded with full precision + spread
+    # in BENCH_SELF.json (committed), so nothing loses measurement —
+    # only the driver's parsed line narrows to the informative rows.
+    for n in PRINT_OMIT:
+        printed["queries"].pop(n, None)
     # two more printed-line-only compactions (67 rows ran ~1908 chars,
     # past the guard): an EMPTY errors map is omitted (absence == zero
     # errors; a non-empty one always prints), and the sentinel collapses

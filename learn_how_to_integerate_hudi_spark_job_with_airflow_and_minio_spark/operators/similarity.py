@@ -736,15 +736,25 @@ def _cell_score_array(
     centroids are literal expressions, so assignment and probing are
     map-only projections: no join, no shuffle, whatever the batch
     size — the per-row cost is |cells| · dim multiply-adds inside
-    whole-stage codegen."""
+    whole-stage codegen.
+
+    Expression-size discipline (the compile cost is paid per PLAN, so
+    it must stay constant): each centroid is ONE array literal (not
+    dim scalar literals), its norm is precomputed driver-side — a
+    plain left-to-right Python float sum, the same IEEE op sequence as
+    the engine's ``dot`` fold and the oracle's in-order SUM, so the
+    embedded literal is bit-identical to what either engine would
+    compute — and the row vector's norm subtree appears ONCE, shared
+    across cells, instead of 2·|cells| redundant folds."""
+    import math
+
+    vnorm = norm(F.col(vec_col))
     pairs = F.array(
         *(
             F.struct(
                 F.round(
-                    cosine(
-                        F.col(vec_col),
-                        F.array(*(F.lit(float(x)) for x in cv)),
-                    ),
+                    dot(F.col(vec_col), F.lit(cv))
+                    / (vnorm * F.lit(math.sqrt(sum(float(y) * float(y) for y in cv)))),
                     round_digits,
                 ).alias("score"),
                 F.lit(-cell).cast("int").alias("negcell"),
