@@ -112,6 +112,8 @@ HEADLINE = [
     "table_sql_truncate_restore",
     "sql_catalog_pruned_cte",
     "sim_ivf_incremental",
+    "table_sql_show_partitions",
+    "sql_session_cdc_merge_pipeline",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -120,10 +122,12 @@ PRINT_OMIT = {
     "q05_topk",
     "q07_sql_transformer",
     "agg_tpch_q6",
+    "join_tpch_q15",
     "join_tpch_q19",
     "join_tpch_q22",
     "ts_moving_median",
     "text_chunk_sliding",
+    "text_quality_classifier",
     "win_gaps_islands",
     "sample_weighted_reservoir",
     "table_delete_where",

@@ -77,6 +77,8 @@ _ROUND_PRIORITY: list[str] = [
     "table_sql_truncate_restore",
     "sql_catalog_pruned_cte",
     "sim_ivf_incremental",
+    "table_sql_show_partitions",
+    "sql_session_cdc_merge_pipeline",
     # (1) latest driver row = round 4 (the r8 spill, all 18)
     "stream_mor_delta_feed",
     "subquery_correlated",
@@ -122,8 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_variant_json",
     "sim_hard_negatives",
     "sim_label_centroid",
-    "sim_quantized_topk",
-    "skyline_pareto_2d",
 ]
 
 

@@ -1878,3 +1878,81 @@ def sql_catalog_pruned_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderstatus
         """,
     )
+
+
+@register(
+    "table_sql_show_partitions",
+    oracle="""
+        SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS partition
+        FROM orders
+    """,
+    doc="SHOW PARTITIONS through the SqlSession router (Hudi/Spark "
+    "SHOW PARTITIONS): distinct live partition tuples rendered "
+    "hive-style from the MANIFEST's per-file partition values — a "
+    "metadata-plane read that lists and opens zero data files; at 10^5 "
+    "files the answer comes from the already-loaded manifest entries",
+)
+def table_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_showp_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="ordshowp",
+    )
+    t.bulk_insert(orders)
+    sess = SqlSession(spark, tables={"ordshowp": t})
+    return sess.sql("SHOW PARTITIONS ordshowp")
+
+
+@register(
+    "sql_session_cdc_merge_pipeline",
+    oracle=_UPSERTED_SQL,
+    doc="the reference's incremental-ETL idiom in PURE SQL strings: "
+    "bronze takes a full load (commit 1) then the mod-5 update batch "
+    "(commit 2); gold is seeded with the commit-1 state; one MERGE "
+    "INTO gold USING (SELECT ... FROM table_changes(bronze, "
+    "'latest_state', '1')) folds exactly the changed keys forward — "
+    "the TVF binds the begin-exclusive incremental window (O(delta) "
+    "rows cross the statement, never the bronze table) and the merge "
+    "key-prunes gold's files; result equals the upserted snapshot",
+)
+def sql_session_cdc_merge_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    bpath = tempfile.mkdtemp(prefix="engine_cdcm_b_")
+    gpath = tempfile.mkdtemp(prefix="engine_cdcm_g_")
+    bronze = Table.create(
+        spark, bpath, key="o_orderkey", precombine="o_orderdate",
+        table_name="bronze_cdcm",
+    )
+    bronze.upsert(orders)
+    bronze.upsert(_update_batch(orders))
+    gold = Table.create(
+        spark, gpath, key="o_orderkey", precombine="o_orderdate",
+        table_name="gold_cdcm",
+    )
+    gold.upsert(orders)  # seeded with the commit-1 state
+    sess = SqlSession(spark, tables={"bronze_cdcm": bronze, "gold_cdcm": gold})
+    sess.sql(
+        """
+        MERGE INTO gold_cdcm USING (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate
+            FROM table_changes(bronze_cdcm, 'latest_state', '1')
+        ) s ON gold_cdcm.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET
+            o_custkey = s.o_custkey, o_orderstatus = s.o_orderstatus,
+            o_totalprice = s.o_totalprice, o_orderdate = s.o_orderdate
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    return gold.snapshot().drop(META_COL)

@@ -35,6 +35,7 @@ Grammar (case-insensitive keywords; clauses in any order after
     TRUNCATE TABLE <name>
     DROP TABLE [IF EXISTS] <name> [PURGE]
     SHOW TABLES
+    SHOW PARTITIONS <name>
     SHOW CREATE TABLE <name>
     DESCRIBE [EXTENDED] <name>               -- DESC accepted
 
@@ -479,6 +480,33 @@ def execute_ddl(
             for f in sorted(fs.list(t.path), reverse=True):
                 fs.delete(f)
         return None
+    m = re.match(
+        rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", s, re.IGNORECASE
+    )
+    if m:
+        # metadata-plane only (Hudi/Spark SHOW PARTITIONS): distinct
+        # live partition tuples from the MANIFEST's per-file partition
+        # values, rendered hive-style col=val[/col2=val2] in partition-
+        # field order — no data file is listed or opened
+        name = m.group(1).strip("`")
+        t = _lookup(catalog, name)
+        parts = t.meta.get("partition_fields") or []
+        if not parts:
+            raise ValueError(
+                f"SHOW PARTITIONS: table {name!r} is not partitioned"
+            )
+        seen = set()
+        for e in t.current_files():
+            pd_ = e.get("partition") or {}
+            seen.add(
+                "/".join(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if pd_.get(c) is None else pd_.get(c)}"
+                    for c in parts
+                )
+            )
+        return spark.createDataFrame(
+            [(p,) for p in sorted(seen)], "partition string"
+        )
     if re.match(r"SHOW\s+TABLES\s*$", s, re.IGNORECASE):
         return spark.createDataFrame(
             [

@@ -47,7 +47,7 @@ import re
 
 from pyspark.sql import SparkSession
 
-from .catalog_api import attach, sql_over
+from .catalog_api import _table_changes, attach, sql_over
 from .sql_ddl import execute_ddl
 from .sql_dml import call_procedure, execute
 from .sqltext import split_top
@@ -173,6 +173,12 @@ class SqlSession:
                 live = self._bind_views(self._referenced(s))
                 if live:
                     attach(self.spark, live)
+                # table_changes(...) inside the embedded query (MERGE
+                # USING (SELECT ... FROM table_changes(bronze, ...)) —
+                # the reference's incremental-ETL idiom in pure SQL)
+                # rewrites to a bound window view BEFORE the DML parse,
+                # exactly as the read route does
+                s = _table_changes(self.spark, s, live)
             return execute(self.spark, s, self.catalog)
         if kw in _DDL_KW:
             if kw == "CREATE":

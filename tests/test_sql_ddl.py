@@ -361,3 +361,47 @@ def test_unknown_statements_raise(spark, cat, tmp_path):
         execute_ddl(spark, "ANALYZE TABLE t COMPUTE STATISTICS", cat)
     with pytest.raises(ValueError, match="unknown table"):
         execute_ddl(spark, "DESCRIBE missing", cat)
+
+
+def test_show_partitions(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    t = Table.create(
+        spark, str(tmp_path / "sp"), key="k", precombine="v",
+        partition_fields=["p"], table_name="sp",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, None)], "k int, v int, p string"
+        )
+    )
+    cat = {"sp": t}
+    got = sorted(
+        r.partition
+        for r in execute_ddl(spark, "SHOW PARTITIONS sp", cat).collect()
+    )
+    # null partition value renders as the hive default sentinel
+    assert got == ["p=__HIVE_DEFAULT_PARTITION__", "p=a", "p=b"]
+    # a partition emptied by overwrite drops out (manifest-only read)
+    t.insert_overwrite(
+        spark.createDataFrame([(9, 2, "a", )], "k int, v int, p string"),
+        dynamic=False,
+    )
+    got = sorted(
+        r.partition
+        for r in execute_ddl(spark, "SHOW PARTITIONS sp", cat).collect()
+    )
+    assert got == ["p=a"]
+    # unpartitioned table raises
+    u = Table.create(
+        spark, str(tmp_path / "up"), key="k", precombine="v", table_name="up"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not partitioned"):
+        execute_ddl(spark, "SHOW PARTITIONS up", {"up": u})

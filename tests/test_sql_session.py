@@ -167,3 +167,46 @@ def test_strip_quoted():
     assert "weird" in s
     # unterminated quote: rest of string is blanked, no crash
     assert _strip_quoted("SELECT 'oops FROM a").startswith("SELECT")
+
+
+def test_merge_using_table_changes_tvf(spark, tmp_path):
+    """table_changes() inside a MERGE's USING subquery binds the
+    incremental window before the DML parse — the pure-SQL
+    incremental-ETL idiom."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_session import (
+        SqlSession,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    bt = Table.create(
+        spark, str(tmp_path / "b"), key="k", precombine="v", table_name="b"
+    )
+    c1 = bt.upsert(
+        spark.createDataFrame([(1, 1, 10.0), (2, 1, 20.0)], "k int, v int, amt double")
+    )
+    bt.upsert(
+        spark.createDataFrame([(2, 2, 99.0), (3, 1, 30.0)], "k int, v int, amt double")
+    )
+    gt = Table.create(
+        spark, str(tmp_path / "g"), key="k", precombine="v", table_name="g"
+    )
+    gt.upsert(
+        spark.createDataFrame([(1, 1, 10.0), (2, 1, 20.0)], "k int, v int, amt double")
+    )
+    sess = SqlSession(spark, tables={"bronze": bt, "gold": gt})
+    sess.sql(
+        f"""
+        MERGE INTO gold USING (
+            SELECT k, v, amt FROM table_changes(bronze, 'latest_state', '{c1}')
+        ) s ON gold.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert sorted((r.k, r.amt) for r in gt.snapshot().collect()) == [
+        (1, 10.0),
+        (2, 99.0),
+        (3, 30.0),
+    ]
