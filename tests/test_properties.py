@@ -294,3 +294,62 @@ def test_merge_into_matches_reference_model(
         elif act != "D":
             state[k] = (v, tagged)
     assert _snap(t) == state
+
+
+PART_ROW = st.tuples(
+    st.integers(min_value=0, max_value=7),   # key
+    st.integers(min_value=0, max_value=5),   # ver
+    st.sampled_from(["p0", "p1", "p2"]),     # partition value
+)
+PART_BATCH = st.lists(PART_ROW, min_size=1, max_size=12)
+
+
+def _mk_part(spark, tmp_base):
+    global _SEQ
+    _SEQ += 1
+    return Table.create(
+        spark, f"{tmp_base}/t{_SEQ}", key="id", precombine="ver",
+        partition_fields=["p"], table_name="t",
+    )
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, p) for k, v, p in rows], "id long, ver long, p string"
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=PART_BATCH,
+    repl=st.lists(PART_ROW, min_size=1, max_size=8, unique_by=lambda r: r[0]),
+)
+def test_dynamic_insert_overwrite_algebra(
+    spark, tmp_path_factory, base, repl
+):
+    """insert_overwrite(dynamic) ≡ precombine-dedup the base load, drop
+    every surviving row whose partition appears in the replacement
+    batch, then overlay the replacement rows (newer commit wins per
+    key at snapshot) — for ANY base/replacement. The replacement batch
+    carries unique keys: insert_overwrite is a REPLACE, it does not
+    precombine-dedup its input (duplicate keys within one overwrite
+    batch are the caller's contract)."""
+    t = _mk_part(spark, tmp_path_factory.mktemp("prop_iow"))
+    t.upsert(_pdf(spark, base))
+    t.insert_overwrite(_pdf(spark, repl), dynamic=True)
+    repl_parts = {p for _, _, p in repl}
+    expected = {}
+    for k, v, p in base:
+        if k not in expected or v >= expected[k][0]:
+            expected[k] = (v, p)
+    expected = {k: vp for k, vp in expected.items() if vp[1] not in repl_parts}
+    for k, v, p in repl:
+        expected[k] = (v, p)  # newer commit wins regardless of ver
+    got = {
+        r["id"]: (r["ver"], r["p"]) for r in t.snapshot().collect()
+    }
+    assert got == expected
