@@ -55,6 +55,10 @@ _HINT_OK = {
     "sim_hard_negatives",
     "sim_ivf_probe",
     "sim_ivf_recall",
+    # same |Q| contract: the vec_id < 10 query set feeds both the probe
+    # and the brute-force recall ground truth; the broadcast side is 10
+    # rows at any SF
+    "sim_ivf_incremental",
     "sim_lsh_ann",
     "sim_quantized_topk",
     "sim_topk_bruteforce",
