@@ -25,7 +25,7 @@ their WHEN/THEN tokens don't terminate a clause):
     | WHEN NOT MATCHED BY SOURCE [AND <expr>] THEN
           { UPDATE SET col = <expr>[, ...] | DELETE } }+
 
-    DELETE FROM <target> WHERE <expr>
+    DELETE FROM <target> [WHERE <expr>]
     UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
     INSERT INTO <target> [(col[, ...])] { SELECT ... | VALUES ... }
     INSERT OVERWRITE [TABLE] <target> [PARTITION (col = lit[, ...])]
@@ -314,7 +314,7 @@ def execute(
             evolve_schema=p["evolve_schema"],
         )
     m = re.match(
-        rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)$",
+        rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -322,7 +322,9 @@ def execute(
         name = m.group(1).strip("`")
         if name not in tables:
             raise ValueError(f"unknown DELETE target table {name!r}")
-        return tables[name].delete_where(m.group(2))
+        # WHERE omitted = delete every row (Spark/Hudi DELETE FROM t):
+        # one commit, time travel keeps the pre-delete state readable
+        return tables[name].delete_where(m.group(2) or "true")
     m = re.match(
         rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", s, re.IGNORECASE | re.DOTALL
     )

@@ -1019,3 +1019,11 @@ def test_insert_overwrite_rejections(spark, tpath):
             "VALUES (1, 1, 'a', 10.0)",
             {"t": t},
         )
+
+
+def test_delete_from_without_where_deletes_all(spark, tpath):
+    t = make(spark, tpath)
+    sql_dml.execute(spark, "DELETE FROM t", {"t": t})
+    assert t.snapshot().count() == 0
+    # one commit; pre-delete state still time-travels
+    assert t.snapshot(as_of=t.commits()[-2]).count() == 3
