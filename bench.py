@@ -114,6 +114,7 @@ HEADLINE = [
     "sim_ivf_incremental",
     "table_sql_show_partitions",
     "sql_session_cdc_merge_pipeline",
+    "table_expression_index_pruning",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -126,11 +127,13 @@ PRINT_OMIT = {
     "join_tpch_q19",
     "join_tpch_q22",
     "ts_moving_median",
+    "ts_anomaly_zscore",
     "text_chunk_sliding",
     "text_quality_classifier",
     "win_gaps_islands",
     "sample_weighted_reservoir",
     "table_delete_where",
+    "multimodal_features",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

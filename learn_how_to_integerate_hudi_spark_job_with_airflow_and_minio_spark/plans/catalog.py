@@ -79,6 +79,7 @@ _ROUND_PRIORITY: list[str] = [
     "sim_ivf_incremental",
     "table_sql_show_partitions",
     "sql_session_cdc_merge_pipeline",
+    "table_expression_index_pruning",
     # (1) latest driver row = round 4 (the r8 spill, all 18)
     "stream_mor_delta_feed",
     "subquery_correlated",
@@ -123,7 +124,6 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_try_functions",
     "scalar_variant_json",
     "sim_hard_negatives",
-    "sim_label_centroid",
 ]
 
 

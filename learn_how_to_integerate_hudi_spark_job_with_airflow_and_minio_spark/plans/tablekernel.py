@@ -1956,3 +1956,47 @@ def sql_session_cdc_merge_pipeline(
         """
     )
     return gold.snapshot().drop(META_COL)
+
+
+@register(
+    "table_expression_index_pruning",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spend
+        FROM orders
+        WHERE year(o_orderdate) = 1996
+        GROUP BY o_orderstatus
+    """,
+    doc="expression/functional index (Hudi 1.0 analog): the manifest's "
+    "per-column stats are blind to year(o_orderdate), so an async-"
+    "built index stores each file's min/max of the EXPRESSION; "
+    "read_where drops files whose envelope cannot satisfy the "
+    "year = 1996 conjunct before any scan is planned (3 of ~10 "
+    "date-clustered files at sf0.01, pinned in tests) — the same "
+    "prune-before-plan envelope as key stats, extended to computed "
+    "values; the exact predicate still applies afterwards",
+)
+def table_expression_index_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_exi_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_exi",
+    )
+    # date-clustered layout → tight per-file year envelopes
+    t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderdate")))
+    TableServices(t).build_expression_index("year(o_orderdate)")
+    return (
+        t.read_where("year(o_orderdate) = 1996")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("spend"),
+        )
+    )

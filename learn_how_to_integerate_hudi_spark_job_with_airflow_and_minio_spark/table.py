@@ -379,7 +379,10 @@ class Table:
     # -- reads ---------------------------------------------------------
 
     def snapshot(
-        self, filters: dict[str, Any] | None = None, as_of: str | None = None
+        self,
+        filters: dict[str, Any] | None = None,
+        as_of: str | None = None,
+        where_pred: str | None = None,
     ) -> DataFrame:
         """Latest version of every key (S4). ``filters`` ({col: value} or
         {col: (lo, hi)}) prunes files via manifest stats before the scan —
@@ -408,6 +411,16 @@ class Table:
                         entries = self._prune_by_secondary_index(
                             entries, col, v
                         )
+        if (
+            where_pred
+            and self.table_type != "mor"
+            and as_of is None
+        ):
+            # expression-index pruning (read_where passes the raw
+            # predicate): COW + current-state only — MOR must see every
+            # version before the merge picks winners, and the index
+            # describes current coverage, not historic states
+            entries = self._prune_by_expression_index(entries, where_pred)
         df = self._read_entries(entries, as_of=as_of)
         if self.table_type == "mor":
             df = self._merge_view(df)
@@ -518,9 +531,9 @@ class Table:
         every input.
         """
         filters = _filters_from_predicate(pred, self._schema(as_of=as_of))
-        return self.snapshot(filters=filters or None, as_of=as_of).where(
-            pred
-        )
+        return self.snapshot(
+            filters=filters or None, as_of=as_of, where_pred=pred
+        ).where(pred)
 
     def changes(self, begin: str | None, end: str | None = None) -> DataFrame:
         """CDC view over ``(begin, end]`` (Hudi cdc query type): one row
@@ -2378,6 +2391,114 @@ class Table:
             posixpath.join(base, f"secondary_{col}_meta.json"),
         )
 
+    def _expression_index_paths(self, name: str) -> tuple[str, str]:
+        base = posixpath.join(self.path, "_index")
+        return (
+            posixpath.join(base, f"expr_{name}"),
+            posixpath.join(base, f"expr_{name}_meta.json"),
+        )
+
+    def _expression_indexes(self) -> list[dict]:
+        """Registered expression-index metas (empty when none exist)."""
+        base = posixpath.join(self.path, "_index")
+        if not self.fs.exists(base):
+            return []
+        out = []
+        for p in self.fs.list(base):
+            fn = posixpath.basename(p)
+            if fn.startswith("expr_") and fn.endswith("_meta.json"):
+                out.append(read_json(p))
+        return out
+
+    def _prune_by_expression_index(
+        self, entries: list[dict], pred: str
+    ) -> list[dict]:
+        """Per-file [min,max] pruning on EXPRESSION values (Hudi 1.0
+        expression/functional index analog): where the manifest's
+        column stats are blind to ``month(ts) = 3`` or
+        ``lower(city) = 'x'``, an async-built index stores each file's
+        min/max of the expression and drops files whose envelope cannot
+        satisfy a top-level ``<expr> <op> <literal>`` conjunct.
+
+        Fail-closed everywhere: a top-level OR disables extraction; a
+        conjunct whose left side doesn't normalize to a registered
+        index expression contributes nothing; literal/stats type-class
+        mismatches skip the conjunct; null envelopes and files outside
+        the index's covered set always pass through to the exact
+        predicate (same staleness contract as the secondary index —
+        immutable data files stay correctly indexed forever, newer
+        uncovered files fall through)."""
+        metas = self._expression_indexes()
+        if not metas or _scan_top(pred, r"\bOR\b"):
+            return entries
+        conjs = []
+        for conj in _split_top(pred, r"\bAND\b"):
+            m = re.match(
+                r"^\s*(.+?)\s*(==|<=|>=|=|<|>)\s*"
+                r"('[^']*'|[+-]?(?:\d+\.?\d*|\.\d+)|true|false)\s*$",
+                conj,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                continue
+            lit_s = m.group(3)
+            lit: Any
+            if lit_s.startswith("'"):
+                lit = lit_s[1:-1]
+            elif lit_s.lower() in ("true", "false"):
+                lit = lit_s.lower() == "true"
+            elif re.fullmatch(r"[+-]?\d+", lit_s):
+                lit = int(lit_s)
+            else:
+                lit = float(lit_s)
+            conjs.append((_norm_expr_text(m.group(1)), m.group(2), lit))
+        if not conjs:
+            return entries
+        for meta in metas:
+            expr_norm = _norm_expr_text(meta["expr"])
+            for lhs, op, lit in conjs:
+                if lhs != expr_norm:
+                    continue
+                idx_dir, _ = self._expression_index_paths(meta["name"])
+                idx = self.spark.read.parquet(idx_dir)
+                dt = dict(idx.dtypes)
+                num = ("tinyint", "smallint", "int", "bigint", "float",
+                       "double", "decimal")
+                mdt = dt.get("_min", "")
+                ok = (
+                    (isinstance(lit, bool) and mdt == "boolean")
+                    or (isinstance(lit, (int, float))
+                        and not isinstance(lit, bool)
+                        and mdt.startswith(num))
+                    or (isinstance(lit, str) and mdt == "string")
+                )
+                if not ok:
+                    continue  # type-class mismatch → no pruning
+                v = F.lit(lit)
+                if op in ("=", "=="):
+                    cond = (F.col("_min") <= v) & (F.col("_max") >= v)
+                elif op == "<":
+                    cond = F.col("_min") < v
+                elif op == "<=":
+                    cond = F.col("_min") <= v
+                elif op == ">":
+                    cond = F.col("_max") > v
+                else:
+                    cond = F.col("_max") >= v
+                hits = (
+                    idx.where(F.coalesce(cond, F.lit(True)))
+                    .select("_f")
+                    .collect()
+                )
+                hit_paths = set(self._to_rel([r["_f"] for r in hits]))
+                covered = set(meta["files"])
+                entries = [
+                    e
+                    for e in entries
+                    if e["path"] not in covered or e["path"] in hit_paths
+                ]
+        return entries
+
     def _prune_by_secondary_index(
         self, entries: list[dict], col: str, value
     ) -> list[dict]:
@@ -2721,6 +2842,14 @@ def _filters_from_predicate(pred: str, schema: StructType | None) -> dict:
     return out
 
 
+def _norm_expr_text(s: str) -> str:
+    """Whitespace/backtick-insensitive, case-folded expression text —
+    the matching key between a registered expression index and a
+    predicate conjunct's left side. Strict by design: any difference
+    beyond spacing/quoting/case means no match (fail closed)."""
+    return re.sub(r"\s+|`", "", s).lower()
+
+
 def _stats_match(entry: dict, filters: dict[str, Any]) -> bool:
     stats = entry.get("stats", {})
     for col, cond in filters.items():
@@ -2896,6 +3025,64 @@ class TableServices:
             {
                 "as_of": as_of,
                 "column": col,
+                "files": sorted({*prev, *(e["path"] for e in entries)}),
+            },
+        )
+        return as_of
+
+    def build_expression_index(
+        self, expr: str, name: str | None = None, incremental: bool = False
+    ) -> str:
+        """Build or extend an EXPRESSION index (Hudi 1.0 expression/
+        functional index analog): one distributed scan of the
+        (not-yet-indexed) live files emitting each file's min/max of an
+        arbitrary Spark-SQL expression — ``month(o_orderdate)``,
+        ``lower(city)`` — written as a tiny ``(_f, _min, _max)``
+        parquet. Where the manifest's per-COLUMN stats are blind (a
+        function of a column has no stats), the envelope lets
+        :meth:`Table.read_where` drop files whose expression range
+        cannot satisfy a ``<expr> <op> <literal>`` conjunct — pruning
+        before planning, O(files) index size.
+
+        Same async/staleness contract as the record and secondary
+        indexes: data files are immutable so indexed files stay exact
+        forever; files written after the build fall through unpruned
+        until an ``incremental=True`` extension covers them. Returns
+        the commit the index is exact as of."""
+        t = self.t
+        as_of = t.latest_commit()
+        if as_of is None:
+            raise ValueError("cannot index an empty table")
+        if name is None:
+            name = re.sub(r"\W+", "_", expr).strip("_").lower()
+        idx_dir, meta_path = t._expression_index_paths(name)
+        entries = t.current_files()
+        prev: list[str] = []
+        if incremental and t.fs.exists(meta_path):
+            old = read_json(meta_path)
+            if _norm_expr_text(old["expr"]) != _norm_expr_text(expr):
+                raise ValueError(
+                    f"expression index {name!r} already exists for "
+                    f"{old['expr']!r}; refusing to extend it with "
+                    f"{expr!r}"
+                )
+            prev = old["files"]
+            entries = [e for e in entries if e["path"] not in set(prev)]
+        if entries:
+            df = t._read_entries(entries, with_file=True)
+            e = F.expr(expr)
+            (
+                df.groupBy(F.col("_file").alias("_f"))
+                .agg(F.min(e).alias("_min"), F.max(e).alias("_max"))
+                .write.mode("append" if prev else "overwrite")
+                .parquet(idx_dir)
+            )
+        write_json(
+            meta_path,
+            {
+                "as_of": as_of,
+                "expr": expr,
+                "name": name,
                 "files": sorted({*prev, *(e["path"] for e in entries)}),
             },
         )

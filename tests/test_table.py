@@ -1535,3 +1535,82 @@ def test_read_where_mor_restricts_to_key_stats(spark, tpath):
     assert got == [
         (5, "v5"), (6, "v6"), (7, "NEW"), (8, "v8"), (9, "v9")
     ]
+
+
+# -- expression index ------------------------------------------------------
+
+
+def test_expression_index_prunes_and_stays_exact(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+        TableServices,
+    )
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    t = Table.create(
+        spark, str(tmp_path / "exi"), key="o_orderkey",
+        precombine="o_orderdate", table_name="exi", max_records_per_file=2000,
+    )
+    t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderdate")))
+    TableServices(t).build_expression_index("year(o_orderdate)")
+    pred = "year(o_orderdate) = 1996 AND o_totalprice > 0"
+    pruned = t.read_where(pred)
+    plain = t.snapshot().where(pred)
+    assert pruned.count() == plain.count() > 0
+    assert 0 < len(pruned.inputFiles()) < len(t.snapshot().inputFiles())
+    # range operators prune too
+    r = t.read_where("year(o_orderdate) >= 2000")
+    assert r.count() == t.snapshot().where("year(o_orderdate) >= 2000").count()
+    assert len(r.inputFiles()) < len(t.snapshot().inputFiles())
+    # an absent year prunes to zero files
+    assert t.read_where("year(o_orderdate) = 2023").count() == 0
+
+
+def test_expression_index_staleness_and_fail_closed(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+        TableServices,
+    )
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    t = Table.create(
+        spark, str(tmp_path / "exi2"), key="o_orderkey",
+        precombine="o_orderdate", table_name="exi2",
+    )
+    t.bulk_insert(orders.repartitionByRange(4, F.col("o_orderdate")))
+    TableServices(t).build_expression_index("year(o_orderdate)")
+    pred = "year(o_orderdate) = 1996"
+    # files written AFTER the build are uncovered → fall through unpruned
+    t.upsert(
+        orders.limit(5).withColumn(
+            "o_orderdate", F.expr("timestamp'1996-06-01'")
+        )
+    )
+    assert t.read_where(pred).count() == t.snapshot().where(pred).count()
+    # incremental extension covers them
+    TableServices(t).build_expression_index(
+        "year(o_orderdate)", incremental=True
+    )
+    assert t.read_where(pred).count() == t.snapshot().where(pred).count()
+    # extending an index name with a DIFFERENT expression refuses
+    with _pytest.raises(ValueError, match="refusing to extend"):
+        TableServices(t).build_expression_index(
+            "month(o_orderdate)", name="year_o_orderdate", incremental=True
+        )
+    # fail-closed: type-class mismatch and unmatched expressions prune
+    # nothing (results still exact)
+    assert (
+        t.read_where("year(o_orderdate) = '1996'").count()
+        == t.snapshot().where("year(o_orderdate) = '1996'").count()
+    )
+    assert (
+        t.read_where("month(o_orderdate) = 6").count()
+        == t.snapshot().where("month(o_orderdate) = 6").count()
+    )
