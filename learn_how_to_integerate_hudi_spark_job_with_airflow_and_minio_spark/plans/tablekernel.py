@@ -1975,11 +1975,15 @@ def sql_session_cdc_merge_pipeline(
     "year = 1996 conjunct before any scan is planned (3 of ~10 "
     "date-clustered files at sf0.01, pinned in tests) — the same "
     "prune-before-plan envelope as key stats, extended to computed "
-    "values; the exact predicate still applies afterwards",
+    "values; the exact predicate still applies afterwards. The index "
+    "is built through the SQL surface (Hudi 1.0's CREATE INDEX ... "
+    "USING expression_index), so the whole path is statement-drivable",
 )
 def table_expression_index_pruning(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..sql_session import SqlSession
+
     orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
     path = tempfile.mkdtemp(prefix="engine_exi_")
     t = Table.create(
@@ -1988,7 +1992,10 @@ def table_expression_index_pruning(
     )
     # date-clustered layout → tight per-file year envelopes
     t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderdate")))
-    TableServices(t).build_expression_index("year(o_orderdate)")
+    SqlSession(spark, tables={"orders_exi": t}).sql(
+        "CREATE INDEX order_year ON orders_exi "
+        "USING expression_index(year(o_orderdate))"
+    )
     return (
         t.read_where("year(o_orderdate) = 1996")
         .groupBy(F.col("o_orderstatus").alias("status"))

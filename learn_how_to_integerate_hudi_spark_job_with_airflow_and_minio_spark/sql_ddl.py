@@ -32,6 +32,9 @@ Grammar (case-insensitive keywords; clauses in any order after
     ALTER TABLE <name> DROP COLUMN <col>
     ALTER TABLE <name> SET TBLPROPERTIES (k = v[, ...])
     ALTER TABLE <name> RENAME TO <newname>
+    CREATE INDEX <name> ON [TABLE] <table>
+        USING { record_index() | secondary_index(col)
+              | expression_index(<expr>) }
     TRUNCATE TABLE <name>
     DROP TABLE [IF EXISTS] <name> [PURGE]
     SHOW TABLES
@@ -388,6 +391,45 @@ def execute_ddl(
     s = stmt.strip().rstrip(";")
     if re.match(r"CREATE\s+TABLE\b", s, re.IGNORECASE):
         return _create(spark, _parse_create(s), catalog, base_dir)
+    m = re.match(
+        rf"CREATE\s+INDEX\s+({_IDENT})\s+ON\s+(?:TABLE\s+)?({_IDENT})"
+        r"\s+USING\s+([A-Za-z_]+)\s*\((.*)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # Hudi 1.0's CREATE INDEX family over the engine's async
+        # indexers: record_index() (key→file map), secondary_index(col)
+        # (value→files map), expression_index(<spark-sql expr>)
+        # (per-file min/max envelope of a computed value). Returns the
+        # commit the index is exact as of; files written later fall
+        # through unpruned until the index is rebuilt.
+        from .table import TableServices
+
+        name = m.group(1).strip("`")
+        t = _lookup(catalog, m.group(2))
+        kind = m.group(3).lower()
+        arg = m.group(4).strip()
+        svc = TableServices(t)
+        if kind == "record_index":
+            if arg:
+                raise ValueError("record_index() takes no arguments")
+            return svc.build_record_index()
+        if kind == "secondary_index":
+            cm = re.fullmatch(rf"({_IDENT})", arg)
+            if not cm:
+                raise ValueError(
+                    f"secondary_index takes one column name, got {arg!r}"
+                )
+            return svc.build_secondary_index(cm.group(1).strip("`"))
+        if kind in ("expression_index", "column_stats"):
+            if not arg:
+                raise ValueError("expression_index needs an expression")
+            return svc.build_expression_index(arg, name=name)
+        raise ValueError(
+            f"unknown index kind {kind!r}: use record_index / "
+            "secondary_index / expression_index"
+        )
     m = re.match(
         rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", s, re.IGNORECASE | re.DOTALL
     )

@@ -405,3 +405,56 @@ def test_show_partitions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not partitioned"):
         execute_ddl(spark, "SHOW PARTITIONS up", {"up": u})
+
+
+def test_create_index_statements(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    t = Table.create(
+        spark, str(tmp_path / "ci"), key="o_orderkey",
+        precombine="o_orderdate", table_name="ci", max_records_per_file=300,
+    )
+    t.bulk_insert(orders.repartitionByRange(4, F.col("o_orderdate")))
+    cat = {"ci": t}
+    # all three kinds build and return the as-of commit
+    c1 = execute_ddl(
+        spark, "CREATE INDEX ri ON ci USING record_index()", cat
+    )
+    c2 = execute_ddl(
+        spark,
+        "CREATE INDEX st ON TABLE ci USING secondary_index(o_orderstatus)",
+        cat,
+    )
+    c3 = execute_ddl(
+        spark,
+        "CREATE INDEX oy ON ci USING expression_index(year(o_orderdate))",
+        cat,
+    )
+    assert c1 == c2 == c3 == t.latest_commit()
+    # the expression index registered under the DECLARED name and prunes
+    assert any(
+        m["name"] == "oy" for m in t._expression_indexes()
+    )
+    pruned = t.read_where("year(o_orderdate) = 1996")
+    assert pruned.count() == t.snapshot().where(
+        "year(o_orderdate) = 1996"
+    ).count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown index kind"):
+        execute_ddl(spark, "CREATE INDEX x ON ci USING bloom(o_orderkey)", cat)
+    with _pytest.raises(ValueError, match="no arguments"):
+        execute_ddl(spark, "CREATE INDEX x ON ci USING record_index(k)", cat)
+    with _pytest.raises(ValueError, match="one column name"):
+        execute_ddl(
+            spark, "CREATE INDEX x ON ci USING secondary_index(a+b)", cat
+        )
