@@ -35,7 +35,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .sqltext import IDENT, scan_top, split_top
-from .table import Table, _filters_from_predicate
+from .table import Table, _filters_from_predicate, _norm_expr_text
 
 
 def attach(
@@ -229,6 +229,28 @@ def _time_travel(
         last = i = m.end()
     pieces.append(query[last:])
     return "".join(pieces), out
+
+
+_EXPRLIT_RX = re.compile(
+    rf"^\s*(.+?)\s*(==|<=|>=|=|<|>)\s*({_LITERAL})\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _pred_hits_expression_index(pred: str, t: Table) -> bool:
+    """True when any top-level conjunct's left side matches one of the
+    table's registered expression indexes — the signal that a fragment
+    with no column-stats filters is still worth routing through
+    :meth:`Table.read_where`."""
+    metas = t._expression_indexes()
+    if not metas:
+        return False
+    exprs = {_norm_expr_text(m["expr"]) for m in metas}
+    for conj in split_top(pred, r"\bAND\b"):
+        m = _EXPRLIT_RX.match(conj)
+        if m and _norm_expr_text(m.group(1)) in exprs:
+            return True
+    return False
 
 
 _TC_RX = re.compile(
@@ -496,6 +518,30 @@ def _auto_where(
                     alias if f.name not in col_owner else None
                 )
     out: dict[str, list[str]] = {}
+    # expression-index pass, SINGLE-relation queries only: a conjunct
+    # whose left side normalizes to one of the view's REGISTERED
+    # expression indexes attributes verbatim — with one relation every
+    # column belongs to it, and a registered index expression is a
+    # deterministic column function by the build contract, so
+    # pre-applying the conjunct on the binding equals applying it after
+    # the join-free FROM. Multi-relation queries stay out (a function's
+    # argument columns can't be attributed textually), as does any
+    # conjunct whose text doesn't exactly match a registered expression.
+    if len(all_rels) == 1 and all_attached:
+        only = next(iter(all_rels.values()))
+        exprs = {
+            _norm_expr_text(m["expr"])
+            for m in tables[only]._expression_indexes()
+        }
+        if exprs:
+            for conj in split_top(pred, r"\bAND\b"):
+                if _QCOL_RX.match(conj):
+                    continue  # the plain col-op-literal pass owns it
+                m = _EXPRLIT_RX.match(conj)
+                if m and _norm_expr_text(m.group(1)) in exprs:
+                    out.setdefault(only, []).append(
+                        f"{m.group(1).strip()} {m.group(2)} {m.group(3)}"
+                    )
     for conj in split_top(pred, r"\bAND\b"):
         m = _QCOL_RX.match(conj)
         if not m:
@@ -561,7 +607,10 @@ def sql_over(
             # commit — fail closed rather than prune against the wrong
             # stats generation
             if name not in travel
-            and _filters_from_predicate(pred, opened[name]._schema())
+            and (
+                _filters_from_predicate(pred, opened[name]._schema())
+                or _pred_hits_expression_index(pred, opened[name])
+            )
         } or None
     attach(spark, opened, where=where, as_of=travel or None)
     return spark.sql(query)

@@ -1992,18 +1992,22 @@ def table_expression_index_pruning(
     )
     # date-clustered layout → tight per-file year envelopes
     t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderdate")))
-    SqlSession(spark, tables={"orders_exi": t}).sql(
+    sess = SqlSession(spark, tables={"orders_exi": t})
+    sess.sql(
         "CREATE INDEX order_year ON orders_exi "
         "USING expression_index(year(o_orderdate))"
     )
-    return (
-        t.read_where("year(o_orderdate) = 1996")
-        .groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("string")
-            .cast("double")
-            .alias("spend"),
-        )
+    # the SELECT string auto-prunes: the single-relation expression
+    # conjunct matches the registered index, so the view binds through
+    # read_where with the envelope consulted — no API call anywhere
+    return sess.sql(
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS STRING) AS DOUBLE) AS spend
+        FROM orders_exi
+        WHERE year(o_orderdate) = 1996
+        GROUP BY o_orderstatus
+        """
     )

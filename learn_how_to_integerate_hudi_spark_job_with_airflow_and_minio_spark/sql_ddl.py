@@ -35,6 +35,7 @@ Grammar (case-insensitive keywords; clauses in any order after
     CREATE INDEX <name> ON [TABLE] <table>
         USING { record_index() | secondary_index(col)
               | expression_index(<expr>) }
+    DROP INDEX <name> ON [TABLE] <table>
     TRUNCATE TABLE <name>
     DROP TABLE [IF EXISTS] <name> [PURGE]
     SHOW TABLES
@@ -430,6 +431,31 @@ def execute_ddl(
             f"unknown index kind {kind!r}: use record_index / "
             "secondary_index / expression_index"
         )
+    m = re.match(
+        rf"DROP\s+INDEX\s+({_IDENT})\s+ON\s+(?:TABLE\s+)?({_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        # metadata-plane removal: reads consult an index only when its
+        # meta file exists, so deleting the directory is the whole op.
+        # Accepts an expression-index NAME, a secondary-indexed COLUMN
+        # name, or the literal ``record_index``.
+        name = m.group(1).strip("`")
+        t = _lookup(catalog, m.group(2))
+        candidates = [
+            t._expression_index_paths(name),
+            t._secondary_index_paths(name),
+        ]
+        if name.lower() == "record_index":
+            candidates.insert(0, t._record_index_paths())
+        for idx_dir, meta_path in candidates:
+            if t.fs.exists(meta_path):
+                for p in sorted(t.fs.list(idx_dir), reverse=True):
+                    t.fs.delete(p)
+                t.fs.delete(meta_path)
+                return None
+        raise ValueError(f"no index {name!r} on table {m.group(2)!r}")
     m = re.match(
         rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", s, re.IGNORECASE | re.DOTALL
     )

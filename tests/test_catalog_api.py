@@ -546,3 +546,51 @@ def test_auto_where_cte_fail_closed_shapes(spark, two_tables):
     assert _auto_where(
         "WITH x SELECT * FROM eng_o WHERE ok = 5", tabs
     ) == {}
+
+
+def test_auto_where_expression_index_single_relation(spark, tmp_path):
+    """A single-relation SQL string whose conjunct text matches a
+    registered expression index binds the view manifest-pruned; the
+    same conjunct in a multi-relation query extracts nothing."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.01/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    t = Table.create(
+        spark, str(tmp_path / "exiq"), key="o_orderkey",
+        precombine="o_orderdate", table_name="exiq",
+        max_records_per_file=2000,
+    )
+    t.bulk_insert(orders.repartitionByRange(8, F.col("o_orderdate")))
+    TableServices(t).build_expression_index("year(o_orderdate)")
+    q = (
+        "SELECT count(*) AS n FROM eo "
+        "WHERE year(o_orderdate) = 1996 AND o_totalprice > 100"
+    )
+    got = _auto_where(q, {"eo": t})
+    assert "year(o_orderdate) = 1996" in got["eo"]
+    n = sql_over(spark, {"eo": t}, q).collect()[0].n
+    pruned = len(spark.table("eo").inputFiles())
+    assert pruned < len(t.snapshot().inputFiles())
+    attach(spark, {"eo": t})
+    assert n == spark.sql(q).collect()[0].n
+    # multi-relation: the expression conjunct is NOT attributed
+    t2 = Table.create(
+        spark, str(tmp_path / "d2"), key="k", precombine="v", table_name="d2"
+    )
+    t2.bulk_insert(spark.createDataFrame([(1, 1)], "k long, v long"))
+    got2 = _auto_where(
+        "SELECT count(*) AS n FROM eo, d2 WHERE year(o_orderdate) = 1996",
+        {"eo": t, "d2": t2},
+    )
+    assert "eo" not in got2
+    # an unregistered expression extracts nothing even single-relation
+    got3 = _auto_where(
+        "SELECT count(*) AS n FROM eo WHERE month(o_orderdate) = 6",
+        {"eo": t},
+    )
+    assert got3 == {}

@@ -458,3 +458,29 @@ def test_create_index_statements(spark, tmp_path):
         execute_ddl(
             spark, "CREATE INDEX x ON ci USING secondary_index(a+b)", cat
         )
+
+
+def test_drop_index_statement(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+    import pytest as _pytest
+
+    t = Table.create(
+        spark, str(tmp_path / "di"), key="k", precombine="v", table_name="di"
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "k int, v int, s string"))
+    cat = {"di": t}
+    execute_ddl(spark, "CREATE INDEX sx ON di USING secondary_index(s)", cat)
+    execute_ddl(
+        spark, "CREATE INDEX ky ON di USING expression_index(upper(s))", cat
+    )
+    assert execute_ddl(spark, "DROP INDEX ky ON di", cat) is None
+    assert t._expression_indexes() == []
+    # secondary index drops by its COLUMN name
+    assert execute_ddl(spark, "DROP INDEX s ON di", cat) is None
+    with _pytest.raises(ValueError, match="no index"):
+        execute_ddl(spark, "DROP INDEX nope ON di", cat)
