@@ -161,6 +161,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Scratch hygiene (r9): table-building rows mkdtemp their tables and
+    # never clean them, so a day of bench/pytest runs accumulates
+    # gigabytes under /tmp whose background writeback then stalls WRITE
+    # rows mid-bench (measured: two adjacent incremental rows at 2.4-3x
+    # while the read-only sentinel sat at 1.002 — classic dirty-page
+    # pressure, reproduced clean at 1.2x after clearing /tmp). Route
+    # this run's scratch into one dedicated dir and clear the PREVIOUS
+    # run's before any timing starts.
+    import shutil
+    import tempfile as _tf
+
+    scratch = os.path.join(_tf.gettempdir(), "engine_bench_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    _tf.tempdir = scratch
     spark = build_session(app_name="engine-bench")
     qmap = catalog.queries()
 
