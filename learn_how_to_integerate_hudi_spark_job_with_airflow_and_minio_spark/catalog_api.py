@@ -260,6 +260,46 @@ _TC_RX = re.compile(
 )
 
 
+def tc_referenced_names(stmt: str) -> set[str]:
+    """View names referenced by ``table_changes(...)`` calls in the
+    statement — found with the SAME quote/comment-aware walk as the
+    rewriter, so a call spelled inside a string literal or a comment
+    contributes nothing (it will not be rewritten either)."""
+    out: set[str] = set()
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in ("'", '"', "`"):
+            j = stmt.find(c, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if stmt.startswith("--", i):
+            j = stmt.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if stmt.startswith("/*", i):
+            j = stmt.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        at_boundary = not (
+            i > 0
+            and (
+                stmt[i - 1] in "$."
+                or stmt[i - 1].isalnum()
+                or stmt[i - 1] == "_"
+            )
+        )
+        m = _TC_RX.match(stmt, i) if at_boundary else None
+        if m:
+            out.add(
+                (m.group(1) if m.group(1) is not None else m.group(2)).strip("`")
+            )
+            i = m.end()
+            continue
+        i += 1
+    return out
+
+
 def _table_changes(
     spark: SparkSession, query: str, tables: dict[str, Table]
 ) -> str:

@@ -840,9 +840,12 @@ def ivf_index_append(
     to the index in one commit. The stored quantizer is collected
     (≤ 2^bits rows) into literal expressions, so the assignment is a
     map-only projection over the batch — O(batch) work, zero shuffle,
-    corpus size absent from the cost. Ids are expected unique across
-    batches (a corpus index); the keyed snapshot resolves accidental
-    re-ingest toward the newest commit."""
+    corpus size absent from the cost. CALLER CONTRACT: ids must be
+    unique across batches (a corpus index). Appends are pure inserts —
+    the COW index table does no per-key merge at read, so a re-ingested
+    id would surface twice in probe candidate sets; dedup upstream (or
+    route re-ingests through ``index_table.upsert``, paying its keyed
+    merge) when the source can replay."""
     cents = _stored_centroids(centroids_table)
     if not cents:
         raise ValueError("no centroids stored — run ivf_index_build first")
@@ -896,6 +899,13 @@ def ivf_index_probe(
     probed = sorted(
         r["cell"] for r in q.select("cell").distinct().collect()
     )
+    if not probed:
+        # zero queries (or none with a vector): an empty result with
+        # the contract schema, not a reduce() crash
+        return q.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine double, rank int",
+        )
     from functools import reduce
 
     corpus = reduce(

@@ -415,6 +415,14 @@ def execute_ddl(
         if kind == "record_index":
             if arg:
                 raise ValueError("record_index() takes no arguments")
+            if name.lower() != "record_index":
+                # the kernel stores this index under ONE canonical name;
+                # accepting any declared name would leave DROP INDEX
+                # <declared-name> unresolvable
+                raise ValueError(
+                    "the record index's name is canonical: use "
+                    "CREATE INDEX record_index ON ... USING record_index()"
+                )
             return svc.build_record_index()
         if kind == "secondary_index":
             cm = re.fullmatch(rf"({_IDENT})", arg)
@@ -422,7 +430,16 @@ def execute_ddl(
                 raise ValueError(
                     f"secondary_index takes one column name, got {arg!r}"
                 )
-            return svc.build_secondary_index(cm.group(1).strip("`"))
+            col = cm.group(1).strip("`")
+            if name != col:
+                # secondary indexes are stored and consulted BY COLUMN;
+                # a divergent declared name would make the symmetric
+                # DROP INDEX <name> fail
+                raise ValueError(
+                    f"a secondary index is named by its column: use "
+                    f"CREATE INDEX {col} ON ... USING secondary_index({col})"
+                )
+            return svc.build_secondary_index(col)
         if kind in ("expression_index", "column_stats"):
             if not arg:
                 raise ValueError("expression_index needs an expression")
@@ -440,7 +457,11 @@ def execute_ddl(
         # metadata-plane removal: reads consult an index only when its
         # meta file exists, so deleting the directory is the whole op.
         # Accepts an expression-index NAME, a secondary-indexed COLUMN
-        # name, or the literal ``record_index``.
+        # name, or the literal ``record_index``; resolution order is
+        # record → expression → secondary (CREATE enforces canonical
+        # names for record/secondary, so a clash means the user named
+        # an expression index after an indexed column — the expression
+        # index wins and a second DROP removes the secondary one).
         name = m.group(1).strip("`")
         t = _lookup(catalog, m.group(2))
         candidates = [

@@ -427,11 +427,29 @@ def execute(
         if verb == "INTO":
             return t.upsert(out)
         if static:
-            # a fully-static PARTITION spec constructs a batch that
-            # lives entirely in the named partition — the dynamic
-            # kernel then replaces exactly that partition (Spark's
-            # static-spec INSERT OVERWRITE semantics)
-            return t.insert_overwrite(out, dynamic=True)
+            # a fully-static PARTITION spec replaces exactly the NAMED
+            # partition — resolved from the SPEC, not the batch, so an
+            # empty SELECT still clears it (Spark's static-spec INSERT
+            # OVERWRITE contract). The hive-codec value comes from
+            # casting the literal through the TABLE's partition column
+            # type then to string (a 1-row driver evaluation), so '5'
+            # against a double partition column matches the '5.0' the
+            # writer's directory layout uses.
+            by_name = (
+                {f.name: f.dataType for f in schema.fields}
+                if schema is not None
+                else {}
+            )
+            hive: dict[str, str | None] = {}
+            for pcol, lit in static.items():
+                c = F.expr(lit)
+                if pcol in by_name:
+                    c = c.cast(by_name[pcol])
+                v = spark.range(1).select(c.cast("string").alias("v")).first()["v"]
+                hive[pcol] = v
+            return t.insert_overwrite(
+                out, dynamic=True, static_partitions=hive
+            )
         mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )

@@ -120,12 +120,12 @@ class SqlSession:
         tokens = {m.group(0) for m in _WORD.finditer(_strip_quoted(stmt))}
         # table_changes('name', ...) names its view inside a QUOTED
         # string (Hudi's TVF form), which the token scan blanks — pull
-        # those names back in so the rewriter finds its handle bound
-        from .catalog_api import _TC_RX
+        # those names back in with the rewriter's own quote/comment-
+        # aware walk, so TVF text sitting inside a string literal or a
+        # comment (which the rewriter would not touch) binds nothing
+        from .catalog_api import tc_referenced_names
 
-        for m in _TC_RX.finditer(stmt):
-            if m.group(1) is not None:
-                tokens.add(m.group(1))
+        tokens |= tc_referenced_names(stmt)
         return {n: t for n, t in self.catalog.items() if n in tokens}
 
     def _bind_views(self, refs: dict[str, Table]) -> dict[str, Table]:

@@ -860,15 +860,24 @@ class Table:
         self._publish(commit, "bulk_insert", added, [], stamped.schema)
         return commit
 
-    def insert_overwrite(self, df: DataFrame, dynamic: bool = True) -> str:
+    def insert_overwrite(
+        self,
+        df: DataFrame,
+        dynamic: bool = True,
+        static_partitions: dict[str, str | None] | None = None,
+    ) -> str:
         """Hudi 'insert_overwrite' op: replace table content in one commit.
 
         ``dynamic=True`` on a partitioned table replaces ONLY the
         partitions present in the batch (Spark's dynamic
         partitionOverwriteMode semantics — the reference sets exactly
         that conf for its upsert shape); otherwise the whole table is
-        replaced. Pure manifest surgery plus a normal file write — old
-        files stay readable for time travel until cleaned.
+        replaced. ``static_partitions`` ({col: hive-string value, None
+        = the null partition}) replaces exactly the NAMED partition
+        regardless of the batch — Spark's static PARTITION-spec
+        contract: an empty batch still clears it. Pure manifest surgery
+        plus a normal file write — old files stay readable for time
+        travel until cleaned.
         """
         self._validate_batch(df, need_precombine=False)
         df = self._gate_constraints(df)
@@ -876,7 +885,31 @@ class Table:
         stamped = df.withColumn(META_COL, F.lit(commit))
         parts = self.meta.get("partition_fields") or []
         entries = self.current_files()
-        if dynamic and parts and entries:
+
+        def entry_part(e: dict):
+            pd_ = e.get("partition")
+            if pd_ is None or any(c not in pd_ for c in parts):
+                # pre-``partition``-field manifest entry, or a file
+                # written under an OLDER partition spec (evolution):
+                # can't attribute it to a current-spec partition →
+                # conservatively keep (duplicates are recoverable;
+                # deleting another spec's data is not). The missing-
+                # key check matters: ``.get`` would surface None,
+                # which collides with the hive null sentinel.
+                return None
+            return tuple(pd_.get(c) for c in parts)
+
+        if static_partitions is not None and parts and entries:
+            if sorted(static_partitions) != sorted(parts):
+                raise ValueError(
+                    f"static_partitions must name exactly the partition "
+                    f"fields {sorted(parts)}"
+                )
+            target = tuple(static_partitions.get(c) for c in parts)
+            removed = [
+                e["path"] for e in entries if entry_part(e) == target
+            ]
+        elif dynamic and parts and entries:
             # Compare in ONE codec: Spark's string cast of a partition
             # value equals the unquoted hive directory segment for every
             # partitionable type (int '5', date '2024-01-01', timestamp
@@ -891,20 +924,6 @@ class Table:
                 .collect()
             )
             batch_parts = {tuple(r[c] for c in parts) for r in vals}
-
-            def entry_part(e: dict):
-                pd_ = e.get("partition")
-                if pd_ is None or any(c not in pd_ for c in parts):
-                    # pre-``partition``-field manifest entry, or a file
-                    # written under an OLDER partition spec (evolution):
-                    # can't attribute it to a current-spec partition →
-                    # conservatively keep (duplicates are recoverable;
-                    # deleting another spec's data is not). The missing-
-                    # key check matters: ``.get`` would surface None,
-                    # which collides with the hive null sentinel.
-                    return None
-                return tuple(pd_.get(c) for c in parts)
-
             removed = [
                 e["path"]
                 for e in entries
@@ -2455,16 +2474,25 @@ class Table:
         if not conjs:
             return entries
         for meta in metas:
+            if not meta.get("files"):
+                # index built while the table had zero live files (e.g.
+                # right after TRUNCATE): the parquet dir was never
+                # written — nothing is covered, nothing to prune
+                continue
             expr_norm = _norm_expr_text(meta["expr"])
-            for lhs, op, lit in conjs:
-                if lhs != expr_norm:
-                    continue
-                idx_dir, _ = self._expression_index_paths(meta["name"])
-                idx = self.spark.read.parquet(idx_dir)
-                dt = dict(idx.dtypes)
-                num = ("tinyint", "smallint", "int", "bigint", "float",
-                       "double", "decimal")
-                mdt = dt.get("_min", "")
+            matched = [(op, lit) for lhs, op, lit in conjs if lhs == expr_norm]
+            if not matched:
+                continue
+            # one read + one collect per index, however many conjuncts
+            # reference it: the conditions AND together (all are
+            # required conjuncts of the same predicate)
+            idx_dir, _ = self._expression_index_paths(meta["name"])
+            idx = self.spark.read.parquet(idx_dir)
+            mdt = dict(idx.dtypes).get("_min", "")
+            num = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal")
+            cond = None
+            for op, lit in matched:
                 ok = (
                     (isinstance(lit, bool) and mdt == "boolean")
                     or (isinstance(lit, (int, float))
@@ -2473,30 +2501,30 @@ class Table:
                     or (isinstance(lit, str) and mdt == "string")
                 )
                 if not ok:
-                    continue  # type-class mismatch → no pruning
+                    continue  # type-class mismatch → this conjunct skips
                 v = F.lit(lit)
                 if op in ("=", "=="):
-                    cond = (F.col("_min") <= v) & (F.col("_max") >= v)
+                    c = (F.col("_min") <= v) & (F.col("_max") >= v)
                 elif op == "<":
-                    cond = F.col("_min") < v
+                    c = F.col("_min") < v
                 elif op == "<=":
-                    cond = F.col("_min") <= v
+                    c = F.col("_min") <= v
                 elif op == ">":
-                    cond = F.col("_max") > v
+                    c = F.col("_max") > v
                 else:
-                    cond = F.col("_max") >= v
-                hits = (
-                    idx.where(F.coalesce(cond, F.lit(True)))
-                    .select("_f")
-                    .collect()
-                )
-                hit_paths = set(self._to_rel([r["_f"] for r in hits]))
-                covered = set(meta["files"])
-                entries = [
-                    e
-                    for e in entries
-                    if e["path"] not in covered or e["path"] in hit_paths
-                ]
+                    c = F.col("_max") >= v
+                c = F.coalesce(c, F.lit(True))  # null envelope → keep
+                cond = c if cond is None else (cond & c)
+            if cond is None:
+                continue
+            hits = idx.where(cond).select("_f").collect()
+            hit_paths = set(self._to_rel([r["_f"] for r in hits]))
+            covered = set(meta["files"])
+            entries = [
+                e
+                for e in entries
+                if e["path"] not in covered or e["path"] in hit_paths
+            ]
         return entries
 
     def _prune_by_secondary_index(

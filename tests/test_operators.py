@@ -628,3 +628,19 @@ def test_ivf_incremental_probe_reads_only_probed_cells(spark, tmp_path):
         str(r.cell) for r in it.snapshot().select("cell").distinct().collect()
     }
     assert cells_read < all_cells
+
+
+def test_ivf_incremental_probe_empty_queries(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, "0.001")
+    ct, it = _mk_ivf_tables(spark, tmp_path)
+    S.ivf_index_build(ct, it, e, "vec_id")
+    out = S.ivf_index_probe(
+        e.where(F.col("vec_id") < 0), ct, it, "vec_id", k=5, nprobe=2
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]

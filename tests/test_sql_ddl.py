@@ -425,13 +425,15 @@ def test_create_index_statements(spark, tmp_path):
     )
     t.bulk_insert(orders.repartitionByRange(4, F.col("o_orderdate")))
     cat = {"ci": t}
-    # all three kinds build and return the as-of commit
+    # all three kinds build and return the as-of commit (record and
+    # secondary indexes carry canonical names — see the raise tests)
     c1 = execute_ddl(
-        spark, "CREATE INDEX ri ON ci USING record_index()", cat
+        spark, "CREATE INDEX record_index ON ci USING record_index()", cat
     )
     c2 = execute_ddl(
         spark,
-        "CREATE INDEX st ON TABLE ci USING secondary_index(o_orderstatus)",
+        "CREATE INDEX o_orderstatus ON TABLE ci "
+        "USING secondary_index(o_orderstatus)",
         cat,
     )
     c3 = execute_ddl(
@@ -458,6 +460,14 @@ def test_create_index_statements(spark, tmp_path):
         execute_ddl(
             spark, "CREATE INDEX x ON ci USING secondary_index(a+b)", cat
         )
+    # canonical-name enforcement: a divergent declared name would make
+    # the symmetric DROP INDEX <name> unresolvable
+    with _pytest.raises(ValueError, match="named by its column"):
+        execute_ddl(
+            spark, "CREATE INDEX st ON ci USING secondary_index(o_orderstatus)", cat
+        )
+    with _pytest.raises(ValueError, match="name is canonical"):
+        execute_ddl(spark, "CREATE INDEX ri ON ci USING record_index()", cat)
 
 
 def test_drop_index_statement(spark, tmp_path):
@@ -474,7 +484,7 @@ def test_drop_index_statement(spark, tmp_path):
     )
     t.bulk_insert(spark.createDataFrame([(1, 1, "a")], "k int, v int, s string"))
     cat = {"di": t}
-    execute_ddl(spark, "CREATE INDEX sx ON di USING secondary_index(s)", cat)
+    execute_ddl(spark, "CREATE INDEX s ON di USING secondary_index(s)", cat)
     execute_ddl(
         spark, "CREATE INDEX ky ON di USING expression_index(upper(s))", cat
     )
@@ -484,3 +494,36 @@ def test_drop_index_statement(spark, tmp_path):
     assert execute_ddl(spark, "DROP INDEX s ON di", cat) is None
     with _pytest.raises(ValueError, match="no index"):
         execute_ddl(spark, "DROP INDEX nope ON di", cat)
+
+
+def test_expression_index_on_empty_table_state_is_harmless(spark, tmp_path):
+    """Building an expression index while the table has zero live files
+    (post-TRUNCATE) writes meta with no parquet; later reads must fall
+    through unpruned, not crash on the missing index directory."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    t = Table.create(
+        spark, str(tmp_path / "ei"), key="k", precombine="v", table_name="ei"
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "2024-03-01")], "k int, v int, d string"
+        ).selectExpr("k", "v", "CAST(d AS timestamp) AS d")
+    )
+    cat = {"ei": t}
+    execute_ddl(spark, "TRUNCATE TABLE ei", cat)
+    execute_ddl(
+        spark, "CREATE INDEX yd ON ei USING expression_index(year(d))", cat
+    )
+    # new rows after the empty-state build: uncovered → exact results
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, "2023-05-01")], "k int, v int, d string"
+        ).selectExpr("k", "v", "CAST(d AS timestamp) AS d")
+    )
+    assert t.read_where("year(d) = 2023").count() == 1

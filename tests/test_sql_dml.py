@@ -1027,3 +1027,46 @@ def test_delete_from_without_where_deletes_all(spark, tpath):
     assert t.snapshot().count() == 0
     # one commit; pre-delete state still time-travels
     assert t.snapshot(as_of=t.commits()[-2]).count() == 3
+
+
+def test_insert_overwrite_static_spec_empty_select_clears_partition(
+    spark, tpath
+):
+    """Spark's static-spec contract: the NAMED partition clears even
+    when the query produces zero rows (removal resolves from the spec,
+    never the batch)."""
+    t = make_part(spark, tpath)
+    spark.createDataFrame(
+        [], "id long, ver long, amt double"
+    ).createOrReplaceTempView("iow_empty_src")
+    sql_dml.execute(
+        spark,
+        "INSERT OVERWRITE t PARTITION (p = 'a') "
+        "SELECT id, ver, amt FROM iow_empty_src",
+        {"t": t},
+    )
+    assert psnap(t) == [(3, "b", 30.0)]
+
+
+def test_insert_overwrite_static_spec_literal_codec(spark, tmp_path):
+    """A static spec literal casts through the TABLE's partition type
+    before matching directories: '5' against a double partition column
+    must clear the '5.0' partition."""
+    t = Table.create(
+        spark, str(tmp_path / "pc"), key="id", precombine="ver",
+        partition_fields=["p"], table_name="pc",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, 5.0, 10.0), (2, 1, 6.0, 20.0)],
+            "id long, ver long, p double, amt double",
+        )
+    )
+    sql_dml.execute(
+        spark,
+        "INSERT OVERWRITE pc PARTITION (p = 5) "
+        "SELECT 9 AS id, 2 AS ver, 90.0 AS amt",
+        {"pc": t},
+    )
+    got = sorted((r.id, r.p, r.amt) for r in t.snapshot().collect())
+    assert got == [(2, 6.0, 20.0), (9, 5.0, 90.0)]

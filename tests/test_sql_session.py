@@ -210,3 +210,21 @@ def test_merge_using_table_changes_tvf(spark, tmp_path):
         (2, 99.0),
         (3, 30.0),
     ]
+
+
+def test_tvf_text_inside_string_literal_binds_nothing(spark, tmp_path):
+    """table_changes text inside a string literal must not trigger a
+    manifest replay / snapshot attach for the named table."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.catalog_api import (
+        tc_referenced_names,
+    )
+
+    assert tc_referenced_names(
+        "SELECT 'ran table_changes(''bronze'', ''cdc'', ''1'')' AS lit"
+    ) == set()
+    assert tc_referenced_names(
+        "-- table_changes(bronze, 'cdc', '1')\nSELECT 1"
+    ) == set()
+    assert tc_referenced_names(
+        "SELECT * FROM table_changes('bronze', 'latest_state', '1')"
+    ) == {"bronze"}
