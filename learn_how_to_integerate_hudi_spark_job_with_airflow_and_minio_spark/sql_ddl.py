@@ -34,12 +34,14 @@ Grammar (case-insensitive keywords; clauses in any order after
     ALTER TABLE <name> RENAME TO <newname>
     CREATE INDEX <name> ON [TABLE] <table>
         USING { record_index() | secondary_index(col)
-              | expression_index(<expr>) }
+              | expression_index(<expr>) | bloom_index() }
     DROP INDEX <name> ON [TABLE] <table>
+    ALTER TABLE <name> DROP PARTITION (col = lit[, ...])
     TRUNCATE TABLE <name>
     DROP TABLE [IF EXISTS] <name> [PURGE]
     SHOW TABLES
     SHOW PARTITIONS <name>
+    SHOW INDEXES [ON|FROM] <name>
     SHOW CREATE TABLE <name>
     DESCRIBE [EXTENDED] <name>               -- DESC accepted
 
@@ -444,9 +446,21 @@ def execute_ddl(
             if not arg:
                 raise ValueError("expression_index needs an expression")
             return svc.build_expression_index(arg, name=name)
+        if kind in ("bloom_index", "bloom_filters"):
+            # per-file key membership filters (hoodie.index.type=BLOOM,
+            # Hudi 1.0's bloom_filters index type): enables the flag and
+            # backfills sidecars for pre-existing commits
+            if arg:
+                raise ValueError("bloom_index() takes no arguments")
+            if name.lower() != "bloom_index":
+                raise ValueError(
+                    "the bloom index's name is canonical: use "
+                    "CREATE INDEX bloom_index ON ... USING bloom_index()"
+                )
+            return svc.build_bloom_index()
         raise ValueError(
             f"unknown index kind {kind!r}: use record_index / "
-            "secondary_index / expression_index"
+            "secondary_index / expression_index / bloom_index"
         )
     m = re.match(
         rf"DROP\s+INDEX\s+({_IDENT})\s+ON\s+(?:TABLE\s+)?({_IDENT})\s*$",
@@ -464,6 +478,13 @@ def execute_ddl(
         # index wins and a second DROP removes the secondary one).
         name = m.group(1).strip("`")
         t = _lookup(catalog, m.group(2))
+        if name.lower() == "bloom_index":
+            from .table import TableServices
+
+            if t.meta.get("index_type") != "bloom":
+                raise ValueError(f"no index {name!r} on table {m.group(2)!r}")
+            TableServices(t).drop_bloom_index()
+            return None
         candidates = [
             t._expression_index_paths(name),
             t._secondary_index_paths(name),
@@ -483,6 +504,30 @@ def execute_ddl(
     if m:
         t = _lookup(catalog, m.group(1))
         body = m.group(2).strip()
+        pm = re.match(
+            r"DROP\s+(IF\s+EXISTS\s+)?PARTITION\s*", body, re.IGNORECASE
+        )
+        if pm:
+            # Spark/Hudi ALTER TABLE … DROP PARTITION: one manifest-only
+            # commit retires the named partition's live files (see
+            # Table.delete_partition — O(manifest) at any data size,
+            # time travel preserved). Literals go through the same
+            # table-typed hive codec as static INSERT OVERWRITE specs.
+            from .sql_dml import _parse_partition_spec, partition_spec_to_hive
+
+            inner, end = _clause_paren(body, pm.end())
+            if body[end:].strip():
+                raise ValueError(
+                    f"trailing text after DROP PARTITION: {body[end:][:40]!r}"
+                )
+            if not (t.meta.get("partition_fields") or []):
+                raise ValueError(
+                    f"DROP PARTITION on unpartitioned table "
+                    f"{m.group(1).strip('`')!r}"
+                )
+            static = _parse_partition_spec(inner, t)
+            hive = partition_spec_to_hive(spark, t.effective_schema(), static)
+            return t.delete_partition(hive, missing_ok=bool(pm.group(1)))
         am = re.match(r"ADD\s+COLUMNS\s*", body, re.IGNORECASE)
         if am:
             inner, end = _clause_paren(body, am.end())
@@ -595,6 +640,36 @@ def execute_ddl(
             )
         return spark.createDataFrame(
             [(p,) for p in sorted(seen)], "partition string"
+        )
+    m = re.match(
+        rf"SHOW\s+INDEXES\s+(?:ON\s+|FROM\s+)?({_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        # metadata-plane (Hudi 1.0 SHOW INDEXES): every index structure
+        # the kernel would consult, from meta flags and the _index/
+        # directory — no data file opened. One row per index:
+        # (index_name, index_type, target) where target is the indexed
+        # column (record/secondary/bloom) or expression text.
+        name = m.group(1).strip("`")
+        t = _lookup(catalog, name)
+        rows: list[tuple[str, str, str]] = []
+        if t.meta.get("index_type") == "bloom":
+            rows.append(("bloom_index", "bloom", t.key))
+        if t.fs.exists(t._record_index_paths()[1]):
+            rows.append(("record_index", "record", t.key))
+        for e in t._expression_indexes():
+            rows.append((e["name"], "expression", e["expr"]))
+        base = posixpath.join(t.path, "_index")
+        if t.fs.exists(base):
+            for p in t.fs.list(base):
+                fn = posixpath.basename(p)
+                sm = re.fullmatch(r"secondary_(.+)_meta\.json", fn)
+                if sm:
+                    rows.append((sm.group(1), "secondary", sm.group(1)))
+        return spark.createDataFrame(
+            sorted(rows), "index_name string, index_type string, target string"
         )
     if re.match(r"SHOW\s+TABLES\s*$", s, re.IGNORECASE):
         return spark.createDataFrame(

@@ -284,6 +284,31 @@ def _parse_partition_spec(spec: str, t: Table) -> dict[str, str]:
     return out
 
 
+def partition_spec_to_hive(
+    spark: SparkSession, schema, static: dict[str, str]
+) -> dict[str, str | None]:
+    """Static PARTITION-spec literals → the writer's hive-string codec.
+
+    Each literal is cast through the TABLE's partition column type and
+    then to string (a 1-row driver evaluation), so ``'5'`` against a
+    double partition column yields the ``'5.0'`` the directory layout
+    uses, and a NULL literal maps to the hive null sentinel (None)."""
+    by_name = (
+        {f.name: f.dataType for f in schema.fields}
+        if schema is not None
+        else {}
+    )
+    hive: dict[str, str | None] = {}
+    for pcol, lit in static.items():
+        c = F.expr(lit)
+        if pcol in by_name:
+            c = c.cast(by_name[pcol])
+        hive[pcol] = (
+            spark.range(1).select(c.cast("string").alias("v")).first()["v"]
+        )
+    return hive
+
+
 def execute(
     spark: SparkSession, stmt: str, tables: dict[str, Table]
 ) -> str:
@@ -435,18 +460,7 @@ def execute(
             # type then to string (a 1-row driver evaluation), so '5'
             # against a double partition column matches the '5.0' the
             # writer's directory layout uses.
-            by_name = (
-                {f.name: f.dataType for f in schema.fields}
-                if schema is not None
-                else {}
-            )
-            hive: dict[str, str | None] = {}
-            for pcol, lit in static.items():
-                c = F.expr(lit)
-                if pcol in by_name:
-                    c = c.cast(by_name[pcol])
-                v = spark.range(1).select(c.cast("string").alias("v")).first()["v"]
-                hive[pcol] = v
+            hive = partition_spec_to_hive(spark, schema, static)
             return t.insert_overwrite(
                 out, dynamic=True, static_partitions=hive
             )

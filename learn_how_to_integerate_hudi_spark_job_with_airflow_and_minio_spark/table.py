@@ -91,6 +91,11 @@ class Table:
         # batches); drained — unpersisted — by _publish so cached blocks
         # never outlive the commit they served.
         self._pending_unpersist: list[DataFrame] = []
+        # per-commit bloom sidecars, loaded at most once per handle
+        # (sidecars are immutable once written — see _prune_by_bloom)
+        self._bloom_sidecars: dict[str, dict] = {}
+        # last bloom-prune outcome, for tests and the bench demo
+        self._last_bloom_prune: dict[str, int] | None = None
 
     # -- lifecycle -----------------------------------------------------
 
@@ -107,9 +112,19 @@ class Table:
         exists_ok: bool = False,
         table_type: str = "cow",
         constraints: dict[str, str] | None = None,
+        index_type: str | None = None,
     ) -> "Table":
         if table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
+        if index_type not in (None, "bloom"):
+            # the range/stats prune and the record/secondary/expression
+            # indexes are always-on services, not creation-time modes;
+            # "bloom" (the reference's hoodie.index.type=BLOOM,
+            # create_hudi_tables.py write configs) is the one opt-in —
+            # it adds a key-column read per written file at commit time
+            raise ValueError(
+                f"index_type must be None or 'bloom', got {index_type!r}"
+            )
         meta_path = posixpath.join(path.rstrip("/"), "_table.json")
         fs = fs_for(path)
         if fs.exists(meta_path):
@@ -130,6 +145,8 @@ class Table:
             "constraints": constraints or {},
             "created_at": _utcnow(),
         }
+        if index_type:
+            meta["index_type"] = index_type
         write_json(meta_path, meta)
         return cls(spark, path, meta)
 
@@ -411,6 +428,15 @@ class Table:
                         entries = self._prune_by_secondary_index(
                             entries, col, v
                         )
+                        if col == self.key and isinstance(
+                            v, (int, str)
+                        ) and not isinstance(v, bool):
+                            # key-equality point lookup: per-file bloom
+                            # membership (guarded to types whose str()
+                            # canonicalization matches the build side)
+                            entries = self._prune_by_bloom_value(
+                                entries, v
+                            )
         if (
             where_pred
             and self.table_type != "mor"
@@ -886,18 +912,10 @@ class Table:
         parts = self.meta.get("partition_fields") or []
         entries = self.current_files()
 
-        def entry_part(e: dict):
-            pd_ = e.get("partition")
-            if pd_ is None or any(c not in pd_ for c in parts):
-                # pre-``partition``-field manifest entry, or a file
-                # written under an OLDER partition spec (evolution):
-                # can't attribute it to a current-spec partition →
-                # conservatively keep (duplicates are recoverable;
-                # deleting another spec's data is not). The missing-
-                # key check matters: ``.get`` would surface None,
-                # which collides with the hive null sentinel.
-                return None
-            return tuple(pd_.get(c) for c in parts)
+        # conservative attribution (None = keep): see _entry_partition —
+        # the missing-key check there matters because ``.get`` would
+        # surface None, which collides with the hive null sentinel
+        entry_part = self._entry_partition
 
         if static_partitions is not None and parts and entries:
             if sorted(static_partitions) != sorted(parts):
@@ -933,6 +951,58 @@ class Table:
             removed = [e["path"] for e in entries]
         added = self._write_files(stamped, commit)
         self._publish(commit, "insert_overwrite", added, removed, stamped.schema)
+        return commit
+
+    def _entry_partition(self, e: dict) -> tuple | None:
+        """Current-spec partition tuple of a manifest entry, or None for
+        a file that can't be attributed (pre-``partition``-field entry,
+        or written under an older spec after partition evolution) —
+        callers must treat None as 'keep conservatively'."""
+        parts = self.meta.get("partition_fields") or []
+        pd_ = e.get("partition")
+        if pd_ is None or any(c not in pd_ for c in parts):
+            return None
+        return tuple(pd_.get(c) for c in parts)
+
+    def delete_partition(
+        self, spec: dict[str, str | None], missing_ok: bool = False
+    ) -> str | None:
+        """Drop one partition in a single MANIFEST-ONLY commit (Hudi's
+        ``delete_partition`` write operation / Spark SQL ``ALTER TABLE
+        … DROP PARTITION``). ``spec`` maps every partition field to its
+        hive-string value (None = the null partition), the same codec
+        as :meth:`insert_overwrite`'s ``static_partitions``.
+
+        No data file is read, written, or deleted: the commit retires
+        the partition's live files from the manifest, so the drop costs
+        O(manifest) at any data size; time travel to earlier commits
+        still reads the rows, and the cleaner reclaims the bytes on its
+        retention schedule. Files that can't be attributed to a
+        current-spec partition (partition evolution) are conservatively
+        kept — deleting another spec's data is unrecoverable.
+        """
+        parts = self.meta.get("partition_fields") or []
+        if not parts:
+            raise ValueError("delete_partition on an unpartitioned table")
+        if sorted(spec) != sorted(parts):
+            raise ValueError(
+                f"partition spec must name exactly the partition "
+                f"fields {sorted(parts)}, got {sorted(spec)}"
+            )
+        target = tuple(spec.get(c) for c in parts)
+        removed = [
+            e["path"]
+            for e in self.current_files()
+            if self._entry_partition(e) == target
+        ]
+        if not removed:
+            if missing_ok:
+                return None  # IF EXISTS: no partition, no commit
+            raise ValueError(f"no live partition matches {spec!r}")
+        commit = self._next_commit()
+        self._publish(
+            commit, "delete_partition", [], removed, self._schema()
+        )
         return commit
 
     def delete(self, keys_df: DataFrame) -> str:
@@ -2337,10 +2407,17 @@ class Table:
         A/B at sf0.1: merge commit 1.07 s → 0.81 s with the gate). At the
         10⁵-file scale the prune exists for, the gate never triggers."""
         if len(entries) <= PRUNE_MIN_FILES:
-            return self._prune_by_record_index(entries, keys)
+            # bloom (when the table opted in) still runs under the range-
+            # prune gate: membership beats min/max exactly when ranges
+            # can't discriminate, regardless of file count
+            return self._prune_by_record_index(
+                self._prune_by_bloom(entries, keys), keys
+            )
         stats_entries = [e for e in entries if self.key in e.get("stats", {})]
         if len(stats_entries) != len(entries):
-            return entries  # some files lack stats → can't prune safely
+            # some files lack key stats → range prune can't run safely;
+            # membership filters are per-file and unaffected
+            return self._prune_by_bloom(entries, keys)
         row = keys.agg(
             F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
         ).collect()[0]
@@ -2352,7 +2429,148 @@ class Table:
             fmin, fmax = e["stats"][self.key]
             if fmin is None or fmax is None or not (hi < fmin or lo > fmax):
                 out.append(e)
-        return self._prune_by_record_index(out, keys)
+        return self._prune_by_record_index(
+            self._prune_by_bloom(out, keys), keys
+        )
+
+    # -- bloom file index (Hudi hoodie.index.type=BLOOM analog) ---------
+
+    def _bloom_dir(self) -> str:
+        return posixpath.join(self.path, "_index", "bloom")
+
+    def _bloom_sidecar_path(self, commit: str) -> str:
+        return posixpath.join(self._bloom_dir(), f"{commit}.json")
+
+    def _bloom_write_key(self, schema: StructType) -> str | None:
+        """Key column to bloom-index at write time, or None. Opt-in via
+        ``index_type='bloom'`` at create (the reference's
+        ``hoodie.index.type = BLOOM`` write config,
+        ``create_hudi_tables.py`` storage knobs) or a later
+        :meth:`TableServices.build_bloom_index`. Only integral/string
+        keys are filtered — their canonical ``str()`` form agrees
+        between the pyarrow build side and the Spark probe side; other
+        key types simply stay uncovered (range stats still apply)."""
+        if self.meta.get("index_type") != "bloom":
+            return None
+        field = next((f for f in schema.fields if f.name == self.key), None)
+        if field is None:
+            return None
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        ok = (ByteType, ShortType, IntegerType, LongType, StringType)
+        return self.key if isinstance(field.dataType, ok) else None
+
+    def _bloom_for_entries(
+        self, entries: list[dict]
+    ) -> list[dict | None]:
+        """Per-entry bloom dict (or None = uncovered), from the per-
+        commit sidecars. Sidecars are immutable once written, so they
+        cache on the handle; a missing sidecar or missing file entry
+        means 'uncovered' — kept, never mis-pruned."""
+        out: list[dict | None] = []
+        for e in entries:
+            path = e["path"]
+            if not path.startswith("data/"):
+                out.append(None)  # external bootstrap file
+                continue
+            commit = path.split("/", 2)[1].split("-", 1)[0]
+            if commit not in self._bloom_sidecars:
+                sp = self._bloom_sidecar_path(commit)
+                try:
+                    self._bloom_sidecars[commit] = (
+                        read_json(sp) if self.fs.exists(sp) else {"files": {}}
+                    )
+                except Exception:
+                    self._bloom_sidecars[commit] = {"files": {}}
+            out.append(self._bloom_sidecars[commit]["files"].get(path))
+        return out
+
+    def _prune_by_bloom(
+        self, entries: list[dict], keys: DataFrame
+    ) -> list[dict]:
+        """Per-file MEMBERSHIP pruning of merge candidates (the Hudi
+        BLOOM index step). Range stats drop a file only when the batch
+        envelope misses its [min, max]; on an interleaved key layout —
+        every file spanning the whole domain — that keeps everything,
+        and a scattered point-update batch rewrites nothing yet reads
+        the world. Testing batch keys against per-file filters keeps
+        only files that MIGHT hold a touched key (false positives cost
+        one extra file read; false negatives are impossible for covered
+        files).
+
+        Distributed probe: candidate filters broadcast (capped at
+        :data:`.bloom.BLOOM_BROADCAST_CAP` bytes — past ~50k covered
+        files the record index is the right tool, mirroring Hudi's own
+        BLOOM → record-index escalation), keys hashed + tested map-only
+        with a per-partition distinct, one tiny collect of hit file
+        ids. No shuffle, O(|batch| × candidates) bit tests.
+        """
+        if self.meta.get("index_type") != "bloom" or not entries:
+            return entries
+        blooms = self._bloom_for_entries(entries)
+        covered = [i for i, b in enumerate(blooms) if b is not None]
+        if not covered:
+            return entries
+        from .bloom import (
+            BLOOM_BROADCAST_CAP,
+            bloom_decode,
+            files_hit,
+            hash_pairs_array,
+        )
+
+        total_bytes = sum(blooms[i]["m"] // 8 for i in covered)
+        if total_bytes > BLOOM_BROADCAST_CAP:
+            return entries
+        decoded = [(i, *bloom_decode(blooms[i])) for i in covered]
+        sc = self.spark.sparkContext
+        bc = sc.broadcast(decoded)
+
+        def probe(rows):
+            vals = [r[0] for r in rows]
+            if not vals:
+                return
+            h1, h2 = hash_pairs_array(vals)
+            yield from files_hit(h1, h2, bc.value)
+
+        hit = set(
+            keys.select(self.key).rdd.mapPartitions(probe).distinct().collect()
+        )
+        covered_set = set(covered)
+        kept = [
+            e
+            for i, e in enumerate(entries)
+            if i not in covered_set or i in hit
+        ]
+        self._last_bloom_prune = {
+            "candidates": len(entries),
+            "covered": len(covered),
+            "kept": len(kept),
+        }
+        return kept
+
+    def _prune_by_bloom_value(
+        self, entries: list[dict], value
+    ) -> list[dict]:
+        """Read-side point-lookup pruning: drop covered files whose
+        filter excludes ``value`` (a key-equality snapshot filter).
+        Driver-side — one key × k probes per candidate, cheaper than
+        the manifest loop that produced ``entries``."""
+        if self.meta.get("index_type") != "bloom" or not entries:
+            return entries
+        from .bloom import bloom_decode, files_hit, hash_pairs_array
+
+        blooms = self._bloom_for_entries(entries)
+        h1, h2 = hash_pairs_array([value])
+        out = []
+        for e, b in zip(entries, blooms):
+            if b is None or files_hit(h1, h2, [(0, *bloom_decode(b))]):
+                out.append(e)
+        return out
 
     # -- record-level index (Hudi record index analog) -----------------
 
@@ -2597,7 +2815,22 @@ class Table:
             if p.endswith(".parquet") and "/_" not in p[len(out_dir):]
         ]
         stats_cols = [self.key, self.precombine, META_COL]
-        stats = self._collect_stats(files, df.schema, stats_cols)
+        bloom_key = self._bloom_write_key(df.schema)
+        stats = self._collect_stats(
+            files, df.schema, stats_cols, bloom_key=bloom_key
+        )
+        if bloom_key:
+            # one sidecar per commit, beside (not inside) the manifest:
+            # filters are ~KBs per file and would bloat every timeline
+            # replay if inlined; immutable files make the sidecar exact
+            # forever (record-index covered-set contract)
+            blooms = {}
+            for p in files:
+                b = stats.get(p, {}).pop("bloom", None)
+                if b is not None:
+                    blooms[posixpath.join(rel_dir, os.path.relpath(p, out_dir))] = b
+            if blooms:
+                write_json(self._bloom_sidecar_path(commit), {"files": blooms})
         out = []
         for p in files:
             rel_file = os.path.relpath(p, out_dir)
@@ -2634,7 +2867,11 @@ class Table:
         return out
 
     def _collect_stats(
-        self, files: list[str], schema: StructType, stats_cols: list[str]
+        self,
+        files: list[str],
+        schema: StructType,
+        stats_cols: list[str],
+        bloom_key: str | None = None,
     ) -> dict[str, dict]:
         """Per-file row count + min/max stats from Parquet FOOTERS, read
         on executors (``sc.parallelize`` over the file list — per-file
@@ -2642,20 +2879,36 @@ class Table:
         reads never touch data pages, and distributing them removes the
         O(files) driver loop from the commit path: the driver only
         assembles the manifest from the collected per-file rows.
+
+        ``bloom_key`` additionally builds a per-file bloom filter over
+        that column in the SAME pass (one single-column read of a file
+        this writer just produced — O(new data), executor-side; see
+        :mod:`.bloom`). The filter rides back under a ``"bloom"`` key
+        that :meth:`_write_files` strips into the commit sidecar.
         """
         if not files:
             return {}
         cols = [c for c in stats_cols if c in {f.name for f in schema.fields}]
-        if len(files) <= 64:
+
+        def one(p: str) -> dict:
+            st = _footer_stats(p, cols)
+            if bloom_key:
+                from .bloom import bloom_for_parquet_file
+
+                b = bloom_for_parquet_file(p, bloom_key)
+                if b is not None:
+                    st["bloom"] = b
+            return st
+
+        if len(files) <= 64 and not bloom_key:
             # small commit: footer reads are microseconds each — a cluster
-            # job would cost more in scheduling than it saves
-            return {p: _footer_stats(p, cols) for p in files}
+            # job would cost more in scheduling than it saves (bloom
+            # builds DO read a data column, so they always distribute)
+            return {p: one(p) for p in files}
         sc = self.spark.sparkContext
         nslices = max(1, min(len(files), 256))
         pairs = (
-            sc.parallelize(files, nslices)
-            .map(lambda p: (p, _footer_stats(p, cols)))
-            .collect()
+            sc.parallelize(files, nslices).map(lambda p: (p, one(p))).collect()
         )
         return dict(pairs)
 
@@ -2952,6 +3205,75 @@ class TableServices:
         for c in archivable:
             t.fs.delete(posixpath.join(t._commits_dir(), f"{c}.json"))
         return archivable
+
+    def build_bloom_index(self) -> str | None:
+        """Enable + backfill the per-file bloom key filters
+        (:mod:`.bloom` — the reference's ``hoodie.index.type = BLOOM``).
+
+        Enabling is a meta flag: every LATER commit builds its filters
+        inline with the write's stats pass. The backfill here covers
+        commits written BEFORE the flag: live files grouped by commit,
+        filters built in one distributed pass per uncovered commit
+        (O(live data not yet covered), single key column read — async
+        service, the write path is never slowed down). Inherently
+        incremental: sidecars are per-commit and immutable, so a re-run
+        only touches commits still missing one. Returns the newest
+        covered commit, or None for an empty table.
+        """
+        t = self.t
+        if t.meta.get("index_type") != "bloom":
+            t.meta["index_type"] = "bloom"
+            write_json(posixpath.join(t.path, "_table.json"), t.meta)
+        schema = t.effective_schema()
+        if schema is None:
+            return None
+        if t._bloom_write_key(schema) is None:
+            raise ValueError(
+                f"bloom index needs an integral/string record key; "
+                f"{t.key!r} is neither"
+            )
+        entries = t.current_files()
+        by_commit: dict[str, list[str]] = {}
+        for e in entries:
+            p = e["path"]
+            if not p.startswith("data/"):
+                continue  # external bootstrap file — stays uncovered
+            by_commit.setdefault(p.split("/", 2)[1].split("-", 1)[0], []).append(p)
+        from .bloom import bloom_for_parquet_file
+
+        key = t.key
+        newest = None
+        for commit in sorted(by_commit):
+            newest = commit
+            sp = t._bloom_sidecar_path(commit)
+            if t.fs.exists(sp):
+                continue
+            rels = by_commit[commit]
+            abss = [t._abs(r) for r in rels]
+            sc = t.spark.sparkContext
+            nslices = max(1, min(len(abss), 256))
+            built = (
+                sc.parallelize(list(zip(rels, abss)), nslices)
+                .map(lambda ra: (ra[0], bloom_for_parquet_file(ra[1], key)))
+                .collect()
+            )
+            blooms = {r: b for r, b in built if b is not None}
+            write_json(sp, {"files": blooms})
+            t._bloom_sidecars.pop(commit, None)  # drop stale cache miss
+        return newest
+
+    def drop_bloom_index(self) -> None:
+        """Disable the bloom flag and delete every sidecar — the
+        metadata-plane inverse of :meth:`build_bloom_index` (reads and
+        writes consult filters only when the flag is set)."""
+        t = self.t
+        t.meta.pop("index_type", None)
+        write_json(posixpath.join(t.path, "_table.json"), t.meta)
+        bdir = t._bloom_dir()
+        if t.fs.exists(bdir):
+            for p in sorted(t.fs.list(bdir), reverse=True):
+                t.fs.delete(p)
+        t._bloom_sidecars.clear()
 
     def build_record_index(self, incremental: bool = False) -> str:
         """Build or extend the record-level index: a distributed scan of

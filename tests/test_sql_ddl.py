@@ -527,3 +527,87 @@ def test_expression_index_on_empty_table_state_is_harmless(spark, tmp_path):
         ).selectExpr("k", "v", "CAST(d AS timestamp) AS d")
     )
     assert t.read_where("year(d) = 2023").count() == 1
+
+
+# -- ALTER TABLE ... DROP PARTITION --------------------------------------
+
+
+def _create_partitioned(spark, cat, base):
+    execute_ddl(
+        spark,
+        f"CREATE TABLE pt (id bigint, ver bigint, grp string) USING engine "
+        f"PARTITIONED BY (grp) "
+        f"TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver') "
+        f"LOCATION '{base}/pt'",
+        cat,
+    )
+    t = cat["pt"]
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, f"g{i % 3}") for i in range(30)],
+            "id long, ver long, grp string",
+        )
+    )
+    return t
+
+
+def test_drop_partition_manifest_only(spark, cat, tmp_path):
+    t = _create_partitioned(spark, cat, tmp_path)
+    first = t.commits()[0]
+    files_before = {e["path"] for e in t.current_files()}
+    c = execute_ddl(spark, "ALTER TABLE pt DROP PARTITION (grp = 'g1')", cat)
+    # one commit, zero files added — pure manifest surgery
+    man = t._manifest(c)
+    assert man["action"] == "delete_partition" and man["files_added"] == []
+    assert set(man["files_removed"]) <= files_before
+    snap = t.snapshot()
+    assert snap.count() == 20 and snap.where("grp = 'g1'").count() == 0
+    # data files untouched on disk: time travel still reads them
+    assert t.snapshot(as_of=first).count() == 30
+
+
+def test_drop_partition_if_exists_and_missing(spark, cat, tmp_path):
+    _create_partitioned(spark, cat, tmp_path)
+    assert (
+        execute_ddl(
+            spark, "ALTER TABLE pt DROP IF EXISTS PARTITION (grp = 'zz')", cat
+        )
+        is None
+    )
+    with pytest.raises(ValueError, match="no live partition"):
+        execute_ddl(spark, "ALTER TABLE pt DROP PARTITION (grp = 'zz')", cat)
+
+
+def test_drop_partition_typed_codec(spark, cat, tmp_path):
+    # int literal against a double partition column must match the
+    # writer's '5.0' directory form (same codec as static overwrite)
+    execute_ddl(
+        spark,
+        f"CREATE TABLE dt (id bigint, ver bigint, bucket double) USING engine "
+        f"PARTITIONED BY (bucket) "
+        f"TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver') "
+        f"LOCATION '{tmp_path}/dt'",
+        cat,
+    )
+    t = cat["dt"]
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, float(i % 2) + 4.0) for i in range(10)],
+            "id long, ver long, bucket double",
+        )
+    )
+    execute_ddl(spark, "ALTER TABLE dt DROP PARTITION (bucket = 5)", cat)
+    snap = t.snapshot()
+    assert snap.where("bucket = 5.0").count() == 0
+    assert snap.count() == 5
+
+
+def test_drop_partition_rejects_partial_and_unpartitioned(
+    spark, cat, tmp_path
+):
+    _create_partitioned(spark, cat, tmp_path)
+    _create(spark, cat, tmp_path, name="flat")
+    with pytest.raises(ValueError, match="unpartitioned|not partitioned"):
+        execute_ddl(spark, "ALTER TABLE flat DROP PARTITION (grp = 'x')", cat)
+    with pytest.raises(ValueError, match="exactly"):
+        execute_ddl(spark, "ALTER TABLE pt DROP PARTITION (other = 'x')", cat)
