@@ -115,6 +115,14 @@ HEADLINE = [
     "table_sql_show_partitions",
     "sql_session_cdc_merge_pipeline",
     "table_expression_index_pruning",
+    # born round 10
+    "table_bloom_index_upsert",
+    "table_concurrent_writers",
+    "table_sql_drop_partition",
+    "table_sql_delete_partition_pred",
+    "table_sql_show_indexes",
+    "text_pack_chunk_spans",
+    "text_pack_bin_stats",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -122,6 +130,19 @@ HEADLINE = [
 PRINT_OMIT = {
     "q05_topk",
     "q07_sql_transformer",
+    # r10 additions (7 new birth rows must print → retire 8 more fast,
+    # stable, family-redundant veterans; families keep ≥1 printed row:
+    # joins keep q3/q5/q8/q10/q18, windows keep the sentinel + rank
+    # rows, agg keeps tpch_q1, events keep skyline, catalog keeps
+    # auto_pruned_join/pruned_cte, kernel keeps table_upsert_snapshot)
+    "join_tpch_q13",
+    "join_asof",
+    "win_sessionize",
+    "agg_retention_cohorts",
+    "join_tpch_q17",
+    "sql_catalog_pruned_select",
+    "funnel_steps",
+    "q06_latest_per_key",
     "agg_tpch_q6",
     "join_tpch_q15",
     "join_tpch_q19",
@@ -147,13 +168,13 @@ PRINT_OMIT = {
 # other rows were measured under — a dedicated cold pre-pass measured
 # 1.3-2x high from session-start JIT/IO effects that one warm-up
 # repeat doesn't cover. Refs are sf0.1 medians from the PREVIOUS
-# round's driver bench (BENCH_r08 — re-stamped each round so the
+# round's driver bench (BENCH_r09 — re-stamped each round so the
 # factor always reads this-round weather vs last round), so the
 # sentinel is only stamped when benching sf0.1.
 SENTINEL_REF = {
-    "q02_flagship_join": 0.69,
-    "win_topk_per_group": 0.411,
-    "text_quality": 0.311,
+    "q02_flagship_join": 0.59,
+    "win_topk_per_group": 0.31,
+    "text_quality": 0.29,
 }
 
 

@@ -59,71 +59,69 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-9 window (stalest-green rule, per the r8 verdict brief):
-# (0) round-9 births, gated on first appearance (standing rule);
-# (1) the 18 queries whose latest driver row dates from round 4 — the
-# spill the r8 rotation scheduled for this window (staleness computed
-# from CORRECTNESS_r0{1..8}.json key sets);
-# (2) the stalest round-5 rows, alphabetical, filling to 50. After
-# this round no query's latest driver row predates round 5. The whole
-# catalog stays covered by tests/test_catalog_oracle.py every round
-# regardless of the window.
+# Round-10 window (stalest-green rule, standing rotation):
+# (0) round-10 births, gated on first appearance (standing rule);
+# (1) the 26 queries whose latest driver row dates from round 5 —
+# everything the r9 window could not fit (staleness computed from
+# CORRECTNESS_r0{1..9}.json key sets);
+# (2) the stalest round-6 rows, alphabetical, filling to 50. After
+# this round no query's latest driver row predates round 6. The
+# whole catalog stays covered by tests/test_catalog_oracle.py every
+# round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 9 — gate on first appearance (standing rule);
-    # each birth is PREPENDED here the same commit it registers, and
-    # the last round-5 fill row drops so the list stays exactly 50
-    "table_sql_insert_overwrite",
-    "sql_catalog_table_changes",
-    "table_sql_truncate_restore",
-    "sql_catalog_pruned_cte",
-    "sim_ivf_incremental",
-    "table_sql_show_partitions",
-    "sql_session_cdc_merge_pipeline",
-    "table_expression_index_pruning",
-    # (1) latest driver row = round 4 (the r8 spill, all 18)
-    "stream_mor_delta_feed",
-    "subquery_correlated",
-    "subquery_in",
-    "subquery_scalar",
-    "table_incremental_between",
-    "table_incremental_read",
-    "table_mor_cdc_changes",
-    "table_mor_incremental",
-    "table_partition_pruning",
-    "table_time_travel",
-    "table_upsert_snapshot",
-    "text_repetition_gopher",
-    "unpivot_metrics",
-    "win_lag_lead",
-    "win_locf_ignore_nulls",
-    "win_ntile_cume_dist",
-    "win_range_frame",
-    "win_sessionize",
-    # (2) latest driver row = round 5 (alphabetical fill to 50)
-    "agg_bitmap_distinct",
-    "agg_grouping_id",
-    "agg_histogram_numeric",
-    "agg_linear_regression",
-    "agg_retention_cohorts",
-    "decontaminate_exact_substring",
-    "dedup_containment",
-    "dedup_embedding_lsh",
-    "dedup_incremental_lsh",
-    "dedup_remove_spans",
-    "funnel_steps",
-    "join_lateral_topk",
-    "join_null_safe_eq",
-    "join_tpch_q14",
-    "join_tpch_q8",
-    "mv_incremental_refresh",
-    "pipeline_span_clean_gold",
-    "q00_inmemory_ingest",
-    "sample_dsir_top_k",
-    "sample_weighted_reservoir",
-    "scalar_collation_lcase",
-    "scalar_try_functions",
-    "scalar_variant_json",
-    "sim_hard_negatives",
+    # (0) born round 10 — gate on first appearance (standing rule)
+    "table_bloom_index_upsert",
+    "table_concurrent_writers",
+    "table_sql_drop_partition",
+    "table_sql_delete_partition_pred",
+    "table_sql_show_indexes",
+    "text_pack_chunk_spans",
+    "text_pack_bin_stats",
+    # (1) latest driver row = round 5 (the r9 spill, all 26)
+    "sim_label_centroid",
+    "sim_quantized_topk",
+    "skyline_pareto_2d",
+    "source_csv_corrupt_records",
+    "source_python_datasource",
+    "sql_recursive_cte",
+    "stream_mv_refresh",
+    "stream_python_datasource",
+    "table_archive_timeline",
+    "table_bootstrap_upsert",
+    "table_cdc_before_after",
+    "table_drop_column",
+    "table_mor_snapshot",
+    "table_partial_update",
+    "table_partition_evolution",
+    "table_record_index_upsert",
+    "table_savepoint",
+    "table_secondary_index_lookup",
+    "table_write_constraints_quarantine",
+    "text_dsir_importance",
+    "text_sentence_udtf",
+    "text_unigram_logprob",
+    "ts_ewma",
+    "ts_resample_gapfill",
+    "win_gaps_islands",
+    "win_pattern_match",
+    # (2) latest driver row = round 6 (alphabetical fill to 50)
+    "agg_collect_list_sorted",
+    "agg_tpch_q1",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_prune",
+    "dedup_simhash",
+    "join_tpch_q10",
+    "multimodal_ahash_pairs",
+    "multimodal_features",
+    "pipeline_semantic_gold",
+    "quality_report",
+    "sample_stratified_deterministic",
+    "scalar_array_funcs",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
 ]
 
 
@@ -167,6 +165,7 @@ def _load_all() -> None:
         joins,
         multimodal_plans,
         mv_plans,
+        packing_plans,
         pandas_udfs,
         pipeline_plans,
         relational,

@@ -2011,3 +2011,249 @@ def table_expression_index_pruning(
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "table_bloom_index_upsert",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 997 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="BLOOM index upsert (the reference's hoodie.index.type=BLOOM, "
+    "create_hudi_tables.py write configs): the table is loaded with "
+    "keys HASH-INTERLEAVED across many small files, so every file "
+    "spans ~the whole key domain and the min/max range prune keeps "
+    "all of them; per-file bloom filters (built executor-side in the "
+    "commit's stats pass, per-commit sidecars under _index/bloom/) "
+    "let the sparse mod-997 update batch prune its merge candidates "
+    "to just the files that might hold a touched key — the query "
+    "asserts the prune actually dropped files before returning the "
+    "snapshot for exact oracle comparison",
+)
+def table_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_bloomq_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_bloom",
+        max_records_per_file=500,
+        index_type="bloom",
+    )
+    # interleaved layout: hash-repartition on the key → every file's
+    # [min,max] covers ~the full domain (range prune keeps everything)
+    t.bulk_insert(orders.repartition(8, "o_orderkey"))
+    batch = (
+        orders.where(F.col("o_orderkey") % 997 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .select(*_COLS)
+    )
+    t.upsert(batch)
+    stats = t._last_bloom_prune
+    assert stats is not None and stats["covered"] == stats["candidates"]
+    if stats["candidates"] >= 16:
+        # sparse scattered batch on an interleaved layout: membership
+        # pruning must beat the (useless-here) range prune
+        assert stats["kept"] < stats["candidates"], stats
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_drop_partition",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+    """,
+    doc="ALTER TABLE … DROP PARTITION through the SqlSession router "
+    "(Spark/Hudi SQL partition drop; Hudi's delete_partition write "
+    "op): one MANIFEST-ONLY commit retires the named partition's live "
+    "files — no data file read, written, or deleted, so the drop is "
+    "O(manifest) at any scale, and time travel to earlier commits "
+    "still reads the rows; literals resolve through the table-typed "
+    "hive codec (Table.delete_partition)",
+)
+def table_sql_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_dropp_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="orders_dropp",
+    )
+    t.bulk_insert(orders)
+    sess = SqlSession(spark, tables={"orders_dropp": t})
+    sess.sql("ALTER TABLE orders_dropp DROP PARTITION (o_orderstatus = 'F')")
+    man = t._manifest(t.latest_commit())
+    assert man["action"] == "delete_partition" and man["files_added"] == []
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_show_indexes",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('bloom_index', 'bloom', 'o_orderkey'),
+            ('o_custkey', 'secondary', 'o_custkey'),
+            ('yr', 'expression', 'year(o_orderdate)')
+        ) AS t(index_name, index_type, target)
+    """,
+    doc="SHOW INDEXES metadata surface (Hudi 1.0): after CREATE INDEX "
+    "statements build the bloom (hoodie.index.type=BLOOM analog), "
+    "secondary, and expression indexes through the SqlSession router, "
+    "SHOW INDEXES enumerates exactly the structures the kernel's "
+    "pruners consult — from meta flags and the _index/ directory, "
+    "zero data files opened; the literal oracle pins name, type, and "
+    "target for all three index families",
+)
+def table_sql_show_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_showix_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_showix",
+    )
+    t.bulk_insert(orders)
+    sess = SqlSession(spark, tables={"orders_showix": t})
+    sess.sql(
+        "CREATE INDEX bloom_index ON orders_showix USING bloom_index()"
+    )
+    sess.sql(
+        "CREATE INDEX o_custkey ON orders_showix "
+        "USING secondary_index(o_custkey)"
+    )
+    sess.sql(
+        "CREATE INDEX yr ON orders_showix "
+        "USING expression_index(year(o_orderdate))"
+    )
+    return sess.sql("SHOW INDEXES ON orders_showix")
+
+
+@register(
+    "table_concurrent_writers",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'A'
+                    WHEN o_orderkey % 10 = 5 THEN 'B'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                    WHEN o_orderkey % 10 = 5 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="multi-writer optimistic concurrency (Hudi OCC over the "
+    "reference's single-writer InProcessLockProvider baseline): two "
+    "threads upsert DISJOINT key sets through separate table handles "
+    "released by a barrier, racing the same next-commit id; the "
+    "manifest publish is an atomic exclusive create, so the "
+    "filesystem picks exactly one winner and the loser re-runs its "
+    "merge against the winner's state under occ_retries — the final "
+    "snapshot equals both updates applied in either order (disjoint "
+    "keys ⇒ deterministic), which the oracle pins exactly",
+)
+def table_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_occ_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_occ",
+    )
+    t.bulk_insert(orders)
+
+    def batch(mod_val: int, mult: int, status: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderkey") % 10 == mod_val)
+            .withColumn("o_totalprice", F.col("o_totalprice") * mult)
+            .withColumn("o_orderstatus", F.lit(status))
+            .select(*_COLS)
+        )
+
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(mod_val: int, mult: int, status: str) -> None:
+        try:
+            handle = Table.load(spark, path)  # per-writer handle
+            b = batch(mod_val, mult, status)
+            barrier.wait(timeout=120)
+            handle.upsert(b, occ_retries=5)
+        except BaseException as exc:  # surfaced after join
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(0, 2, "A")),
+        threading.Thread(target=writer, args=(5, 3, "B")),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    if errors:
+        raise errors[0]
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_delete_partition_pred",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F')
+          AND NOT (o_orderstatus = 'P' AND o_orderkey < 1000)
+    """,
+    doc="partition-aligned DELETE fast path through plain SQL strings: "
+    "DELETE FROM t WHERE o_orderstatus = 'F' retires the whole "
+    "partition MANIFEST-ONLY (zero rows read or written — the commit "
+    "adds no files, asserted), because every top-level conjunct is a "
+    "partition-column comparison the hive directory value proves "
+    "per-file; the second DELETE mixes in a key conjunct, so only "
+    "partially-matching files rewrite (fail-closed exact scan). At "
+    "10^5 files the common retention DELETE costs O(manifest), like "
+    "Hudi's delete_partition, without leaving the DML surface",
+)
+def table_sql_delete_partition_pred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_fdel_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="orders_fdel",
+    )
+    t.bulk_insert(orders)
+    sess = SqlSession(spark, tables={"orders_fdel": t})
+    sess.sql("DELETE FROM orders_fdel WHERE o_orderstatus = 'F'")
+    man = t._manifest(t.latest_commit())
+    assert man["action"] == "delete" and man["files_added"] == []
+    assert len(man["files_removed"]) >= 1
+    sess.sql(
+        "DELETE FROM orders_fdel "
+        "WHERE o_orderstatus = 'P' AND o_orderkey < 1000"
+    )
+    return t.snapshot().drop(META_COL)

@@ -1057,7 +1057,21 @@ class Table:
         those files minus the matches — untouched files keep their
         original ``_commit_time``, like :meth:`delete`. MOR: tombstone
         delta of the matching keys from the merged view, O(matches)
-        append, no rewrite."""
+        append, no rewrite.
+
+        Partition-aligned fast path (COW, string conditions): when
+        EVERY top-level conjunct is ``partition_col <op> literal``, a
+        file whose hive partition value provably satisfies the whole
+        predicate is retired MANIFEST-ONLY — zero rows read or written
+        for it, so ``DELETE FROM t WHERE dt = '...'`` costs O(manifest)
+        like :meth:`delete_partition` while mixed predicates still
+        rewrite only partially-matching files. Fail-closed: OR,
+        parens, non-partition columns, unparsable literals, double
+        bounds, or a null-partition file (no stats) all fall through
+        to the exact scan — correctness never depends on the fast
+        path. Partition values are hive-directory facts, so a fully-
+        matching file cannot hide NULL rows (nulls land in the null
+        partition, which has no stats and is never fast-dropped)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if self.table_type == "mor":
             return self.delete(self.snapshot(filters=filters).where(cond))
@@ -1066,23 +1080,43 @@ class Table:
         candidates = entries
         if filters:
             candidates = [e for e in entries if _stats_match(e, filters)]
-        if not candidates:
+        full_drop: list[str] = []
+        if candidates and isinstance(condition, str):
+            ops = _full_partition_pred(
+                condition,
+                self.meta.get("partition_fields") or [],
+                self._schema(),
+            )
+            if ops:
+                # manifest-only retirement of files whose partition
+                # value proves EVERY conjunct; the rest (partial
+                # matches, null partition, unattributable) still scan
+                rest = []
+                for e in candidates:
+                    if _entry_fully_matches(e, ops):
+                        full_drop.append(e["path"])
+                    else:
+                        rest.append(e)
+                candidates = rest
+        if not candidates and not full_drop:
             self._publish(commit, "delete", [], [], None)
             return commit
-        tagged = self._with_file(candidates)
-        affected = [
-            r["_file"]
-            for r in tagged.where(cond).select("_file").distinct().collect()
-        ]
+        affected: list[str] = []
+        if candidates:
+            tagged = self._with_file(candidates)
+            affected = [
+                r["_file"]
+                for r in tagged.where(cond).select("_file").distinct().collect()
+            ]
         if not affected:
-            self._publish(commit, "delete", [], [], None)
+            self._publish(commit, "delete", [], full_drop, None)
             return commit
         survivors = (
             self._read_entries(self._affected_entries(candidates, affected))
             .where(~F.coalesce(cond, F.lit(False)))
         )
         added = self._write_files(survivors, commit)
-        removed = self._to_rel(affected)
+        removed = self._to_rel(affected) + full_drop
         self._publish(commit, "delete", added, removed, survivors.schema)
         return commit
 
@@ -3121,6 +3155,65 @@ def _filters_from_predicate(pred: str, schema: StructType | None) -> dict:
     }
     out.update(eq)  # equality is the tighter check — it wins per column
     return out
+
+
+def _full_partition_pred(
+    pred: str, parts: list[str], schema: StructType | None
+) -> dict[str, tuple[str, Any]] | None:
+    """{col: (op, typed_literal)} when EVERY top-level conjunct of
+    ``pred`` is ``partition_col <op> literal`` — the precondition for
+    :meth:`Table.delete_where`'s manifest-only fast path. Unlike
+    :func:`_filters_from_predicate` (best-effort, partial extraction
+    fine), this is all-or-nothing: one conjunct it can't prove means
+    the predicate might match only SOME rows of a file, so no file may
+    be dropped unread. Returns None on any bail."""
+    if not parts or schema is None or not pred.strip():
+        return None
+    if _scan_top(pred, r"\bOR\b"):
+        return None
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out: dict[str, tuple[str, Any]] = {}
+    for conj in _split_top(pred, r"\bAND\b"):
+        m = _PRED_CMP.match(conj)
+        if not m:
+            return None
+        col, op, rhs = m.group(1).strip("`"), m.group(2), m.group(3)
+        if col not in parts or col in out:
+            return None  # non-partition column, or a double bound
+        val = _pred_literal(rhs, types.get(col, ""))
+        if val is None:
+            return None
+        out[col] = ("=" if op == "==" else op, val)
+    return out or None
+
+
+def _entry_fully_matches(e: dict, ops: dict[str, tuple[str, Any]]) -> bool:
+    """Does this file's hive partition value satisfy every conjunct?
+    Partition stats are [v, v] directory facts (``_write_files``), so
+    min alone decides; files without the stat (null partition, older
+    spec) never fully match."""
+    for col, (op, val) in ops.items():
+        st = e.get("stats", {}).get(col)
+        if not st or st[0] is None:
+            return False
+        v = st[0]
+        try:
+            ok = (
+                v == val
+                if op == "="
+                else v > val
+                if op == ">"
+                else v >= val
+                if op == ">="
+                else v < val
+                if op == "<"
+                else v <= val
+            )
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
 
 
 def _norm_expr_text(s: str) -> str:

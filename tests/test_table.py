@@ -1614,3 +1614,73 @@ def test_expression_index_staleness_and_fail_closed(spark, tmp_path):
         t.read_where("month(o_orderdate) = 6").count()
         == t.snapshot().where("month(o_orderdate) = 6").count()
     )
+
+
+# -- delete_where partition-aligned manifest-only fast path --------------
+
+
+def _parted_table(spark, tpath, n=300):
+    t = Table.create(
+        spark, str(tpath) + "_fastdel", key="k", precombine="v",
+        partition_fields=["grp"],
+    )
+    t.bulk_insert(
+        spark.range(0, n).selectExpr(
+            "id AS k", "id AS v", "concat('g', cast(id % 3 AS string)) AS grp"
+        )
+    )
+    return t
+
+
+def test_delete_where_partition_pred_is_manifest_only(spark, tpath):
+    t = _parted_table(spark, tpath)
+    c = t.delete_where("grp = 'g1'")
+    man = t._manifest(c)
+    # zero rows read or written: no files added, whole partition retired
+    assert man["files_added"] == [] and len(man["files_removed"]) >= 1
+    snap = t.snapshot()
+    assert snap.where("grp = 'g1'").count() == 0 and snap.count() == 200
+    # time travel still reads the partition (files untouched on disk)
+    assert t.snapshot(as_of=t.commits()[0]).count() == 300
+
+
+def test_delete_where_mixed_pred_rewrites_partial_files(spark, tpath):
+    t = _parted_table(spark, tpath)
+    c = t.delete_where("grp = 'g2' AND k < 100")
+    assert len(t._manifest(c)["files_added"]) >= 1  # partial → rewrite
+    snap = t.snapshot()
+    assert snap.where("grp = 'g2' AND k < 100").count() == 0
+    assert snap.count() == 267
+
+
+def test_delete_where_range_pred_on_partition_fast_path(spark, tpath):
+    t = _parted_table(spark, tpath)
+    c = t.delete_where("grp >= 'g1'")
+    man = t._manifest(c)
+    assert man["files_added"] == []
+    assert {r["grp"] for r in t.snapshot().select("grp").distinct().collect()} == {"g0"}
+
+
+def test_delete_where_or_pred_bails_to_exact_scan(spark, tpath):
+    t = _parted_table(spark, tpath)
+    t.delete_where("grp = 'g0' OR k < 0")
+    snap = t.snapshot()
+    assert snap.where("grp = 'g0'").count() == 0 and snap.count() == 200
+
+
+def test_delete_where_null_partition_never_fast_dropped(spark, tpath):
+    t = Table.create(
+        spark, str(tpath) + "_nullfd", key="k", precombine="v",
+        partition_fields=["grp"],
+    )
+    t.bulk_insert(
+        spark.range(0, 20).selectExpr(
+            "id AS k", "id AS v",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE NULL END AS grp",
+        )
+    )
+    # 'grp = a' is false/NULL for null-partition rows — they must survive
+    t.delete_where("grp = 'a'")
+    snap = t.snapshot()
+    assert snap.count() == 10
+    assert snap.where("grp IS NULL").count() == 10
