@@ -116,6 +116,8 @@ HEADLINE = [
     "sql_session_cdc_merge_pipeline",
     "table_expression_index_pruning",
     # born round 10
+    "table_bucket_index_upsert",
+    "table_small_file_clustering",
     "table_bloom_index_upsert",
     "table_concurrent_writers",
     "table_sql_drop_partition",
@@ -155,6 +157,11 @@ PRINT_OMIT = {
     "sample_weighted_reservoir",
     "table_delete_where",
     "multimodal_features",
+    # retired with the 8th/9th r10 birth rows (dedup family keeps
+    # minhash, ngram, incremental, remove_spans, semantic_* printed;
+    # stream family keeps tumbling + multimodal printed)
+    "dedup_exact_substring",
+    "stream_table_feed",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

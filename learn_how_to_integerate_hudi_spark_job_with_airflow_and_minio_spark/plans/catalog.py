@@ -77,6 +77,8 @@ _ROUND_PRIORITY: list[str] = [
     "table_sql_show_indexes",
     "text_pack_chunk_spans",
     "text_pack_bin_stats",
+    "table_bucket_index_upsert",
+    "table_small_file_clustering",
     # (1) latest driver row = round 5 (the r9 spill, all 26)
     "sim_label_centroid",
     "sim_quantized_topk",
@@ -120,8 +122,6 @@ _ROUND_PRIORITY: list[str] = [
     "quality_report",
     "sample_stratified_deterministic",
     "scalar_array_funcs",
-    "scalar_date_funcs",
-    "scalar_string_funcs",
 ]
 
 

@@ -2067,6 +2067,134 @@ def table_bloom_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_bucket_index_upsert",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 8
+                    ) THEN 'K' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 8
+                    ) THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="BUCKET index upsert (Hudi hoodie.index.type=BUCKET — the "
+    "zero-I/O alternative to the reference's BLOOM write config, "
+    "create_hudi_tables.py storage knobs): every key pins to "
+    "pmod(hash(key), 16); writes range-partition on the bucket id so "
+    "per-file bucket stats are tight, and the 8-key point batch "
+    "prunes merge candidates to ≈ its bucket count with NO index "
+    "read at all (no sidecars, no index table — pure manifest math). "
+    "On keys hash-interleaved across files the min/max range prune "
+    "keeps everything; the query asserts the bucket prune dropped "
+    "files and bounded candidates by the batch's buckets. At 100 TB "
+    "this is the O(1)-metadata upsert path: candidate files per "
+    "commit ≤ touched buckets, independent of table size",
+)
+def table_bucket_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_bucketq_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_bucket",
+        index_type="bucket",
+        bucket_count=16,
+    )
+    # interleaved KEY layout: hash-repartition on the key → every file's
+    # key [min,max] covers ~the full domain, so the range prune is
+    # useless here — exactly the shape the bucket layout fixes
+    t.bulk_insert(orders.repartition(8, "o_orderkey"))
+    # fixed-size point batch (8 smallest keys — deterministic at every
+    # SF, keys are unique): ≤ 8 touched buckets out of 16 no matter how
+    # big the table gets
+    low8 = [
+        r[0]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(8)
+        .collect()
+    ]
+    batch = (
+        orders.where(F.col("o_orderkey").isin(low8))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("o_orderstatus", F.lit("K"))
+        .select(*_COLS)
+    )
+    t.upsert(batch)
+    stats = t._last_bucket_prune
+    assert stats is not None, "bucket prune did not run"
+    assert stats["buckets"] <= 8, stats
+    # tight ranges (≤2 adjacent buckets per file) bound the candidates
+    # structurally by the batch's buckets
+    assert stats["kept"] <= 2 * stats["buckets"], stats
+    if stats["candidates"] >= 14:
+        assert stats["kept"] < stats["candidates"], stats
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_small_file_clustering",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="size-based INCREMENTAL clustering (Hudi's "
+    "SparkSizeBasedClusteringPlanStrategy / small-file limit, via "
+    "CALL run_clustering(small_file_rows => N)): the table is loaded "
+    "as two healthy bulk files plus four small insert commits — the "
+    "steady-state shape of a frequently-fed table. The service "
+    "rewrites ONLY the files under the threshold (10% of table rows, "
+    "scale-invariant) into key-clustered right-sized ones; the query "
+    "asserts the healthy files survive at their ORIGINAL manifest "
+    "paths (zero I/O on them — at 100 TB this is O(day's dribble), "
+    "never O(table), unlike full compaction) and the file count "
+    "shrank, then returns the snapshot for exact oracle comparison "
+    "(identity: clustering must never change content)",
+)
+def table_small_file_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_dml import call_procedure
+    from ..table import TableServices  # noqa: F401 (service surface)
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_sfc_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_sfc",
+    )
+    key = F.col("o_orderkey")
+    t.bulk_insert(orders.where(key % 5 != 0).repartition(2))
+    for j in range(4):
+        t.insert(orders.where(key % 20 == 5 * j), dedup_batch=False)
+    before = {e["path"]: e["rows"] for e in t.current_files()}
+    threshold = max(2, int(sum(before.values()) * 0.10))
+    big_paths = {p for p, r in before.items() if r >= threshold}
+    assert big_paths, before
+    out = call_procedure(
+        spark,
+        f"CALL run_clustering(table => 'orders_sfc', "
+        f"small_file_rows => {threshold})",
+        {"orders_sfc": t},
+    ).collect()[0]
+    assert out["state"] == "completed", out
+    after = {e["path"]: e["rows"] for e in t.current_files()}
+    # healthy files untouched, at their original manifest paths
+    assert big_paths <= set(after), (big_paths, set(after))
+    assert len(after) < len(before), (len(after), len(before))
+    return t.snapshot().drop(META_COL)
+
+
+@register(
     "table_sql_drop_partition",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -237,6 +237,11 @@ def _create(
         )
     table_type = props.pop("type", "cow").lower()
     mrpf = int(props.pop("maxrecordsperfile", 0))
+    # hoodie.index.type / hoodie.bucket.index.num.buckets analogs
+    index_type = props.pop("indextype", None)
+    if index_type is not None:
+        index_type = index_type.lower()
+    bucket_count = int(props.pop("bucketcount", 0))
     path = p["location"]
     if path is None:
         if base_dir is None:
@@ -293,6 +298,8 @@ def _create(
         table_name=name,
         max_records_per_file=mrpf,
         table_type=table_type,
+        index_type=index_type,
+        bucket_count=bucket_count,
     )
     if declared is not None:
         t.meta["declared_schema"] = declared.jsonValue()
@@ -331,6 +338,10 @@ def _show_create(spark: SparkSession, name: str, t: Table) -> DataFrame:
     }
     if t.meta.get("max_records_per_file"):
         props["maxRecordsPerFile"] = str(t.meta["max_records_per_file"])
+    if t.meta.get("index_type"):
+        props["indexType"] = f"'{t.meta['index_type']}'"
+    if t.meta.get("bucket_count"):
+        props["bucketCount"] = str(t.meta["bucket_count"])
     for k, v in (t.meta.get("tblproperties") or {}).items():
         props[k] = f"'{v}'"
     parts = [f"CREATE TABLE `{name}` (\n  {cols})", "USING engine"]
@@ -445,6 +456,14 @@ def execute_ddl(
         if kind in ("expression_index", "column_stats"):
             if not arg:
                 raise ValueError("expression_index needs an expression")
+            if name.lower() in ("bloom_index", "record_index"):
+                # reserved: DROP INDEX resolves these literals to the
+                # bloom/record kinds first, so an expression index so
+                # named could never be dropped through DDL
+                raise ValueError(
+                    f"index name {name!r} is reserved for the "
+                    f"{name.lower().split('_')[0]} index kind"
+                )
             return svc.build_expression_index(arg, name=name)
         if kind in ("bloom_index", "bloom_filters"):
             # per-file key membership filters (hoodie.index.type=BLOOM,
@@ -458,6 +477,13 @@ def execute_ddl(
                     "CREATE INDEX bloom_index ON ... USING bloom_index()"
                 )
             return svc.build_bloom_index()
+        if kind == "bucket_index":
+            raise ValueError(
+                "the bucket index is a creation-time structural mode — "
+                "existing file layouts can't be re-bucketed in place; "
+                "declare it in CREATE TABLE TBLPROPERTIES "
+                "(indexType='bucket', bucketCount=N)"
+            )
         raise ValueError(
             f"unknown index kind {kind!r}: use record_index / "
             "secondary_index / expression_index / bloom_index"
@@ -478,11 +504,12 @@ def execute_ddl(
         # index wins and a second DROP removes the secondary one).
         name = m.group(1).strip("`")
         t = _lookup(catalog, m.group(2))
-        if name.lower() == "bloom_index":
+        if name.lower() == "bloom_index" and t.meta.get("index_type") == "bloom":
+            # table not bloom-flagged → fall through to the generic
+            # resolution below (CREATE reserves this name for the bloom
+            # kind, but a pre-reservation expression index could exist)
             from .table import TableServices
 
-            if t.meta.get("index_type") != "bloom":
-                raise ValueError(f"no index {name!r} on table {m.group(2)!r}")
             TableServices(t).drop_bloom_index()
             return None
         candidates = [
@@ -657,6 +684,14 @@ def execute_ddl(
         rows: list[tuple[str, str, str]] = []
         if t.meta.get("index_type") == "bloom":
             rows.append(("bloom_index", "bloom", t.key))
+        if t.meta.get("index_type") == "bucket":
+            rows.append(
+                (
+                    "bucket_index",
+                    "bucket",
+                    f"{t.key} % {t.meta.get('bucket_count')}",
+                )
+            )
         if t.fs.exists(t._record_index_paths()[1]):
             rows.append(("record_index", "record", t.key))
         for e in t._expression_indexes():

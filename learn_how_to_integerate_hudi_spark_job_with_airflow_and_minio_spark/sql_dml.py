@@ -593,10 +593,13 @@ def call_procedure(
     - ``run_compaction(table[, op])`` — ``op => 'run'`` (default)
       folds MOR deltas into the base; ``op => 'schedule'`` only
       reports whether the trigger policy would compact.
-    - ``run_clustering(table[, order][, zorder])`` — sort-and-size
-      rewrite; ``order`` is a comma-separated column list,
-      ``zorder => true`` Morton-clusters on those columns instead of
-      linear sorting.
+    - ``run_clustering(table[, order][, zorder][, small_file_rows])``
+      — sort-and-size rewrite; ``order`` is a comma-separated column
+      list, ``zorder => true`` Morton-clusters on those columns
+      instead of linear sorting; ``small_file_rows => N`` switches to
+      the size-based strategy (rewrite ONLY base files under N rows —
+      O(small files), Hudi's small-file limit; mutually exclusive
+      with order/zorder).
     - ``run_clean(table[, retain_commits])`` — retention GC (default
       5, the VACUUM default).
     - ``archive_commits(table[, keep_active])`` — fold old manifests
@@ -681,7 +684,9 @@ def call_procedure(
         c = svc.compact()
         return _df([(c, "completed")], "commit string, state string")
     if name == "run_clustering":
-        kw = _take("order", "zorder", "target_records_per_file")
+        kw = _take(
+            "order", "zorder", "target_records_per_file", "small_file_rows"
+        )
         cols = (
             [c.strip().strip("`") for c in str(kw["order"]).split(",")]
             if "order" in kw
@@ -690,6 +695,19 @@ def call_procedure(
         tr = kw.get("target_records_per_file")
         if tr is not None:
             tr = int(tr)  # users habitually quote CALL args
+        if "small_file_rows" in kw:
+            # Hudi's size-based plan strategy: rewrite only small file
+            # groups — O(small files), not O(table)
+            if cols or kw.get("zorder"):
+                raise ValueError(
+                    "small_file_rows is its own strategy — omit "
+                    "order/zorder (output is key-clustered)"
+                )
+            c = svc.cluster_small_files(
+                int(kw["small_file_rows"]), target_records_per_file=tr
+            )
+            state = "completed" if c is not None else "skipped"
+            return _df([(c, state)], "commit string, state string")
         if kw.get("zorder"):
             if not cols:
                 raise ValueError(

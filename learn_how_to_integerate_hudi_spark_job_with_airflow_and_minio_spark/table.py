@@ -59,6 +59,11 @@ from .storage import create_json, fs_for, read_json, write_json
 
 META_COL = "_commit_time"
 
+# Internal bucket-id column persisted in bucket-indexed tables' parquet
+# files (never in the manifest schema, so reads project it away):
+# pmod(hash(key), bucket_count) — see Table._bucket_key_col.
+BUCKET_COL = "_bucket_id"
+
 # Every N commits, _publish also writes a consolidated live-set snapshot
 # (Delta-style checkpoint) so reads replay O(N) tail manifests instead of
 # O(commits): at 100× scale (years of frequent commits × 10⁵ live file
@@ -96,6 +101,9 @@ class Table:
         self._bloom_sidecars: dict[str, dict] = {}
         # last bloom-prune outcome, for tests and the bench demo
         self._last_bloom_prune: dict[str, int] | None = None
+        # last bucket-prune outcome + per-value bucket memo (point reads)
+        self._last_bucket_prune: dict[str, int] | None = None
+        self._bucket_value_cache: dict[Any, int] = {}
 
     # -- lifecycle -----------------------------------------------------
 
@@ -113,18 +121,32 @@ class Table:
         table_type: str = "cow",
         constraints: dict[str, str] | None = None,
         index_type: str | None = None,
+        bucket_count: int = 0,
     ) -> "Table":
         if table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
-        if index_type not in (None, "bloom"):
+        if index_type not in (None, "bloom", "bucket"):
             # the range/stats prune and the record/secondary/expression
             # indexes are always-on services, not creation-time modes;
             # "bloom" (the reference's hoodie.index.type=BLOOM,
-            # create_hudi_tables.py write configs) is the one opt-in —
-            # it adds a key-column read per written file at commit time
+            # create_hudi_tables.py write configs) adds a key-column
+            # read per written file at commit time; "bucket" (Hudi's
+            # hoodie.index.type=BUCKET) pins every key to
+            # pmod(hash(key), bucket_count) and prunes by bucket range
+            # with zero index I/O — a creation-time STRUCTURAL mode
+            # (existing file layouts can't be re-bucketed in place)
             raise ValueError(
-                f"index_type must be None or 'bloom', got {index_type!r}"
+                f"index_type must be None, 'bloom' or 'bucket', "
+                f"got {index_type!r}"
             )
+        if index_type == "bucket" and bucket_count < 1:
+            raise ValueError(
+                "index_type='bucket' needs bucket_count >= 1 (size it so "
+                "table_size / bucket_count lands near your file-size "
+                "target — one file group per bucket per commit)"
+            )
+        if bucket_count and index_type != "bucket":
+            raise ValueError("bucket_count is only valid with index_type='bucket'")
         meta_path = posixpath.join(path.rstrip("/"), "_table.json")
         fs = fs_for(path)
         if fs.exists(meta_path):
@@ -147,6 +169,8 @@ class Table:
         }
         if index_type:
             meta["index_type"] = index_type
+        if bucket_count:
+            meta["bucket_count"] = int(bucket_count)
         write_json(meta_path, meta)
         return cls(spark, path, meta)
 
@@ -418,6 +442,12 @@ class Table:
                 allowed = {self.key, *(self.meta.get("partition_fields") or [])}
                 filters = {k: v for k, v in filters.items() if k in allowed}
             entries = [e for e in entries if _stats_match(e, filters)]
+            kv = filters.get(self.key)
+            if kv is not None and not isinstance(kv, (tuple, bool)):
+                # bucket point-lookup prune: MOR- and time-travel-safe
+                # (a key's bucket is version-invariant); no-op unless
+                # the table is bucket-indexed
+                entries = self._prune_by_bucket_value(entries, kv)
             if self.table_type != "mor" and as_of is None:
                 # equality predicates additionally consult the secondary
                 # index (exact containment beats min/max range stats for
@@ -836,11 +866,15 @@ class Table:
         write path, ``create_hudi_tables.py:110,124``); reconciliation
         happens at read (:meth:`_merge_view`) or at compaction.
         """
-        if self.table_type == "mor":
-            return self._delta_write(df)
         attempts = max(0, occ_retries) + 1
         for i in range(attempts):
             try:
+                if self.table_type == "mor":
+                    # MOR deltas race too (the commit-id allocation), but
+                    # the retry is O(batch) — no merge to re-run; close to
+                    # Hudi 1.0's non-blocking concurrency for append-only
+                    # delta writers
+                    return self._delta_write(df)
                 return self._merge_write(df, action="upsert")
             except RuntimeError as exc:
                 if "concurrent writer" not in str(exc) or i == attempts - 1:
@@ -2440,6 +2474,7 @@ class Table:
         footers anyway, and the agg job is pure per-commit overhead (r6
         A/B at sf0.1: merge commit 1.07 s → 0.81 s with the gate). At the
         10⁵-file scale the prune exists for, the gate never triggers."""
+        entries = self._prune_by_bucket(entries, keys)
         if len(entries) <= PRUNE_MIN_FILES:
             # bloom (when the table opted in) still runs under the range-
             # prune gate: membership beats min/max exactly when ranges
@@ -2472,8 +2507,13 @@ class Table:
     def _bloom_dir(self) -> str:
         return posixpath.join(self.path, "_index", "bloom")
 
-    def _bloom_sidecar_path(self, commit: str) -> str:
-        return posixpath.join(self._bloom_dir(), f"{commit}.json")
+    def _bloom_sidecar_path(self, token: str) -> str:
+        """``token`` is the data-DIRECTORY name (``<commit>-<uuid8>``),
+        not the bare commit id: the uuid makes the sidecar unique per
+        write ATTEMPT, so under optimistic concurrency a loser of the
+        manifest-create race can only ever write a sidecar for its own
+        orphaned directory — it can never clobber the winner's."""
+        return posixpath.join(self._bloom_dir(), f"{token}.json")
 
     def _bloom_write_key(self, schema: StructType) -> str | None:
         """Key column to bloom-index at write time, or None. Opt-in via
@@ -2503,25 +2543,28 @@ class Table:
         self, entries: list[dict]
     ) -> list[dict | None]:
         """Per-entry bloom dict (or None = uncovered), from the per-
-        commit sidecars. Sidecars are immutable once written, so they
-        cache on the handle; a missing sidecar or missing file entry
-        means 'uncovered' — kept, never mis-pruned."""
+        write-dir sidecars. Per-FILE entries are immutable once written
+        (data files never change), so sidecars cache on the handle; a
+        backfill may later APPEND entries for files a failed build left
+        out, making a cached copy stale-but-conservative — a missing
+        sidecar or missing file entry means 'uncovered', kept, never
+        mis-pruned."""
         out: list[dict | None] = []
         for e in entries:
             path = e["path"]
             if not path.startswith("data/"):
                 out.append(None)  # external bootstrap file
                 continue
-            commit = path.split("/", 2)[1].split("-", 1)[0]
-            if commit not in self._bloom_sidecars:
-                sp = self._bloom_sidecar_path(commit)
+            token = path.split("/", 2)[1]
+            if token not in self._bloom_sidecars:
+                sp = self._bloom_sidecar_path(token)
                 try:
-                    self._bloom_sidecars[commit] = (
+                    self._bloom_sidecars[token] = (
                         read_json(sp) if self.fs.exists(sp) else {"files": {}}
                     )
                 except Exception:
-                    self._bloom_sidecars[commit] = {"files": {}}
-            out.append(self._bloom_sidecars[commit]["files"].get(path))
+                    self._bloom_sidecars[token] = {"files": {}}
+            out.append(self._bloom_sidecars[token]["files"].get(path))
         return out
 
     def _prune_by_bloom(
@@ -2603,6 +2646,132 @@ class Table:
         out = []
         for e, b in zip(entries, blooms):
             if b is None or files_hit(h1, h2, [(0, *bloom_decode(b))]):
+                out.append(e)
+        return out
+
+    # -- bucket index (Hudi hoodie.index.type=BUCKET analog) ------------
+
+    def _bucket_count(self) -> int | None:
+        if self.meta.get("index_type") != "bucket":
+            return None
+        return int(self.meta["bucket_count"])
+
+    def _bucket_key_col(self, schema: StructType):
+        """The key column canonicalized for bucketing, or None when the
+        frame lacks the key. Murmur3 (``F.hash``) output depends on the
+        input TYPE, and write-side schema enforcement allows within-
+        class widening (int→long), so integral keys are cast to long
+        before hashing — every batch of the same logical key produces
+        the same bucket. Non-integral/string keys are a structural
+        error for a bucket table (unlike bloom's silent fall-through:
+        the bucket layout IS the table's merge strategy, silently
+        disabling it would turn every upsert into a full-range scan)."""
+        field = next((f for f in schema.fields if f.name == self.key), None)
+        if field is None:
+            return None
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        if isinstance(
+            field.dataType, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            return F.col(self.key).cast("long")
+        if isinstance(field.dataType, StringType):
+            return F.col(self.key)
+        raise ValueError(
+            f"bucket index needs an integral/string record key; "
+            f"{self.key!r} is neither"
+        )
+
+    def _prune_by_bucket(
+        self, entries: list[dict], keys: DataFrame
+    ) -> list[dict]:
+        """Per-file bucket-range pruning of merge candidates (the Hudi
+        BUCKET index step): batch keys resolve to ≤ bucket_count bucket
+        ids (one tiny distinct job), and a file is kept only when its
+        persisted ``_bucket_id`` [min,max] range — tight, because every
+        write range-partitions on the bucket column — contains one of
+        them. Zero index I/O, zero false negatives (a key's bucket is a
+        pure function of the key), O(files · log buckets) driver work:
+        the candidate set is bounded by the batch's buckets no matter
+        how interleaved the KEY ranges are. Files without bucket stats
+        (none, for a creation-time mode) are kept conservatively."""
+        n = self._bucket_count()
+        if not n or not entries:
+            return entries
+        col = self._bucket_key_col(keys.schema)
+        if col is None:
+            return entries
+        rows = (
+            keys.select(
+                F.pmod(F.hash(col), F.lit(n)).cast("int").alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        buckets = sorted(r["_b"] for r in rows if r["_b"] is not None)
+        if not buckets:
+            return []
+        import bisect
+
+        out = []
+        for e in entries:
+            st = e.get("stats", {}).get(BUCKET_COL)
+            if not st or st[0] is None:
+                out.append(e)
+                continue
+            i = bisect.bisect_left(buckets, int(st[0]))
+            if i < len(buckets) and buckets[i] <= int(st[1]):
+                out.append(e)
+        self._last_bucket_prune = {
+            "candidates": len(entries),
+            "buckets": len(buckets),
+            "kept": len(out),
+        }
+        return out
+
+    def _prune_by_bucket_value(self, entries: list[dict], value) -> list[dict]:
+        """Read-side point-lookup pruning for bucket tables: resolve the
+        value's bucket once (a 1-row Spark expression — kept Spark-side
+        so the hash is bit-identical to the write path — memoized per
+        handle) and keep only files whose bucket range contains it.
+        Safe on MOR and under time travel: a key's bucket is version-
+        invariant, so every base/delta/tombstone file of that key sits
+        in the same bucket."""
+        n = self._bucket_count()
+        if not n or not entries:
+            return entries
+        schema = self.effective_schema()
+        if schema is None:
+            return entries
+        try:
+            col = self._bucket_key_col(schema)
+        except ValueError:
+            return entries
+        if col is None:
+            return entries
+        if value not in self._bucket_value_cache:
+            from pyspark.sql.types import StructField
+
+            field = next(f for f in schema.fields if f.name == self.key)
+            one = self.spark.createDataFrame(
+                [(value,)], StructType([StructField(self.key, field.dataType, True)])
+            )
+            b = one.select(
+                F.pmod(F.hash(col), F.lit(n)).cast("int").alias("_b")
+            ).collect()[0]["_b"]
+            if b is None:
+                return entries
+            self._bucket_value_cache[value] = int(b)
+        b = self._bucket_value_cache[value]
+        out = []
+        for e in entries:
+            st = e.get("stats", {}).get(BUCKET_COL)
+            if not st or st[0] is None or int(st[0]) <= b <= int(st[1]):
                 out.append(e)
         return out
 
@@ -2826,7 +2995,37 @@ class Table:
         parts = [
             c for c in (self.meta.get("partition_fields") or []) if c in df.columns
         ]
-        if parts:
+        nbuckets = self._bucket_count()
+        if nbuckets and self.key in df.columns:
+            # bucket table: stamp pmod(hash(key), N) and RANGE-partition
+            # on it so every file covers a tight contiguous bucket range
+            # — the persisted [min,max] of BUCKET_COL is what
+            # _prune_by_bucket consults. The column lives only in the
+            # parquet files (the manifest schema is the caller's frame),
+            # so reads project it away for free. One file group per
+            # touched bucket per commit — Hudi's BUCKET index layout.
+            writer = (
+                df.withColumn(
+                    BUCKET_COL,
+                    F.pmod(
+                        F.hash(self._bucket_key_col(df.schema)),
+                        F.lit(nbuckets),
+                    ).cast("int"),
+                )
+                .repartitionByRange(
+                    nbuckets,
+                    *[F.col(c) for c in parts],
+                    F.col(BUCKET_COL),
+                )
+                # key-sorted within each bucket: tight per-file KEY
+                # ranges stack on top of the bucket prune for free
+                .sortWithinPartitions(
+                    *[F.col(c) for c in parts],
+                    F.col(BUCKET_COL),
+                    F.col(self.key),
+                )
+            )
+        elif parts:
             # co-locate partition values per file → one dir per value →
             # hive-style layout below + tight stats
             writer = df.repartition(*[F.col(c) for c in parts])
@@ -2849,22 +3048,33 @@ class Table:
             if p.endswith(".parquet") and "/_" not in p[len(out_dir):]
         ]
         stats_cols = [self.key, self.precombine, META_COL]
+        if nbuckets and BUCKET_COL in writer.columns:
+            stats_cols.append(BUCKET_COL)
         bloom_key = self._bloom_write_key(df.schema)
         stats = self._collect_stats(
-            files, df.schema, stats_cols, bloom_key=bloom_key
+            files, writer.schema, stats_cols, bloom_key=bloom_key
         )
         if bloom_key:
-            # one sidecar per commit, beside (not inside) the manifest:
-            # filters are ~KBs per file and would bloat every timeline
-            # replay if inlined; immutable files make the sidecar exact
-            # forever (record-index covered-set contract)
+            # one sidecar per write DIRECTORY, beside (not inside) the
+            # manifest: filters are ~KBs per file and would bloat every
+            # timeline replay if inlined; immutable files make the
+            # sidecar exact forever (record-index covered-set contract).
+            # Keyed by the uuid-suffixed dir token, NOT the commit id:
+            # two OCC writers racing commit N each publish a sidecar for
+            # their OWN data dir, and the loser's is orphaned alongside
+            # its unreferenced files — readers resolve sidecars from the
+            # winning manifest's entry paths, so a lost race can never
+            # un-cover the winner's files.
             blooms = {}
             for p in files:
                 b = stats.get(p, {}).pop("bloom", None)
                 if b is not None:
                     blooms[posixpath.join(rel_dir, os.path.relpath(p, out_dir))] = b
             if blooms:
-                write_json(self._bloom_sidecar_path(commit), {"files": blooms})
+                write_json(
+                    self._bloom_sidecar_path(rel_dir.split("/", 1)[1]),
+                    {"files": blooms},
+                )
         out = []
         for p in files:
             rel_file = os.path.relpath(p, out_dir)
@@ -3305,43 +3515,67 @@ class TableServices:
 
         Enabling is a meta flag: every LATER commit builds its filters
         inline with the write's stats pass. The backfill here covers
-        commits written BEFORE the flag: live files grouped by commit,
-        filters built in one distributed pass per uncovered commit
-        (O(live data not yet covered), single key column read — async
-        service, the write path is never slowed down). Inherently
-        incremental: sidecars are per-commit and immutable, so a re-run
-        only touches commits still missing one. Returns the newest
-        covered commit, or None for an empty table.
+        files written BEFORE the flag: live files grouped by write
+        directory, filters built in one distributed pass per directory
+        with uncovered files (O(live data not yet covered), single key
+        column read — async service, the write path is never slowed
+        down). Inherently incremental AND self-repairing: coverage is
+        tracked per FILE, so a re-run builds exactly the live files
+        still missing from their sidecar — including files a previous
+        run failed to read (a transient failure leaves the file out of
+        the sidecar, it does not poison the directory). Returns the
+        newest covered commit, or None for an empty table.
         """
         t = self.t
+        # validate BEFORE persisting the flag: a rejected CREATE INDEX
+        # must not leave the table flagged as bloom-indexed (the check
+        # mirrors _bloom_write_key's supported-type set)
+        schema = t.effective_schema()
+        if schema is not None:
+            from pyspark.sql.types import (
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+            )
+
+            field = next(
+                (f for f in schema.fields if f.name == t.key), None
+            )
+            ok = (ByteType, ShortType, IntegerType, LongType, StringType)
+            if field is None or not isinstance(field.dataType, ok):
+                raise ValueError(
+                    f"bloom index needs an integral/string record key; "
+                    f"{t.key!r} is neither"
+                )
         if t.meta.get("index_type") != "bloom":
             t.meta["index_type"] = "bloom"
             write_json(posixpath.join(t.path, "_table.json"), t.meta)
-        schema = t.effective_schema()
         if schema is None:
             return None
-        if t._bloom_write_key(schema) is None:
-            raise ValueError(
-                f"bloom index needs an integral/string record key; "
-                f"{t.key!r} is neither"
-            )
         entries = t.current_files()
-        by_commit: dict[str, list[str]] = {}
+        by_token: dict[str, list[str]] = {}
         for e in entries:
             p = e["path"]
             if not p.startswith("data/"):
                 continue  # external bootstrap file — stays uncovered
-            by_commit.setdefault(p.split("/", 2)[1].split("-", 1)[0], []).append(p)
+            by_token.setdefault(p.split("/", 2)[1], []).append(p)
         from .bloom import bloom_for_parquet_file
 
         key = t.key
         newest = None
-        for commit in sorted(by_commit):
-            newest = commit
-            sp = t._bloom_sidecar_path(commit)
+        for token in sorted(by_token):
+            newest = token.split("-", 1)[0]
+            sp = t._bloom_sidecar_path(token)
+            have: dict[str, dict] = {}
             if t.fs.exists(sp):
+                try:
+                    have = read_json(sp).get("files", {})
+                except Exception:
+                    have = {}
+            rels = [r for r in by_token[token] if r not in have]
+            if not rels:
                 continue
-            rels = by_commit[commit]
             abss = [t._abs(r) for r in rels]
             sc = t.spark.sparkContext
             nslices = max(1, min(len(abss), 256))
@@ -3351,8 +3585,10 @@ class TableServices:
                 .collect()
             )
             blooms = {r: b for r, b in built if b is not None}
-            write_json(sp, {"files": blooms})
-            t._bloom_sidecars.pop(commit, None)  # drop stale cache miss
+            if not blooms:
+                continue  # nothing built — leave the sidecar repairable
+            write_json(sp, {"files": {**have, **blooms}})
+            t._bloom_sidecars.pop(token, None)  # drop stale cache entry
         return newest
 
     def drop_bloom_index(self) -> None:
@@ -3666,7 +3902,19 @@ class TableServices:
             # (latest per key, tombstones dropped) becomes the new base
             # file set; per-row _commit_time survives the merge
             df = t._merge_view(df)
-        if zorder_cols:
+        if t._bucket_count():
+            # bucket tables: the bucket layout IS the clustering —
+            # _write_files re-buckets + key-sorts within buckets, so a
+            # competing sort order would both double-shuffle and break
+            # the tight bucket ranges pruning depends on (Hudi likewise
+            # restricts clustering under the BUCKET index)
+            if zorder_cols or sort_cols:
+                raise ValueError(
+                    "bucket tables cluster by (bucket, key) — "
+                    "sort_cols/zorder_cols are not applicable; call "
+                    "compact() bare to rewrite at the current layout"
+                )
+        elif zorder_cols:
             # multi-dimensional clustering: range-sort on the Morton
             # z-value so every zorder column gets tight per-file stats
             # (Delta/Hudi ZORDER analog; see operators/zorder.py)
@@ -3676,16 +3924,17 @@ class TableServices:
             sort_cols = ["_z"]
         else:
             sort_cols = sort_cols or [t.key]
-        # range-partition on the sort key then sort within: globally
-        # clustered layout → tight min/max stats per file (the point of
-        # the reference's SparkSortAndSizeExecutionStrategy)
-        total = sum(e.get("rows") or 0 for e in entries)
-        if target_records_per_file:
-            nparts = max(1, -(-total // target_records_per_file))
-            df = df.repartitionByRange(nparts, *sort_cols)
-        else:
-            df = df.repartitionByRange(*sort_cols)
-        df = df.sortWithinPartitions(*sort_cols)
+        if not t._bucket_count():
+            # range-partition on the sort key then sort within: globally
+            # clustered layout → tight min/max stats per file (the point
+            # of the reference's SparkSortAndSizeExecutionStrategy)
+            total = sum(e.get("rows") or 0 for e in entries)
+            if target_records_per_file:
+                nparts = max(1, -(-total // target_records_per_file))
+                df = df.repartitionByRange(nparts, *sort_cols)
+            else:
+                df = df.repartitionByRange(*sort_cols)
+            df = df.sortWithinPartitions(*sort_cols)
         if zorder_cols:
             # the z-value did its job (range partition + in-file order);
             # drop it before writing — projection preserves sort order
@@ -3699,4 +3948,69 @@ class TableServices:
             t.meta["max_records_per_file"] = old_mrpf
         removed = [e["path"] for e in entries]
         t._publish(commit, "replace", added, removed, df.schema)
+        return commit
+
+    def cluster_small_files(
+        self,
+        threshold_rows: int,
+        target_records_per_file: int | None = None,
+    ) -> str | None:
+        """Size-based INCREMENTAL clustering (Hudi's
+        SparkSizeBasedClusteringPlanStrategy / small-file limit): rewrite
+        ONLY live base files under ``threshold_rows`` into right-sized
+        ones, leaving every healthy file byte-identical in place. Where
+        :meth:`compact` costs O(table) per run, this costs O(small
+        files) — the steady-state file-sizing service for a table fed by
+        frequent small commits: at 100 TB a nightly run touches just the
+        day's commit dribble, never the compacted bulk.
+
+        Selection is fail-safe: only ``data/`` base files with a known
+        row count qualify (delta/tombstone files belong to compaction —
+        folding a SUBSET of deltas could reorder merge winners; external
+        bootstrap files and unknown-size entries are never touched).
+        Per-row ``_commit_time`` survives the rewrite, so incremental
+        and CDC reads are unaffected. Returns the commit, or None when
+        fewer than two small files exist (nothing to bin-pack).
+        """
+        if threshold_rows <= 0:
+            raise ValueError(
+                f"threshold_rows must be positive, got {threshold_rows}"
+            )
+        t = self.t
+        entries = t.current_files()
+        small = [
+            e
+            for e in entries
+            if e.get("kind", "base") == "base"
+            and e["path"].startswith("data/")
+            and e.get("rows") is not None
+            and e["rows"] < threshold_rows
+        ]
+        if len(small) <= 1:
+            return None
+        commit = t._next_commit()
+        df = t._read_entries(small)
+        if "_deleted" in df.columns:
+            # MOR read-schema widening — the selected files are all base
+            # files, so the column is all-null padding; don't persist it
+            df = df.drop("_deleted")
+        if not t._bucket_count():
+            # key-clustered output (the bucket branch in _write_files
+            # re-buckets + key-sorts on its own)
+            total = sum(e["rows"] for e in small)
+            tr = target_records_per_file or threshold_rows
+            nparts = max(1, -(-total // tr))
+            df = df.repartitionByRange(nparts, t.key).sortWithinPartitions(
+                t.key
+            )
+        old_mrpf = t.meta.get("max_records_per_file")
+        if target_records_per_file:
+            t.meta["max_records_per_file"] = target_records_per_file
+        try:
+            added = t._write_files(df, commit)
+        finally:
+            t.meta["max_records_per_file"] = old_mrpf
+        t._publish(
+            commit, "replace", added, [e["path"] for e in small], df.schema
+        )
         return commit

@@ -93,10 +93,59 @@ def test_bloom_sidecar_written_per_commit(spark, tpath):
     t.bulk_insert(_interleaved(spark))
     bdir = os.path.join(tpath, "_index", "bloom")
     names = sorted(os.listdir(bdir))
-    assert names == [f"{t.commits()[0]}.json"]
-    # every live file covered
+    # one sidecar per write dir, named by the uuid-suffixed dir TOKEN
+    # (not the bare commit id — see test_bloom_sidecar_occ_loser_orphaned)
     entries = t.current_files()
+    tokens = sorted({e["path"].split("/")[1] for e in entries})
+    assert names == [f"{tok}.json" for tok in tokens]
+    assert all(tok.startswith(f"{t.commits()[0]}-") for tok in tokens)
+    # every live file covered
     blooms = t._bloom_for_entries(entries)
+    assert all(b is not None for b in blooms)
+
+
+def test_bloom_sidecar_occ_loser_orphaned(spark, tpath):
+    # an OCC loser wrote data + sidecar for the same COMMIT ID before
+    # losing the manifest race; its sidecar is keyed by its own dir
+    # token, so the winner's coverage is untouched
+    t = Table.create(spark, tpath, key="k", precombine="v", index_type="bloom")
+    t.bulk_insert(_interleaved(spark, n=500, nfiles=4))
+    commit = t.commits()[0]
+    bdir = os.path.join(tpath, "_index", "bloom")
+    with open(os.path.join(bdir, f"{commit}-deadbeef.json"), "w") as fh:
+        fh.write('{"files": {}}')  # loser's sidecar: covers nothing
+    t2 = Table.load(spark, tpath)
+    blooms = t2._bloom_for_entries(t2.current_files())
+    assert all(b is not None for b in blooms)
+
+
+def test_bloom_backfill_repairs_partial_sidecar(spark, tpath):
+    # a transient per-file build failure leaves that file OUT of the
+    # sidecar (never a poisoned complete-looking sidecar); a re-run
+    # builds exactly the gap — coverage is tracked per file, not per
+    # sidecar existence
+    import json
+
+    t = Table.create(spark, tpath, key="k", precombine="v")
+    t.bulk_insert(_interleaved(spark, n=1000, nfiles=4))
+    TableServices(t).build_bloom_index()
+    bdir = os.path.join(tpath, "_index", "bloom")
+    (name,) = os.listdir(bdir)
+    sp = os.path.join(bdir, name)
+    with open(sp) as fh:
+        side = json.load(fh)
+    assert len(side["files"]) == 4
+    dropped = sorted(side["files"])[0]
+    del side["files"][dropped]
+    with open(sp, "w") as fh:
+        json.dump(side, fh)
+    t2 = Table.load(spark, tpath)
+    assert sum(
+        b is None for b in t2._bloom_for_entries(t2.current_files())
+    ) == 1
+    TableServices(t2).build_bloom_index()
+    t3 = Table.load(spark, tpath)
+    blooms = t3._bloom_for_entries(t3.current_files())
     assert all(b is not None for b in blooms)
 
 
@@ -204,8 +253,16 @@ def test_bloom_rejects_unsupported_key_type(spark, tpath):
     )
     t = Table.create(spark, tpath, key="k", precombine="v")
     t.bulk_insert(df)
+    cat = {"tb": t}
     with pytest.raises(ValueError, match="integral/string"):
-        TableServices(t).build_bloom_index()
+        execute_ddl(
+            spark, "CREATE INDEX bloom_index ON tb USING bloom_index()", cat
+        )
+    # the failed CREATE must leave NO metadata trace: no bloom flag on
+    # disk, nothing in SHOW INDEXES
+    t2 = Table.load(spark, tpath)
+    assert t2.meta.get("index_type") is None
+    assert execute_ddl(spark, "SHOW INDEXES ON tb", cat).collect() == []
 
 
 def test_bloom_mor_delta_files_covered(spark, tpath):
@@ -233,5 +290,32 @@ def test_bloom_ddl_lifecycle(spark, tpath):
     execute_ddl(spark, "DROP INDEX bloom_index ON tb", cat)
     rows = [tuple(r) for r in execute_ddl(spark, "SHOW INDEXES ON tb", cat).collect()]
     assert rows == []
+    with pytest.raises(ValueError, match="no index"):
+        execute_ddl(spark, "DROP INDEX bloom_index ON tb", cat)
+
+
+def test_bloom_reserved_names_and_drop_fallthrough(spark, tpath):
+    # CREATE reserves the canonical bloom/record names for their kinds —
+    # an expression index so named could never be dropped through DDL
+    t = Table.create(spark, tpath, key="k", precombine="v")
+    t.bulk_insert(_interleaved(spark, n=500, nfiles=4))
+    cat = {"tb": t}
+    with pytest.raises(ValueError, match="reserved"):
+        execute_ddl(
+            spark,
+            "CREATE INDEX bloom_index ON tb USING expression_index(k % 10)",
+            cat,
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        execute_ddl(
+            spark,
+            "CREATE INDEX record_index ON tb USING expression_index(k % 10)",
+            cat,
+        )
+    # a pre-reservation expression index named bloom_index (API-built)
+    # is still droppable: DROP's bloom intercept falls through when the
+    # table isn't bloom-flagged
+    TableServices(t).build_expression_index("k % 10", name="bloom_index")
+    execute_ddl(spark, "DROP INDEX bloom_index ON tb", cat)
     with pytest.raises(ValueError, match="no index"):
         execute_ddl(spark, "DROP INDEX bloom_index ON tb", cat)

@@ -4,6 +4,8 @@ serial cumsum."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -99,12 +101,30 @@ def test_pack_rejects_bad_budget(spark):
 def test_pack_no_single_partition_corpus_window(spark):
     # the only unpartitioned window must consume the bucket AGGREGATE,
     # not the corpus: with bucket_width=32 over 500 docs the plan's
-    # Window over an empty partition spec sits above an Aggregate
+    # Window over an empty partition spec sits above an Aggregate.
+    # Structural check on the optimized plan: a Window line prints
+    # `Window [exprs], [partitionSpec], [orderSpec]` — three bracket
+    # groups when partitioned, two when the partition spec is empty.
     packed = pack_sequences(
         _docs(spark, [5] * 500), "n", budget=64, bucket_width=32
     )
-    plan = packed._jdf.queryExecution().optimizedPlan().toString()
-    # corpus-wide data reaches only the bucket-partitioned window
-    assert "windowspecdefinition(_bkt" in plan.replace(" ", "").lower() or (
-        "_bkt" in plan
+    lines = (
+        packed._jdf.queryExecution().optimizedPlan().toString().splitlines()
     )
+    wins = [
+        (i, ln, re.findall(r"\[[^\]]*\]", ln))
+        for i, ln in enumerate(lines)
+        if re.search(r"\bWindow \[", ln)
+    ]
+    assert len(wins) >= 2, lines
+    unpart = [(i, ln) for i, ln, g in wins if len(g) == 2]
+    # exactly one global window, and it aggregates the bucket TOTALS
+    # (its direct child is the per-bucket Aggregate) — never the corpus
+    assert len(unpart) == 1, wins
+    i, ln = unpart[0]
+    assert "sum(_tot" in ln, ln
+    assert re.search(r"\bAggregate \[_bkt", lines[i + 1]), lines[i : i + 2]
+    # every corpus-touching window is bucket-partitioned
+    for _, ln, g in wins:
+        if len(g) == 3:
+            assert g[1].startswith("[_bkt"), ln

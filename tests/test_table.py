@@ -1684,3 +1684,121 @@ def test_delete_where_null_partition_never_fast_dropped(spark, tpath):
     snap = t.snapshot()
     assert snap.count() == 10
     assert snap.where("grp IS NULL").count() == 10
+
+
+def test_mor_upsert_occ_retry(spark, tpath):
+    """MOR delta writes race only the commit-id allocation; occ_retries
+    re-runs the O(batch) append under a fresh id (close to Hudi 1.0's
+    non-blocking concurrency for append-only writers)."""
+    t1 = make_table(spark, tpath, table_type="mor")
+    t1.upsert(df_of(spark, [(1, 1, "a")]))
+    t2 = Table.load(spark, tpath)
+    stale = t2._next_commit()
+    t1.upsert(df_of(spark, [(2, 1, "b")]))  # t1 wins commit `stale`
+    _stale_next_commit(t2, stale)
+    c = t2.upsert(df_of(spark, [(3, 1, "c")]), occ_retries=1)
+    assert int(c) == int(stale) + 1
+    assert rows_of(t2.snapshot(), "id", "val") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_mor_upsert_occ_default_fails_loud(spark, tpath):
+    t1 = make_table(spark, tpath, table_type="mor")
+    t1.upsert(df_of(spark, [(1, 1, "a")]))
+    t2 = Table.load(spark, tpath)
+    stale = t2._next_commit()
+    t1.upsert(df_of(spark, [(2, 1, "b")]))
+    _stale_next_commit(t2, stale)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t2.upsert(df_of(spark, [(3, 1, "c")]))
+
+
+def test_cluster_small_files_rewrites_only_small(spark, tpath):
+    """Size-based incremental clustering: healthy files stay in place
+    (same manifest path — zero I/O on them), only the small-commit
+    dribble bin-packs."""
+    t = make_table(spark, tpath)
+    big = spark.createDataFrame(
+        [(i, 1, "x") for i in range(5000)], "id long, ver long, val string"
+    ).coalesce(1)
+    t.bulk_insert(big)
+    for i in range(4):
+        rows = [(10000 + i * 10 + j, 1, f"s{i}{j}") for j in range(5)]
+        t.insert(df_of(spark, rows), dedup_batch=False)
+    before = {e["path"]: e["rows"] for e in t.current_files()}
+    big_paths = {p for p, r in before.items() if r >= 1000}
+    small_before = [p for p, r in before.items() if r < 100]
+    assert big_paths and len(small_before) >= 4
+    c = TableServices(t).cluster_small_files(100)
+    assert c is not None
+    after = {e["path"]: e["rows"] for e in t.current_files()}
+    assert big_paths <= set(after)  # untouched, byte-identical in place
+    packed = [p for p in after if p not in big_paths]
+    assert len(packed) < len(small_before)
+    assert sum(after.values()) == 5020
+    assert t.snapshot().count() == 5020
+    # one packed file under the threshold remains → nothing to bin-pack
+    assert TableServices(t).cluster_small_files(100) is None
+    # per-row commit times survive (incremental/CDC unaffected)
+    stamps = {
+        r["id"]: r["_commit_time"]
+        for r in t.snapshot().where("id >= 10000").collect()
+    }
+    assert len(set(stamps.values())) == 4
+
+
+def test_cluster_small_files_mor_keeps_deltas(spark, tpath):
+    t = make_table(spark, tpath, table_type="mor")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "x") for i in range(2000)], "id long, ver long, val string"
+        ).coalesce(1)
+    )
+    t.insert(df_of(spark, [(9001, 1, "a")]), dedup_batch=False)
+    t.insert(df_of(spark, [(9002, 1, "b")]), dedup_batch=False)
+    t.upsert(df_of(spark, [(5, 2, "upd")]))  # delta file
+    deltas_before = {
+        e["path"] for e in t.current_files() if e.get("kind") == "delta"
+    }
+    assert deltas_before
+    c = TableServices(t).cluster_small_files(100)
+    assert c is not None
+    after = t.current_files()
+    assert deltas_before <= {e["path"] for e in after}  # deltas untouched
+    # published schema stays clean of the MOR read-widening column
+    assert "_deleted" not in {
+        f["name"] for f in t._manifest(c)["schema"]["fields"]
+    }
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[5] == "upd" and got[9001] == "a" and got[9002] == "b"
+    assert len(got) == 2002
+
+
+def test_cluster_small_files_call_procedure(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_dml import (
+        call_procedure,
+    )
+
+    t = make_table(spark, tpath)
+    for i in range(3):
+        t.insert(df_of(spark, [(i, 1, f"v{i}")]), dedup_batch=False)
+    out = call_procedure(
+        spark,
+        "CALL run_clustering(table => 't', small_file_rows => 100)",
+        {"t": t},
+    ).collect()[0]
+    assert out["state"] == "completed"
+    assert t.snapshot().count() == 3
+    with pytest.raises(ValueError, match="own strategy"):
+        call_procedure(
+            spark,
+            "CALL run_clustering(table => 't', small_file_rows => 100, "
+            "zorder => true, order => 'id')",
+            {"t": t},
+        )
+    # nothing left to pack → skipped
+    out2 = call_procedure(
+        spark,
+        "CALL run_clustering(table => 't', small_file_rows => 100)",
+        {"t": t},
+    ).collect()[0]
+    assert out2["state"] == "skipped"
