@@ -353,3 +353,37 @@ def test_dynamic_insert_overwrite_algebra(
         r["id"]: (r["ver"], r["p"]) for r in t.snapshot().collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(b1=BATCH, b2=BATCH, b3=BATCH)
+def test_bucket_table_upserts_match_plain_table(
+    spark, tmp_path_factory, b1, b2, b3
+):
+    """The bucket index is a LAYOUT, not a semantic: any sequence of
+    upserts on a bucket table must produce exactly the plain table's
+    snapshot (the bucket prune may only drop files that provably hold
+    none of the batch's keys — a wrong bucket assignment or an over-
+    eager prune surfaces as divergence here)."""
+    global _SEQ
+    base = tmp_path_factory.mktemp("prop")
+    plain = _mk(spark, base)
+    _SEQ += 1
+    bucketed = Table.create(
+        spark,
+        f"{base}/t{_SEQ}",
+        key="id",
+        precombine="ver",
+        table_name="tb",
+        index_type="bucket",
+        bucket_count=3,
+    )
+    for rows in (b1, b2, b3):
+        df = _df(spark, rows)
+        plain.upsert(df)
+        bucketed.upsert(df)
+    assert _snap(bucketed) == _snap(plain)
