@@ -118,6 +118,7 @@ HEADLINE = [
     # born round 10
     "table_bucket_index_upsert",
     "table_small_file_clustering",
+    "table_sql_alter_column_type",
     "table_bloom_index_upsert",
     "table_concurrent_writers",
     "table_sql_drop_partition",
@@ -157,11 +158,13 @@ PRINT_OMIT = {
     "sample_weighted_reservoir",
     "table_delete_where",
     "multimodal_features",
-    # retired with the 8th/9th r10 birth rows (dedup family keeps
+    # retired with the 8th-10th r10 birth rows (dedup family keeps
     # minhash, ngram, incremental, remove_spans, semantic_* printed;
-    # stream family keeps tumbling + multimodal printed)
+    # stream family keeps tumbling + multimodal; text family keeps
+    # quality (sentinel), repetition_gopher, dsir_importance)
     "dedup_exact_substring",
     "stream_table_feed",
+    "text_bigram_logprob",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

@@ -79,6 +79,7 @@ _ROUND_PRIORITY: list[str] = [
     "text_pack_bin_stats",
     "table_bucket_index_upsert",
     "table_small_file_clustering",
+    "table_sql_alter_column_type",
     # (1) latest driver row = round 5 (the r9 spill, all 26)
     "sim_label_centroid",
     "sim_quantized_topk",
@@ -121,7 +122,6 @@ _ROUND_PRIORITY: list[str] = [
     "pipeline_semantic_gold",
     "quality_report",
     "sample_stratified_deterministic",
-    "scalar_array_funcs",
 ]
 
 

@@ -2195,6 +2195,59 @@ def table_small_file_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_sql_alter_column_type",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_custkey + 3000000000
+                    ELSE o_custkey END AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate
+        FROM orders
+    """,
+    doc="metadata-only type WIDENING through SQL (Hudi 1.0 / Spark "
+    "ALTER TABLE .. ALTER COLUMN .. TYPE — type promotion): the table "
+    "is loaded with o_custkey narrowed to INT, then one ALTER COLUMN "
+    "statement publishes a BIGINT schema WITHOUT touching a data file "
+    "(the commit's added/removed file lists are asserted empty — at "
+    "100 TB the alternative is a full-corpus rewrite); Spark's "
+    "parquet reader upcasts the old int32 pages at scan time. The "
+    "post-alter upsert writes values past the int range (custkey + "
+    "3e9), proving the widened domain end-to-end; time travel before "
+    "the alter still reads the narrow type",
+)
+def table_sql_alter_column_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_ddl import execute_ddl
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_altct_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_altct",
+    )
+    t.bulk_insert(orders.withColumn("o_custkey", F.col("o_custkey").cast("int")))
+    assert dict(t.snapshot().dtypes)["o_custkey"] == "int"
+    c = execute_ddl(
+        spark,
+        "ALTER TABLE orders_altct ALTER COLUMN o_custkey TYPE bigint",
+        {"orders_altct": t},
+    )
+    man = t._manifest(c)
+    assert man["files_added"] == [] and man["files_removed"] == [], man
+    batch = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(3000000000))
+        .select(*_COLS)
+    )
+    t.upsert(batch)
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["o_custkey"] == "bigint"
+    return snap.drop(META_COL)
+
+
+@register(
     "table_sql_drop_partition",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

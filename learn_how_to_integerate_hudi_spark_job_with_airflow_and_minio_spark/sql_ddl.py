@@ -24,12 +24,15 @@ Grammar (case-insensitive keywords; clauses in any order after
         [LOCATION '<path>']                  -- default: <base_dir>/<name>
         [TBLPROPERTIES (k = v[, ...])]       -- primaryKey + preCombineField
                                              -- required; type = 'cow'|'mor',
-                                             -- maxRecordsPerFile = N; other
+                                             -- maxRecordsPerFile = N,
+                                             -- indexType = 'bloom'|'bucket',
+                                             -- bucketCount = N; other
                                              -- keys stored verbatim
         [AS <select ...>]                    -- CTAS: schema from the query
 
     ALTER TABLE <name> ADD COLUMNS (col type[, ...])
     ALTER TABLE <name> DROP COLUMN <col>
+    ALTER TABLE <name> ALTER COLUMN <col> TYPE <type>   -- widening only
     ALTER TABLE <name> SET TBLPROPERTIES (k = v[, ...])
     ALTER TABLE <name> RENAME TO <newname>
     CREATE INDEX <name> ON [TABLE] <table>
@@ -568,6 +571,17 @@ def execute_ddl(
         )
         if dm:
             return t.alter_drop_column(dm.group(1).strip("`"))
+        atm = re.match(
+            rf"ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+(.+?)\s*$",
+            body,
+            re.IGNORECASE,
+        )
+        if atm:
+            # metadata-only type widening (Hudi 1.0 / Spark type
+            # promotion — see Table.alter_column_type)
+            return t.alter_column_type(
+                atm.group(1).strip("`"), atm.group(2).strip()
+            )
         sm = re.match(r"SET\s+TBLPROPERTIES\s*", body, re.IGNORECASE)
         if sm:
             inner, end = _clause_paren(body, sm.end())

@@ -600,8 +600,11 @@ def call_procedure(
       the size-based strategy (rewrite ONLY base files under N rows —
       O(small files), Hudi's small-file limit; mutually exclusive
       with order/zorder).
-    - ``run_clean(table[, retain_commits])`` — retention GC (default
-      5, the VACUUM default).
+    - ``run_clean(table[, retain_commits][, retain_hours])`` —
+      retention GC (default: last 5 commits, the VACUUM default;
+      ``retain_hours => H`` switches to Hudi's KEEP_LATEST_BY_HOURS —
+      commits inside the trailing window plus the latest stay
+      readable).
     - ``archive_commits(table[, keep_active])`` — fold old manifests
       into the archive (default keep_active 20).
     """
@@ -720,8 +723,12 @@ def call_procedure(
             c = svc.compact(sort_cols=cols, target_records_per_file=tr)
         return _df([(c, "completed")], "commit string, state string")
     if name == "run_clean":
-        kw = _take("retain_commits")
-        deleted = svc.clean(retain_commits=int(kw.get("retain_commits", 5)))
+        kw = _take("retain_commits", "retain_hours")
+        rh = kw.get("retain_hours")
+        deleted = svc.clean(
+            retain_commits=int(kw.get("retain_commits", 5)),
+            retain_hours=float(rh) if rh is not None else None,
+        )
         return _df([(len(deleted),)], "deleted_files bigint")
     # archive_commits
     kw = _take("keep_active")

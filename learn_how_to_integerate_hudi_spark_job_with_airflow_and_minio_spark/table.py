@@ -2129,6 +2129,73 @@ class Table:
         self._publish(commit, "alter_add_columns", [], [], new_schema)
         return commit
 
+    def alter_column_type(self, col: str, new_type: str) -> str:
+        """Metadata-only type WIDENING (Hudi 1.0 / Spark ``ALTER TABLE
+        .. ALTER COLUMN .. TYPE`` — type promotion): publishes a commit
+        whose manifest schema carries the wider type; NO data is
+        rewritten. Spark's parquet reader upcasts the old files'
+        physical type at scan time (int32→bigint, float→double, decimal
+        widening — verified native in this Spark), so every read —
+        snapshot, incremental, time travel BEFORE the alter — stays
+        exact. Only same-class widening is legal: integral→wider
+        integral, float→double, decimal(p,s)→decimal(p'+k, s) with
+        non-shrinking integer digits; anything else (narrowing,
+        string→int, int→double) raises — those need a rewrite the user
+        must opt into (CTAS).
+
+        Bucket tables stay consistent under key widening for free: the
+        bucket function canonicalizes integral keys to long before
+        hashing, so pre- and post-alter batches hash identically.
+        """
+        from pyspark.sql import types as T
+
+        schema = self._schema()
+        if schema is None:
+            raise ValueError(
+                "cannot ALTER COLUMN on a table with no commits yet"
+            )
+        if col == META_COL:
+            raise ValueError(f"{META_COL} is a system column")
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise ValueError(f"no column {col!r} in the table schema")
+        try:
+            new_dt = StructType.fromDDL(f"`{col}` {new_type}").fields[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"cannot parse type {new_type!r}: {e}"
+            ) from None
+        old_dt = field.dataType
+        rank = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+        ok = False
+        if type(old_dt) in rank and type(new_dt) in rank:
+            ok = rank[type(new_dt)] > rank[type(old_dt)]
+        elif isinstance(old_dt, T.FloatType) and isinstance(new_dt, T.DoubleType):
+            ok = True
+        elif isinstance(old_dt, T.DecimalType) and isinstance(
+            new_dt, T.DecimalType
+        ):
+            ok = (
+                new_dt.scale == old_dt.scale
+                and new_dt.precision > old_dt.precision
+            )
+        if not ok:
+            raise ValueError(
+                f"ALTER COLUMN TYPE only widens within a type class "
+                f"({old_dt.simpleString()} → {new_dt.simpleString()} is "
+                f"not a widening); use CTAS for a rewriting conversion"
+            )
+        new_schema = StructType(
+            [
+                StructField(f.name, new_dt if f.name == col else f.dataType,
+                            f.nullable)
+                for f in schema.fields
+            ]
+        )
+        commit = self._next_commit()
+        self._publish(commit, "alter_column_type", [], [], new_schema)
+        return commit
+
     def partial_update(self, df: DataFrame) -> str:
         """Column-subset upsert (the Hudi ``PARTIAL_UPDATE`` payload
         surface, admitted by ``hoodie.datasource.write.payload.class`` on
@@ -3813,17 +3880,30 @@ class TableServices:
                 deleted.append(rel)
         return deleted
 
-    def clean(self, retain_commits: int = 5) -> list[str]:
+    def clean(
+        self,
+        retain_commits: int = 5,
+        retain_hours: float | None = None,
+    ) -> list[str]:
         """Delete data files no snapshot within the retention window needs.
 
-        A file is deletable iff it is live in NONE of the last
-        ``retain_commits + 1`` commit states (current state + the
-        ``retain_commits`` prior as_of targets). This keys retention on
-        when a file was RETIRED, not when it was added: a file written in
-        commit 1 and replaced by the latest commit is still readable via
-        ``snapshot(as_of=...)``/``restore()`` until it ages out of the
-        window. Single manifest replay, live-set snapshots at protected
-        commits only.
+        Two policies, mirroring Hudi's cleaner:
+
+        - count-based (default — ``KEEP_LATEST_COMMITS``): a file is
+          deletable iff it is live in NONE of the last
+          ``retain_commits + 1`` commit states (current state + the
+          ``retain_commits`` prior as_of targets);
+        - time-based (``retain_hours`` set — ``KEEP_LATEST_BY_HOURS``):
+          every commit whose manifest timestamp falls inside the
+          trailing window is protected, plus always the latest commit
+          (the current state must stay readable even on an idle table).
+          ``retain_commits`` is ignored when ``retain_hours`` is given.
+
+        Both key retention on when a file was RETIRED, not when it was
+        added: a file written in commit 1 and replaced by the latest
+        commit is still readable via ``snapshot(as_of=...)``/
+        ``restore()`` until it ages out of the window. Single manifest
+        replay, live-set snapshots at protected commits only.
 
         Savepointed commits (:meth:`Table.savepoint`) are protected
         unconditionally — their as-of live sets survive any retention
@@ -3834,9 +3914,32 @@ class TableServices:
         t = self.t
         arch = t._archived_manifests()
         commits = sorted({*t.commits(), *arch})
-        if len(commits) <= retain_commits and not t.savepoints():
-            return []
-        protected = set(commits[-(retain_commits + 1):]) | set(t.savepoints())
+        if retain_hours is not None:
+            if retain_hours < 0:
+                raise ValueError(
+                    f"retain_hours must be >= 0, got {retain_hours}"
+                )
+            if not commits:
+                return []
+            from datetime import timedelta
+
+            cutoff = (
+                datetime.now(timezone.utc) - timedelta(hours=retain_hours)
+            ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+            protected = {
+                c
+                for c in commits
+                if str((arch.get(c) or t._manifest(c)).get("ts") or "")
+                >= cutoff
+            }
+            protected.add(commits[-1])
+            protected |= set(t.savepoints())
+        else:
+            if len(commits) <= retain_commits and not t.savepoints():
+                return []
+            protected = set(commits[-(retain_commits + 1):]) | set(
+                t.savepoints()
+            )
         live: dict[str, dict] = {}
         ever: set[str] = set()
         needed: set[str] = set()

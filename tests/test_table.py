@@ -1802,3 +1802,146 @@ def test_cluster_small_files_call_procedure(spark, tpath):
         {"t": t},
     ).collect()[0]
     assert out2["state"] == "skipped"
+
+
+def test_alter_column_type_widens_metadata_only(spark, tpath):
+    t = Table.create(spark, tpath, key="id", precombine="ver", table_name="t")
+    t.upsert(spark.createDataFrame([(1, 1, 5)], "id long, ver long, qty int"))
+    c = t.alter_column_type("qty", "bigint")
+    man = t._manifest(c)
+    assert man["action"] == "alter_column_type"
+    assert man["files_added"] == [] and man["files_removed"] == []
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["qty"] == "bigint"
+    assert snap.collect()[0]["qty"] == 5
+    # post-alter batch exercises the widened domain
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 1, 2**40)], "id long, ver long, qty long"
+        )
+    )
+    got = {r["id"]: r["qty"] for r in t.snapshot().collect()}
+    assert got == {1: 5, 2: 2**40}
+    # time travel BEFORE the alter still reads the narrow type
+    pre = t.snapshot(as_of=t.commits()[0])
+    assert dict(pre.dtypes)["qty"] == "int"
+    with pytest.raises(ValueError, match="widening"):
+        t.alter_column_type("qty", "int")
+    with pytest.raises(ValueError, match="widening"):
+        t.alter_column_type("qty", "double")
+    with pytest.raises(ValueError, match="no column"):
+        t.alter_column_type("nope", "bigint")
+    with pytest.raises(ValueError, match="system column"):
+        t.alter_column_type("_commit_time", "string")
+
+
+def test_alter_column_type_float_and_decimal(spark, tpath):
+    from decimal import Decimal
+
+    t = Table.create(spark, tpath, key="id", precombine="ver", table_name="t")
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, 1.5, Decimal("3.25"))],
+            "id long, ver long, f float, d decimal(5,2)",
+        )
+    )
+    t.alter_column_type("f", "double")
+    t.alter_column_type("d", "decimal(12,2)")
+    snap = t.snapshot()
+    types = dict(snap.dtypes)
+    assert types["f"] == "double" and types["d"] == "decimal(12,2)"
+    row = snap.collect()[0]
+    assert row["f"] == 1.5 and str(row["d"]) == "3.25"
+    with pytest.raises(ValueError, match="widening"):
+        t.alter_column_type("d", "decimal(14,3)")  # scale change rewrites
+
+
+def test_alter_column_type_ddl_and_bucket_key(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver",
+        index_type="bucket", bucket_count=4, table_name="t",
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "x") for i in range(200)], "id int, ver long, val string"
+        )
+    )
+    c = execute_ddl(spark, "ALTER TABLE t ALTER COLUMN id TYPE bigint", {"t": t})
+    assert c == t.latest_commit()
+    # bucket assignment is invariant under key widening (canonical
+    # cast-to-long): the post-alter point upsert still prunes
+    t.upsert(spark.createDataFrame([(7, 2, "u")], "id long, ver long, val string"))
+    assert t._last_bucket_prune is not None
+    assert t._last_bucket_prune["buckets"] == 1
+    got = {r["id"]: r["val"] for r in t.snapshot().where("id = 7").collect()}
+    assert got == {7: "u"}
+
+
+def _age_manifest(t, commit, hours):
+    import json
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    p = os.path.join(t.path, "_commits", f"{commit}.json")
+    with open(p) as fh:
+        m = json.load(fh)
+    m["ts"] = (
+        datetime.now(timezone.utc) - timedelta(hours=hours)
+    ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+
+
+def test_clean_retain_hours(spark, tpath):
+    """Time-based retention (Hudi KEEP_LATEST_BY_HOURS): commits inside
+    the trailing window plus the latest stay readable; aged-out retired
+    files are deleted."""
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    t.upsert(df_of(spark, [(1, 2, "b")]))
+    t.upsert(df_of(spark, [(1, 3, "c")]))
+    c1, c2, c3 = t.commits()
+    _age_manifest(t, c1, 10)
+    _age_manifest(t, c2, 10)
+    t2 = Table.load(spark, tpath)
+    deleted = TableServices(t2).clean(retain_hours=5)
+    assert len(deleted) == 2  # c1's and c2's retired files
+    assert rows_of(t2.snapshot(), "id", "val") == [(1, "c")]
+    # an idle table keeps its latest state even past the window
+    _age_manifest(t2, c3, 10)
+    t3 = Table.load(spark, tpath)
+    assert TableServices(t3).clean(retain_hours=5) == []
+    assert rows_of(t3.snapshot(), "id", "val") == [(1, "c")]
+
+
+def test_clean_retain_hours_respects_savepoints(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    t.upsert(df_of(spark, [(1, 2, "b")]))
+    c1 = t.commits()[0]
+    t.savepoint(c1)
+    _age_manifest(t, c1, 10)
+    t2 = Table.load(spark, tpath)
+    assert TableServices(t2).clean(retain_hours=1) == []
+    assert rows_of(t2.snapshot(as_of=c1), "id", "val") == [(1, "a")]
+
+
+def test_clean_retain_hours_call_procedure(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_dml import (
+        call_procedure,
+    )
+
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    t.upsert(df_of(spark, [(1, 2, "b")]))
+    _age_manifest(t, t.commits()[0], 10)
+    out = call_procedure(
+        spark,
+        "CALL run_clean(table => 't', retain_hours => 5)",
+        {"t": Table.load(spark, tpath)},
+    ).collect()[0]
+    assert out["deleted_files"] == 1
