@@ -459,10 +459,10 @@ def execute_ddl(
         if kind in ("expression_index", "column_stats"):
             if not arg:
                 raise ValueError("expression_index needs an expression")
-            if name.lower() in ("bloom_index", "record_index"):
-                # reserved: DROP INDEX resolves these literals to the
-                # bloom/record kinds first, so an expression index so
-                # named could never be dropped through DDL
+            if name.lower() in ("bloom_index", "record_index", "bucket_index"):
+                # reserved: DROP INDEX / SHOW INDEXES resolve these
+                # literals to their structural kinds, so an expression
+                # index so named could never be addressed unambiguously
                 raise ValueError(
                     f"index name {name!r} is reserved for the "
                     f"{name.lower().split('_')[0]} index kind"
@@ -515,6 +515,14 @@ def execute_ddl(
 
             TableServices(t).drop_bloom_index()
             return None
+        if (
+            name.lower() == "bucket_index"
+            and t.meta.get("index_type") == "bucket"
+        ):
+            raise ValueError(
+                "the bucket index is a creation-time structural mode — "
+                "it cannot be dropped; recreate the table without it"
+            )
         candidates = [
             t._expression_index_paths(name),
             t._secondary_index_paths(name),

@@ -2625,6 +2625,14 @@ class Table:
             token = path.split("/", 2)[1]
             if token not in self._bloom_sidecars:
                 sp = self._bloom_sidecar_path(token)
+                if not self.fs.exists(sp):
+                    # legacy layout (pre-token sidecars): fall back to
+                    # the bare commit id so earlier tables keep coverage
+                    legacy = self._bloom_sidecar_path(
+                        token.split("-", 1)[0]
+                    )
+                    if self.fs.exists(legacy):
+                        sp = legacy
                 try:
                     self._bloom_sidecars[token] = (
                         read_json(sp) if self.fs.exists(sp) else {"files": {}}
@@ -2770,6 +2778,24 @@ class Table:
         n = self._bucket_count()
         if not n or not entries:
             return entries
+        # the batch must hash in the TABLE key's domain: a cross-class
+        # keys frame (int keys against a string-keyed table — Spark
+        # would implicitly cast in the downstream semi-join) buckets
+        # differently than the write side, so pruning on it could drop
+        # files that hold real matches. Fail open on any mismatch.
+        schema = self.effective_schema()
+        tf = (
+            next((f for f in schema.fields if f.name == self.key), None)
+            if schema is not None
+            else None
+        )
+        bf = next((f for f in keys.schema.fields if f.name == self.key), None)
+        if (
+            tf is None
+            or bf is None
+            or _type_class(tf.dataType) != _type_class(bf.dataType)
+        ):
+            return entries
         col = self._bucket_key_col(keys.schema)
         if col is None:
             return entries
@@ -2825,12 +2851,19 @@ class Table:
             from pyspark.sql.types import StructField
 
             field = next(f for f in schema.fields if f.name == self.key)
-            one = self.spark.createDataFrame(
-                [(value,)], StructType([StructField(self.key, field.dataType, True)])
-            )
-            b = one.select(
-                F.pmod(F.hash(col), F.lit(n)).cast("int").alias("_b")
-            ).collect()[0]["_b"]
+            try:
+                one = self.spark.createDataFrame(
+                    [(value,)],
+                    StructType([StructField(self.key, field.dataType, True)]),
+                )
+                b = one.select(
+                    F.pmod(F.hash(col), F.lit(n)).cast("int").alias("_b")
+                ).collect()[0]["_b"]
+            except (TypeError, ValueError, OverflowError):
+                # value doesn't fit the key's Spark type (out-of-range
+                # int, float against a long key): a plain table would
+                # just scan-and-miss — fail open, never crash the read
+                return entries
             if b is None:
                 return entries
             self._bucket_value_cache[value] = int(b)
@@ -3269,6 +3302,30 @@ class Table:
             )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _mrpf_override(t: "Table", target: int | None):
+    """Temporarily override ``max_records_per_file`` for one rewrite
+    (compaction / small-file clustering target sizing). No-op when no
+    target is given — the restore must never plant a ``None`` entry in
+    a meta dict that didn't have the key."""
+    if not target:
+        yield
+        return
+    had = "max_records_per_file" in t.meta
+    old = t.meta.get("max_records_per_file")
+    t.meta["max_records_per_file"] = target
+    try:
+        yield
+    finally:
+        if had:
+            t.meta["max_records_per_file"] = old
+        else:
+            t.meta.pop("max_records_per_file", None)
+
+
 def _type_class(dt) -> str:
     """Coarse type class for write-side schema enforcement: drift WITHIN
     a class (int→long, decimal widening) is the normal evolution Spark
@@ -3594,6 +3651,13 @@ class TableServices:
         newest covered commit, or None for an empty table.
         """
         t = self.t
+        if t.meta.get("index_type") == "bucket":
+            # index_type is a single structural slot: silently flipping
+            # it would strip the bucket layout every write depends on
+            raise ValueError(
+                "table uses the bucket index (a creation-time "
+                "structural mode) — it cannot be converted to bloom"
+            )
         # validate BEFORE persisting the flag: a rejected CREATE INDEX
         # must not leave the table flagged as bloom-indexed (the check
         # mirrors _bloom_write_key's supported-type set)
@@ -3663,6 +3727,11 @@ class TableServices:
         metadata-plane inverse of :meth:`build_bloom_index` (reads and
         writes consult filters only when the flag is set)."""
         t = self.t
+        if t.meta.get("index_type") == "bucket":
+            raise ValueError(
+                "table uses the bucket index, not bloom — the bucket "
+                "layout is structural and cannot be dropped"
+            )
         t.meta.pop("index_type", None)
         write_json(posixpath.join(t.path, "_table.json"), t.meta)
         bdir = t._bloom_dir()
@@ -4042,13 +4111,8 @@ class TableServices:
             # the z-value did its job (range partition + in-file order);
             # drop it before writing — projection preserves sort order
             df = df.drop("_z")
-        old_mrpf = t.meta.get("max_records_per_file")
-        if target_records_per_file:
-            t.meta["max_records_per_file"] = target_records_per_file
-        try:
+        with _mrpf_override(t, target_records_per_file):
             added = t._write_files(df, commit)
-        finally:
-            t.meta["max_records_per_file"] = old_mrpf
         removed = [e["path"] for e in entries]
         t._publish(commit, "replace", added, removed, df.schema)
         return commit
@@ -4091,6 +4155,12 @@ class TableServices:
         ]
         if len(small) <= 1:
             return None
+        if len({e["path"].split("/", 2)[1] for e in small}) <= 1:
+            # every small file came out of ONE write (typically the
+            # previous packing pass): re-packing them gains nothing and
+            # would churn a commit per maintenance run forever — wait
+            # for new dribble to join before packing again
+            return None
         commit = t._next_commit()
         df = t._read_entries(small)
         if "_deleted" in df.columns:
@@ -4099,20 +4169,17 @@ class TableServices:
             df = df.drop("_deleted")
         if not t._bucket_count():
             # key-clustered output (the bucket branch in _write_files
-            # re-buckets + key-sorts on its own)
+            # re-buckets + key-sorts on its own). FLOOR division: packed
+            # files land AT OR ABOVE the threshold, so they exit the
+            # small set and the next run skips them
             total = sum(e["rows"] for e in small)
             tr = target_records_per_file or threshold_rows
-            nparts = max(1, -(-total // tr))
+            nparts = max(1, total // tr)
             df = df.repartitionByRange(nparts, t.key).sortWithinPartitions(
                 t.key
             )
-        old_mrpf = t.meta.get("max_records_per_file")
-        if target_records_per_file:
-            t.meta["max_records_per_file"] = target_records_per_file
-        try:
+        with _mrpf_override(t, target_records_per_file):
             added = t._write_files(df, commit)
-        finally:
-            t.meta["max_records_per_file"] = old_mrpf
         t._publish(
             commit, "replace", added, [e["path"] for e in small], df.schema
         )

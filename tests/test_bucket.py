@@ -260,3 +260,64 @@ def test_bucket_compaction_preserves_layout(spark, tpath):
     got = {r["k"]: r["v"] for r in t.snapshot().where("k in (1, 8, 15)").collect()}
     assert got == {1: 9000, 8: 9001, 15: 9002}
     assert t.snapshot().count() == 2000
+
+
+def test_bucket_prune_fails_open_on_cross_class_keys(spark, tpath):
+    # a keys frame typed in a different class than the table's key
+    # (Spark would implicitly cast in the semi-join) must NOT prune —
+    # its buckets are computed in the wrong domain
+    t = Table.create(
+        spark, tpath, key="name", precombine="v",
+        index_type="bucket", bucket_count=4,
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("name"), F.col("id").alias("v")
+    )
+    t.bulk_insert(df.repartition(4, "name"))
+    entries = t.current_files()
+    int_keys = spark.createDataFrame([(5,), (7,)], "name long")
+    assert t._prune_by_bucket(entries, int_keys) == entries
+
+
+def test_bucket_point_value_out_of_domain_fails_open(spark, tpath):
+    t = Table.create(
+        spark, tpath, key="k", precombine="v",
+        index_type="bucket", bucket_count=4,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, i) for i in range(100)], "k int, v long"
+        )
+    )
+    # out-of-range literal for an int key: plain tables scan-and-miss;
+    # bucket tables must not crash the read
+    assert t.read_where("k = 3000000000").count() == 0
+    # cross-class filter value: the bucket value-prune must fail open
+    # (no crash); the generic stats prune still narrows files, which is
+    # the filters= contract (superset of matching rows)
+    assert t.snapshot(filters={"k": 5.5}).count() >= 0
+    got = t.read_where("k = 42").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(42, 42)]
+
+
+def test_bucket_refuses_bloom_conversion(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=200, nfiles=2))
+    with pytest.raises(ValueError, match="structural"):
+        TableServices(t).build_bloom_index()
+    with pytest.raises(ValueError, match="structural"):
+        TableServices(t).drop_bloom_index()
+    assert t.meta["index_type"] == "bucket"
+    cat = {"tb": t}
+    with pytest.raises(ValueError, match="reserved"):
+        execute_ddl(
+            spark,
+            "CREATE INDEX bucket_index ON tb USING expression_index(k % 2)",
+            cat,
+        )
+    with pytest.raises(ValueError, match="cannot be dropped"):
+        execute_ddl(spark, "DROP INDEX bucket_index ON tb", cat)

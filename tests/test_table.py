@@ -1945,3 +1945,30 @@ def test_clean_retain_hours_call_procedure(spark, tpath):
         {"t": Table.load(spark, tpath)},
     ).collect()[0]
     assert out["deleted_files"] == 1
+
+
+def test_cluster_small_files_terminates(spark, tpath):
+    """Packed output must exit the small set (floor-division sizing) or
+    at worst share one write generation — no infinite re-pack churn."""
+    t = make_table(spark, tpath)
+    for i in range(3):
+        rows = [(i * 100 + j, 1, "x") for j in range(60)]
+        t.insert(df_of(spark, rows), dedup_batch=False)
+    c = TableServices(t).cluster_small_files(100)
+    assert c is not None
+    # 180 rows at threshold 100 → ONE >=100-row file (floor division)
+    packed = [e for e in t.current_files()]
+    assert sum(e["rows"] for e in packed) == 180
+    ncommits = len(t.commits())
+    assert TableServices(t).cluster_small_files(100) is None
+    assert len(t.commits()) == ncommits  # no churn commit published
+    assert t.snapshot().count() == 180
+
+
+def test_compact_does_not_plant_null_mrpf(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(1, 1, "a")]))
+    TableServices(t).compact()
+    assert "max_records_per_file" not in t.meta or (
+        t.meta["max_records_per_file"] is not None
+    )
