@@ -126,6 +126,9 @@ HEADLINE = [
     "table_sql_show_indexes",
     "text_pack_chunk_spans",
     "text_pack_bin_stats",
+    "table_sql_delete_update_subquery",
+    "table_bucket_resize",
+    "table_sql_optimize_partition",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -164,6 +167,22 @@ PRINT_OMIT = {
     # quality (sentinel), repetition_gopher, dsir_importance)
     "dedup_exact_substring",
     "stream_table_feed",
+    # retired with the 11th r10 birth row (kernel family keeps
+    # upsert_snapshot/partial_update/delete-pred rows printed; sim
+    # family keeps quantized_topk + ivf_incremental printed)
+    "table_update_where",
+    "sim_topk_bruteforce",
+    # retired with the 12th r10 birth row (stream family keeps
+    # stream_multimodal_feed printed)
+    "stream_tumbling_window",
+    # headroom after the 12 r10 birth rows pushed a probe line to 1948
+    # of the 1960 guard (ts family keeps anomaly-zscore-adjacent rows
+    # via BENCH_SELF; multimodal keeps multimodal_features printed)
+    "ts_ewma_grouped",
+    "multimodal_ahash_pairs",
+    # retired with the 13th r10 birth row (dedup family keeps minhash,
+    # ngram, incremental, semantic_* printed)
+    "dedup_remove_spans",
     "text_bigram_logprob",
 }
 

@@ -2438,3 +2438,215 @@ def table_sql_delete_partition_pred(
         "WHERE o_orderstatus = 'P' AND o_orderkey < 1000"
     )
     return t.snapshot().drop(META_COL)
+
+
+from .common import dsum as _dsum  # noqa: E402 — module-tail extension
+from .common import sql_dsum as _sql_dsum  # noqa: E402
+
+
+@register(
+    "table_sql_delete_update_subquery",
+    oracle=f"""
+        WITH kept AS (
+            SELECT * FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        )
+        SELECT CASE WHEN o_totalprice >
+                        (SELECT max(o_totalprice) / 2 FROM kept)
+                    THEN 'X' ELSE o_orderstatus END AS status,
+               COUNT(*) AS n,
+               {_sql_dsum("o_totalprice")} AS total
+        FROM kept
+        GROUP BY 1
+    """,
+    doc="DELETE and UPDATE statements with SUBQUERY predicates through "
+    "SqlSession (Hudi/Spark-SQL DML accepts IN/NOT IN/EXISTS/scalar "
+    "subqueries; the engine's expression path cannot host them, so the "
+    "router evaluates the WHERE via spark.sql over the pre-statement "
+    "snapshot and feeds the matched keys to the index-pruned kernels): "
+    "the DELETE removes orders of negative-balance customers via an "
+    "IN-subquery over a plain Spark view (cross-relation binding), the "
+    "UPDATE restamps status via a SELF-REFERENCING scalar subquery "
+    "(max/2 is exact in binary, so the threshold compare is "
+    "bit-deterministic across engines). The scan phase is full-snapshot "
+    "by nature (a subquery predicate is not manifest-prunable); the "
+    "write phase stays bounded by affected files via the key prunes",
+)
+def table_sql_delete_update_subquery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    tbls = load_tables(spark, sf_dir, "orders", "customer")
+    orders = tbls["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_subq_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_subq",
+    )
+    t.bulk_insert(orders)
+    vname = "subq_cust_v"
+    tbls["customer"].select("c_custkey", "c_acctbal").createOrReplaceTempView(
+        vname
+    )
+    sess = SqlSession(spark, tables={"orders_subq": t})
+    try:
+        sess.sql(
+            f"DELETE FROM orders_subq WHERE o_custkey IN "
+            f"(SELECT c_custkey FROM {vname} WHERE c_acctbal < 0)"
+        )
+    finally:
+        spark.catalog.dropTempView(vname)
+    sess.sql(
+        "UPDATE orders_subq SET o_orderstatus = 'X' WHERE o_totalprice > "
+        "(SELECT max(o_totalprice) / 2 FROM orders_subq)"
+    )
+    return (
+        t.snapshot()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@register(
+    "table_bucket_resize",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 4
+                    ) THEN 'K'
+                    WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 4 OFFSET 4
+                    ) THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 4
+                    ) THEN o_totalprice * 3
+                    WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 4 OFFSET 4
+                    ) THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="bucket-count RESIZE (Hudi's consistent-hashing bucket index "
+    "answers the same problem — a day-1 bucket count that no longer "
+    "fits the table — via clustering): files record the modulus they "
+    "were written under, so (1) a METADATA-ONLY resize flips new "
+    "writes to the new count while existing files keep pruning by "
+    "their own recorded modulus — no O(table) rewrite on the write "
+    "path, the 100 TB migration mode; (2) CALL run_clustering("
+    "bucket_count => N) is the one-replace-commit full re-layout. "
+    "The query drives both: a 16-bucket load, a metadata-only flip to "
+    "8 (first point upsert still prunes the old generation under 16), "
+    "a mixed-generation upsert, then the CALL rewrite to 32 — every "
+    "live file re-stamped, snapshot byte-equal to the same updates on "
+    "a plain table (the oracle)",
+)
+def table_bucket_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_dml import call_procedure
+    from ..table import TableServices
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_bresize_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_rsz",
+        index_type="bucket",
+        bucket_count=16,
+    )
+    t.bulk_insert(orders.repartition(8, "o_orderkey"))
+    low8 = [
+        r[0]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(8)
+        .collect()
+    ]
+
+    def batch(keys: list, mult: int, status: str) -> DataFrame:
+        return (
+            orders.where(F.col("o_orderkey").isin(keys))
+            .withColumn("o_totalprice", F.col("o_totalprice") * mult)
+            .withColumn("o_orderstatus", F.lit(status))
+            .select(*_COLS)
+        )
+
+    # metadata-only flip 16 -> 8: zero files rewritten
+    pre = t.latest_commit()
+    assert TableServices(t).resize_buckets(8, rewrite=False) is None
+    assert t.latest_commit() == pre, "metadata-only resize published files"
+    t.upsert(batch(low8[:4], 3, "K"))
+    stats = t._last_bucket_prune
+    assert stats is not None and stats["moduli"] == [16], stats
+    assert stats["buckets"] <= 4 and stats["kept"] <= 2 * stats["buckets"], stats
+    # mixed generations: the 4-key second batch prunes each candidate
+    # file under ITS recorded modulus
+    t.upsert(batch(low8[4:], 2, "R"))
+    stats = t._last_bucket_prune
+    assert stats is not None and 16 in stats["moduli"], stats
+    assert set(stats["moduli"]) <= {8, 16}, stats
+    # full re-layout through the SQL surface: one replace commit
+    out = call_procedure(
+        spark,
+        "CALL run_clustering(table => 'orders_rsz', bucket_count => 32)",
+        {"orders_rsz": t},
+    ).collect()
+    assert out[0]["state"] == "completed"
+    assert all(e.get("bucket_n") == 32 for e in t.current_files())
+    return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_sql_optimize_partition",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="partition-scoped compaction through plain SQL (Delta's "
+    "OPTIMIZE t WHERE, the maintenance shape Hudi schedules via "
+    "clustering partition regex): OPTIMIZE .. WHERE o_orderstatus = "
+    "'F' rewrites ONLY the files whose hive partition value proves "
+    "the predicate — O(partition) instead of O(table) per run, the "
+    "only affordable compaction cadence at 10^5 files. Fail-closed "
+    "as an ERROR on non-provable predicates (non-partition column, "
+    "OR) — never a silent full rewrite. The query asserts the other "
+    "partitions' files survive at their original manifest paths and "
+    "the oracle pins bit-identical content",
+)
+def table_sql_optimize_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_session import SqlSession
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_optw_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        max_records_per_file=400,
+        table_name="orders_opt",
+    )
+    t.bulk_insert(orders)
+    before = {e["path"] for e in t.current_files()}
+    scoped = {p for p in before if "o_orderstatus=F" in p}
+    others = before - scoped
+    assert scoped and others
+    sess = SqlSession(spark, tables={"orders_opt": t})
+    sess.sql("OPTIMIZE orders_opt WHERE o_orderstatus = 'F'")
+    after = {e["path"] for e in t.current_files()}
+    assert others <= after, "unscoped partitions must keep their files"
+    assert not (scoped & after), "scoped partition must be rewritten"
+    return t.snapshot().drop(META_COL)

@@ -26,8 +26,9 @@ Grammar (case-insensitive keywords; clauses in any order after
                                              -- required; type = 'cow'|'mor',
                                              -- maxRecordsPerFile = N,
                                              -- indexType = 'bloom'|'bucket',
-                                             -- bucketCount = N; other
-                                             -- keys stored verbatim
+                                             -- bucketCount = N, autoIndex =
+                                             -- 'record_index[,secondary_index(c)]';
+                                             -- other keys stored verbatim
         [AS <select ...>]                    -- CTAS: schema from the query
 
     ALTER TABLE <name> ADD COLUMNS (col type[, ...])
@@ -245,6 +246,14 @@ def _create(
     if index_type is not None:
         index_type = index_type.lower()
     bucket_count = int(props.pop("bucketcount", 0))
+    # hoodie.metadata.record.index.enable / secondary-index analogs:
+    # comma-separated specs, e.g. 'record_index,secondary_index(c)'
+    auto_raw = props.pop("autoindex", None)
+    auto_index = (
+        [s.strip() for s in str(auto_raw).split(",") if s.strip()]
+        if auto_raw
+        else None
+    )
     path = p["location"]
     if path is None:
         if base_dir is None:
@@ -303,6 +312,7 @@ def _create(
         table_type=table_type,
         index_type=index_type,
         bucket_count=bucket_count,
+        auto_index=auto_index,
     )
     if declared is not None:
         t.meta["declared_schema"] = declared.jsonValue()
@@ -345,6 +355,8 @@ def _show_create(spark: SparkSession, name: str, t: Table) -> DataFrame:
         props["indexType"] = f"'{t.meta['index_type']}'"
     if t.meta.get("bucket_count"):
         props["bucketCount"] = str(t.meta["bucket_count"])
+    if t.meta.get("auto_index"):
+        props["autoIndex"] = "'" + ",".join(t.meta["auto_index"]) + "'"
     for k, v in (t.meta.get("tblproperties") or {}).items():
         props[k] = f"'{v}'"
     parts = [f"CREATE TABLE `{name}` (\n  {cols})", "USING engine"]

@@ -27,10 +27,17 @@ their WHEN/THEN tokens don't terminate a clause):
 
     DELETE FROM <target> [WHERE <expr>]
     UPDATE <target> SET col = <expr>[, ...] [WHERE <expr>]
+      -- <expr> in DELETE/UPDATE may embed subqueries (IN / NOT IN /
+      -- EXISTS / scalar), including self-references to the target;
+      -- they evaluate against the pre-statement snapshot via spark.sql
+      -- and the matched keys route through the index-pruned kernels
     INSERT INTO <target> [(col[, ...])] { SELECT ... | VALUES ... }
     INSERT OVERWRITE [TABLE] <target> [PARTITION (col = lit[, ...])]
            [(col[, ...])] { SELECT ... | VALUES ... }
-    OPTIMIZE <target> [ZORDER BY (col[, ...])]
+    OPTIMIZE <target> [WHERE <partition pred>] [ZORDER BY (col[, ...])]
+      -- WHERE scope: AND-ed partition_col <op> literal conjuncts only
+      -- (per-file provable); rewrites O(partition), not O(table).
+      -- Empty scope returns "" (no commit published)
     VACUUM <target> [RETAIN <n> COMMITS]   -- default: RETAIN 5 COMMITS
 
     CALL <procedure>(key => value[, ...])  -- see :func:`call_procedure`
@@ -70,9 +77,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sqltext import IDENT as _IDENT
+from .sqltext import contains_subquery as _contains_subquery
 from .sqltext import scan_top as _scan_top
 from .sqltext import split_top as _split_top
-from .table import Table, TableServices
+from .table import META_COL, Table, TableServices
 
 __all__ = ["call_procedure", "execute", "parse_merge"]
 
@@ -309,6 +317,48 @@ def partition_spec_to_hive(
     return hive
 
 
+def _subquery_frame(
+    spark: SparkSession, t: Table, name: str, projection: str, cond: str
+) -> DataFrame:
+    """``SELECT <projection> FROM <current snapshot> AS <name> WHERE
+    <cond>`` evaluated through ``spark.sql`` — the only engine surface
+    where IN/NOT IN/EXISTS/scalar subqueries resolve (DataFrame
+    ``where(expr)`` cannot host them). Other table names inside the
+    subquery resolve against registered temp views (:class:`.SqlSession`
+    binds the referenced catalog views before routing here); a
+    self-reference to the TARGET table (``WHERE x > (SELECT avg(x) FROM
+    <name>)``) binds the same pre-statement snapshot, per standard SQL
+    ("subqueries see the table state before the statement").
+
+    ``spark.sql`` analyzes eagerly, so the scratch views are dropped
+    before returning — the resolved plan keeps the snapshot lineage.
+
+    Scale note: the WHERE evaluates over the full snapshot (a subquery
+    predicate is not manifest-prunable by nature), but the WRITE phase
+    downstream is still key-pruned — the matched keys flow into
+    :meth:`.Table.delete` / :meth:`.Table.upsert`, whose range/bucket/
+    bloom/record-index prunes bound the rewrite to affected files."""
+    import uuid as _uuid
+
+    snap = t.snapshot()
+    tag = f"__dml_src_{_uuid.uuid4().hex[:10]}"
+    snap.createOrReplaceTempView(tag)
+    made_self = False
+    try:
+        try:
+            spark.table(name)
+        except Exception:  # noqa: BLE001 — unbound target name
+            snap.createOrReplaceTempView(name)
+            made_self = True
+        return spark.sql(
+            f"SELECT {projection} FROM {tag} AS `{name}` WHERE {cond}"
+        )
+    finally:
+        spark.catalog.dropTempView(tag)
+        if made_self:
+            spark.catalog.dropTempView(name)
+
+
 def execute(
     spark: SparkSession, stmt: str, tables: dict[str, Table]
 ) -> str:
@@ -347,9 +397,19 @@ def execute(
         name = m.group(1).strip("`")
         if name not in tables:
             raise ValueError(f"unknown DELETE target table {name!r}")
+        cond = m.group(2) or "true"
+        if _contains_subquery(cond):
+            # subquery predicate (IN/NOT IN/EXISTS/scalar): evaluate the
+            # WHERE via spark.sql over the snapshot, then route the
+            # matched KEYS through the keyed delete kernel (index-pruned
+            # rewrite; MOR tombstone delta) — snapshot keys are unique,
+            # so the key set identifies the matched rows exactly
+            t = tables[name]
+            keys = _subquery_frame(spark, t, name, f"`{t.key}`", cond)
+            return t.delete(keys)
         # WHERE omitted = delete every row (Spark/Hudi DELETE FROM t):
         # one commit, time travel keeps the pre-delete state readable
-        return tables[name].delete_where(m.group(2) or "true")
+        return tables[name].delete_where(cond)
     m = re.match(
         rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", s, re.IGNORECASE | re.DOTALL
     )
@@ -363,6 +423,41 @@ def execute(
             sets, cond = body[: wh[0][0]], body[wh[0][1] :]
         else:
             sets, cond = body, "true"
+        if _contains_subquery(body):
+            # subquery in the WHERE or a SET expression: compute the
+            # matched rows' NEW versions in one spark.sql pass
+            # (simultaneous-assignment semantics — every SET evaluates
+            # against the OLD row, scalar subqueries included), then
+            # upsert them: the merge kernel replaces batch keys
+            # unconditionally and its range/bucket/bloom/record-index
+            # prunes bound the rewrite to affected files (MOR: one
+            # O(matches) delta). History records the commit as
+            # "upsert"/"deltacommit" — the read-modify-write shape.
+            t = tables[name]
+            assigns = _parse_assignments(sets)
+            structural = {t.key, META_COL}
+            bad = sorted(set(assigns) & structural)
+            if bad:
+                raise ValueError(
+                    f"cannot UPDATE structural column(s) {bad}"
+                )
+            schema = t.effective_schema()
+            if schema is None:
+                raise ValueError(f"UPDATE target {name!r} has no schema")
+            known = set(schema.fieldNames())
+            unknown = sorted(set(assigns) - known)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets unknown column(s) {unknown}; "
+                    "add new columns via a write with the evolved schema"
+                )
+            proj = ", ".join(
+                f"({assigns[c]}) AS `{c}`" if c in assigns else f"`{c}`"
+                for c in schema.fieldNames()
+                if c != META_COL
+            )
+            updated = _subquery_frame(spark, t, name, proj, cond)
+            return t.upsert(updated)
         return tables[name].update_where(_parse_assignments(sets), cond)
     m = re.match(
         rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*"
@@ -470,20 +565,26 @@ def execute(
         return t.insert_overwrite(out, dynamic=mode.lower() == "dynamic")
     m = re.match(
         rf"OPTIMIZE\s+({_IDENT})"
+        r"(?:\s+WHERE\s+(.+?))?"
         r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
         s,
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
     if m:
         name = m.group(1).strip("`")
         if name not in tables:
             raise ValueError(f"unknown OPTIMIZE target table {name!r}")
         zcols = (
-            [c.strip().strip("`") for c in m.group(2).split(",")]
-            if m.group(2)
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
             else None
         )
-        return TableServices(tables[name]).compact(zorder_cols=zcols)
+        # WHERE scope = partition-provable conjuncts only (Delta's
+        # OPTIMIZE t WHERE contract) — compact() validates fail-closed
+        c = TableServices(tables[name]).compact(
+            zorder_cols=zcols, where=m.group(2)
+        )
+        return c if c is not None else ""
     m = re.match(
         rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*$",
         s,
@@ -593,7 +694,8 @@ def call_procedure(
     - ``run_compaction(table[, op])`` — ``op => 'run'`` (default)
       folds MOR deltas into the base; ``op => 'schedule'`` only
       reports whether the trigger policy would compact.
-    - ``run_clustering(table[, order][, zorder][, small_file_rows])``
+    - ``run_clustering(table[, order][, zorder][, small_file_rows]
+      [, bucket_count])``
       — sort-and-size rewrite; ``order`` is a comma-separated column
       list, ``zorder => true`` Morton-clusters on those columns
       instead of linear sorting; ``small_file_rows => N`` switches to
@@ -607,6 +709,10 @@ def call_procedure(
       readable).
     - ``archive_commits(table[, keep_active])`` — fold old manifests
       into the archive (default keep_active 20).
+    - ``show_archived_commits(table[, limit])`` — timeline rows
+      already folded out of the active window.
+    - ``commits_compare(table, other => '<name>')`` — commit-depth
+      delta vs another attached table (replication monitoring).
     """
     name, args = _parse_call(stmt)
     t = _call_target(args, tables)
@@ -620,6 +726,7 @@ def call_procedure(
         "show_savepoints", "create_savepoint", "delete_savepoint",
         "rollback_to_savepoint", "rollback_to_instant", "run_compaction",
         "run_clustering", "run_clean", "archive_commits",
+        "show_archived_commits", "commits_compare",
     }
     if name not in known:
         raise ValueError(f"unknown CALL procedure {name!r}")
@@ -636,6 +743,63 @@ def call_procedure(
         kw = _take("limit")
         limit = int(kw.get("limit", 10))
         return t.history_df().orderBy(F.desc("commit")).limit(limit)
+    if name == "show_archived_commits":
+        # Hudi's show_archived_commits: timeline rows already folded
+        # out of the active window by archive_commits — manifest
+        # headers only, loaded from the consolidated archive batches
+        kw = _take("limit")
+        limit = int(kw.get("limit", 10))
+        rows = [
+            (
+                c,
+                m.get("action"),
+                m.get("ts"),
+                len(m.get("files_added") or []),
+                len(m.get("files_removed") or []),
+            )
+            for c, m in sorted(t._archived_manifests().items(), reverse=True)
+        ][:limit]
+        return _df(
+            rows,
+            "commit string, action string, ts string, "
+            "n_files_added long, n_files_removed long",
+        )
+    if name == "commits_compare":
+        # Hudi's commits_compare: how far this table's timeline is
+        # ahead of / behind another attached table's (replication /
+        # backfill monitoring). Driver-side manifest headers only.
+        kw = _take("other")
+        oname = kw.get("other")
+        if oname is None:
+            raise ValueError(
+                "commits_compare needs other => '<attached table name>'"
+            )
+        if oname not in tables:
+            raise ValueError(f"unknown CALL table {oname!r}")
+        o = tables[oname]
+        mine = t.commits(include_archived=True)
+        theirs = o.commits(include_archived=True)
+        delta = len(mine) - len(theirs)
+        msg = (
+            f"source is ahead by {delta} commits"
+            if delta > 0
+            else f"source is behind by {-delta} commits"
+            if delta < 0
+            else "source and target are at the same commit depth"
+        )
+        return _df(
+            [
+                (
+                    t.latest_commit(),
+                    o.latest_commit(),
+                    len(mine),
+                    len(theirs),
+                    msg,
+                )
+            ],
+            "source_latest string, target_latest string, "
+            "source_commits long, target_commits long, message string",
+        )
     if name == "show_fsview_all":
         _take()
         return t.files_df()
@@ -688,8 +852,25 @@ def call_procedure(
         return _df([(c, "completed")], "commit string, state string")
     if name == "run_clustering":
         kw = _take(
-            "order", "zorder", "target_records_per_file", "small_file_rows"
+            "order", "zorder", "target_records_per_file",
+            "small_file_rows", "bucket_count",
         )
+        if "bucket_count" in kw:
+            # bucket-layout resize IS a clustering strategy (Hudi's
+            # consistent-hashing resize runs as clustering too); the
+            # CALL form always rewrites — the metadata-only migration
+            # is the API's resize_buckets(rewrite=False)
+            if cols_clash := {
+                k for k in ("order", "zorder", "small_file_rows") if k in kw
+            }:
+                raise ValueError(
+                    "bucket_count is its own strategy — omit "
+                    f"{sorted(cols_clash)} (bucket tables cluster by "
+                    "(bucket, key))"
+                )
+            c = svc.resize_buckets(int(kw["bucket_count"]), rewrite=True)
+            state = "completed" if c is not None else "skipped"
+            return _df([(c, state)], "commit string, state string")
         cols = (
             [c.strip().strip("`") for c in str(kw["order"]).split(",")]
             if "order" in kw

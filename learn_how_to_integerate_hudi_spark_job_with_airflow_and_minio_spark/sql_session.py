@@ -50,7 +50,7 @@ from pyspark.sql import SparkSession
 from .catalog_api import _table_changes, attach, sql_over
 from .sql_ddl import execute_ddl
 from .sql_dml import call_procedure, execute
-from .sqltext import split_top
+from .sqltext import contains_subquery, split_top
 from .table import Table
 
 __all__ = ["SqlSession"]
@@ -166,10 +166,13 @@ class SqlSession:
             # bind current snapshots for embedded SELECT/USING text so
             # DML can read catalog tables by name — but ONLY for the
             # statements that can embed a query (INSERT .. SELECT,
-            # MERGE .. USING); UPDATE/DELETE/OPTIMIZE/VACUUM compile
-            # expressions against the target alone, so binding views
-            # for them is a wasted manifest replay per statement
-            if kw in ("INSERT", "MERGE"):
+            # MERGE .. USING, and UPDATE/DELETE whose WHERE/SET text
+            # embeds a subquery); plain UPDATE/DELETE/OPTIMIZE/VACUUM
+            # compile expressions against the target alone, so binding
+            # views for them is a wasted manifest replay per statement
+            if kw in ("INSERT", "MERGE") or (
+                kw in ("UPDATE", "DELETE") and contains_subquery(s)
+            ):
                 live = self._bind_views(self._referenced(s))
                 if live:
                     attach(self.spark, live)

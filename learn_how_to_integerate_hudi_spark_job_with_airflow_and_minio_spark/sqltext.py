@@ -59,6 +59,49 @@ def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
     return spans
 
 
+def blank_strings(s: str) -> str:
+    """``s`` with quoted-string contents, backtick-identifier contents,
+    and comments replaced by spaces (same-length, so offsets survive).
+    Keyword scans over the result can never match text a user typed
+    inside a literal or a comment."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'" or c == "`" or c == '"':
+            j = s.find(c, i + 1)
+            end = n if j < 0 else j + 1
+            out.append(" " * (end - i))
+            i = end
+            continue
+        if c == "-" and s.startswith("--", i):
+            j = s.find("\n", i)
+            end = n if j < 0 else j + 1
+            out.append(" " * (end - i))
+            i = end
+            continue
+        if c == "/" and s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            end = n if j < 0 else j + 2
+            out.append(" " * (end - i))
+            i = end
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_SUBQ_RX = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
+def contains_subquery(s: str) -> bool:
+    """True when a ``(SELECT`` opens anywhere outside quoted strings
+    and comments — i.e. the text embeds a genuine subquery (IN/EXISTS/
+    scalar), which Spark's DataFrame expression engine cannot evaluate
+    (subqueries resolve only through ``spark.sql``). Used by the DML
+    router to pick the SQL-evaluated path for DELETE/UPDATE."""
+    return _SUBQ_RX.search(blank_strings(s)) is not None
+
+
 def split_top(s: str, pattern: str) -> list[str]:
     """Split on top-level matches of ``pattern`` (the separators are
     dropped)."""

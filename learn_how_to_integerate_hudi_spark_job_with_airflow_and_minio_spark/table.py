@@ -79,6 +79,37 @@ def _utcnow() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
+_AUTO_IDX_RX = re.compile(r"^secondary_index\(([A-Za-z_][\w$]*)\)$")
+
+
+def _validate_auto_index(specs: list[str], key: str) -> list[str]:
+    """Normalize/validate auto-index specs: ``record_index`` or
+    ``secondary_index(<col>)`` (the two per-commit-maintainable index
+    families; expression indexes stay CALL-driven — their exprs are
+    arbitrary SQL and belong to explicit DDL)."""
+    out = []
+    for raw in specs:
+        s = str(raw).strip()
+        if s == "record_index":
+            out.append(s)
+            continue
+        m = _AUTO_IDX_RX.match(s)
+        if not m:
+            raise ValueError(
+                f"auto_index spec {raw!r} is not 'record_index' or "
+                "'secondary_index(<col>)'"
+            )
+        if m.group(1) == key:
+            raise ValueError(
+                f"secondary_index({key}) duplicates the record key — "
+                "use 'record_index'"
+            )
+        out.append(s)
+    if len(set(out)) != len(out):
+        raise ValueError(f"duplicate auto_index spec in {specs!r}")
+    return out
+
+
 def _norm_file_path(col):
     """Normalize Spark's _metadata.file_path URI to a plain path."""
     return F.regexp_replace(col, "^file:/+", "/")
@@ -122,6 +153,7 @@ class Table:
         constraints: dict[str, str] | None = None,
         index_type: str | None = None,
         bucket_count: int = 0,
+        auto_index: list[str] | None = None,
     ) -> "Table":
         if table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
@@ -134,7 +166,10 @@ class Table:
             # hoodie.index.type=BUCKET) pins every key to
             # pmod(hash(key), bucket_count) and prunes by bucket range
             # with zero index I/O — a creation-time STRUCTURAL mode
-            # (existing file layouts can't be re-bucketed in place)
+            # (the count can later change via
+            # TableServices.resize_buckets; each file records the
+            # modulus it was written under, so mixed generations and
+            # time travel prune exactly)
             raise ValueError(
                 f"index_type must be None, 'bloom' or 'bucket', "
                 f"got {index_type!r}"
@@ -171,6 +206,16 @@ class Table:
             meta["index_type"] = index_type
         if bucket_count:
             meta["bucket_count"] = int(bucket_count)
+        if auto_index:
+            # synchronous index maintenance (Hudi metadata-table
+            # behavior: record/secondary indexes update WITH each
+            # commit): every data-adding commit extends the named
+            # indexes over its new files before returning — O(commit's
+            # files) per write, and point-merge pruning never sees a
+            # stale index. Without the flag, the same indexes are
+            # maintained async via the CALL/build services (covered-set
+            # staleness is always correct either way).
+            meta["auto_index"] = _validate_auto_index(auto_index, key)
         write_json(meta_path, meta)
         return cls(spark, path, meta)
 
@@ -2799,16 +2844,24 @@ class Table:
         col = self._bucket_key_col(keys.schema)
         if col is None:
             return entries
-        rows = (
-            keys.select(
-                F.pmod(F.hash(col), F.lit(n)).cast("int").alias("_b")
+        # files record the modulus they were written under (bucket_n) —
+        # after resize_buckets the live set can mix generations, and a
+        # key's bucket id differs per modulus, so the batch's bucket set
+        # is resolved once per DISTINCT modulus (normally exactly one
+        # tiny job; two only during a metadata-only resize transition).
+        # Legacy entries without the field predate resize support and
+        # can only carry the table's (then-immutable) current count.
+        moduli = sorted({int(e.get("bucket_n") or n) for e in entries})
+        sets: dict[int, list[int]] = {}
+        for nn in moduli:
+            rows = (
+                keys.select(
+                    F.pmod(F.hash(col), F.lit(nn)).cast("int").alias("_b")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        buckets = sorted(r["_b"] for r in rows if r["_b"] is not None)
-        if not buckets:
-            return []
+            sets[nn] = sorted(r["_b"] for r in rows if r["_b"] is not None)
         import bisect
 
         out = []
@@ -2817,13 +2870,17 @@ class Table:
             if not st or st[0] is None:
                 out.append(e)
                 continue
+            buckets = sets[int(e.get("bucket_n") or n)]
+            if not buckets:
+                continue
             i = bisect.bisect_left(buckets, int(st[0]))
             if i < len(buckets) and buckets[i] <= int(st[1]):
                 out.append(e)
         self._last_bucket_prune = {
             "candidates": len(entries),
-            "buckets": len(buckets),
+            "buckets": sum(len(v) for v in sets.values()),
             "kept": len(out),
+            "moduli": moduli,
         }
         return out
 
@@ -2847,31 +2904,45 @@ class Table:
             return entries
         if col is None:
             return entries
-        if value not in self._bucket_value_cache:
-            from pyspark.sql.types import StructField
+        # resolve the value's bucket once per DISTINCT file modulus
+        # (files record bucket_n; generations can mix after a
+        # metadata-only resize_buckets — see _prune_by_bucket)
+        moduli = sorted({int(e.get("bucket_n") or n) for e in entries})
+        bmap: dict[int, int] = {}
+        for nn in moduli:
+            ck = (value, nn)
+            if ck not in self._bucket_value_cache:
+                from pyspark.sql.types import StructField
 
-            field = next(f for f in schema.fields if f.name == self.key)
-            try:
-                one = self.spark.createDataFrame(
-                    [(value,)],
-                    StructType([StructField(self.key, field.dataType, True)]),
-                )
-                b = one.select(
-                    F.pmod(F.hash(col), F.lit(n)).cast("int").alias("_b")
-                ).collect()[0]["_b"]
-            except (TypeError, ValueError, OverflowError):
-                # value doesn't fit the key's Spark type (out-of-range
-                # int, float against a long key): a plain table would
-                # just scan-and-miss — fail open, never crash the read
-                return entries
-            if b is None:
-                return entries
-            self._bucket_value_cache[value] = int(b)
-        b = self._bucket_value_cache[value]
+                field = next(f for f in schema.fields if f.name == self.key)
+                try:
+                    one = self.spark.createDataFrame(
+                        [(value,)],
+                        StructType(
+                            [StructField(self.key, field.dataType, True)]
+                        ),
+                    )
+                    b = one.select(
+                        F.pmod(F.hash(col), F.lit(nn)).cast("int").alias("_b")
+                    ).collect()[0]["_b"]
+                except (TypeError, ValueError, OverflowError):
+                    # value doesn't fit the key's Spark type (out-of-
+                    # range int, float against a long key): a plain
+                    # table would just scan-and-miss — fail open, never
+                    # crash the read
+                    return entries
+                if b is None:
+                    return entries
+                self._bucket_value_cache[ck] = int(b)
+            bmap[nn] = self._bucket_value_cache[ck]
         out = []
         for e in entries:
             st = e.get("stats", {}).get(BUCKET_COL)
-            if not st or st[0] is None or int(st[0]) <= b <= int(st[1]):
+            if not st or st[0] is None:
+                out.append(e)
+                continue
+            b = bmap[int(e.get("bucket_n") or n)]
+            if int(st[0]) <= b <= int(st[1]):
                 out.append(e)
         return out
 
@@ -3184,6 +3255,12 @@ class Table:
             }
             if kind != "base":
                 entry["kind"] = kind
+            if nbuckets and BUCKET_COL in writer.columns:
+                # the modulus this FILE was bucketed under — a physical
+                # per-file fact like stats, so bucket prunes stay exact
+                # across resize_buckets generations (and under time
+                # travel to a pre-resize commit) without versioned meta
+                entry["bucket_n"] = nbuckets
             # partition values come from the hive-style directory names:
             # min == max == the value, exactly what the pruner needs.
             # Also record the raw (unquoted) string form per column in a
@@ -3300,6 +3377,25 @@ class Table:
                 self._checkpoint_path(commit),
                 {"commit": commit, "files": self.current_files(as_of=commit)},
             )
+        if added and (self.meta.get("auto_index") or []):
+            # synchronous per-commit index maintenance (opt-in via
+            # auto_index): extend each named index over this commit's
+            # NEW files only — O(commit), the Hudi metadata-table cost
+            # shape. Runs AFTER the manifest publish: a failure here
+            # leaves the commit durable and the index a valid covered
+            # subset (staleness-correct by the index contract), never a
+            # half-commit.
+            self._maintain_auto_indexes()
+
+    def _maintain_auto_indexes(self) -> None:
+        svc = TableServices(self)
+        for spec in self.meta.get("auto_index") or []:
+            if spec == "record_index":
+                svc.build_record_index(incremental=True)
+            else:
+                svc.build_secondary_index(
+                    spec[len("secondary_index("):-1], incremental=True
+                )
 
 
 from contextlib import contextmanager
@@ -4064,9 +4160,42 @@ class TableServices:
         sort_cols: list[str] | None = None,
         target_records_per_file: int | None = None,
         zorder_cols: list[str] | None = None,
-    ) -> str:
+        where: str | None = None,
+    ) -> str | None:
         t = self.t
         entries = t.current_files()
+        if where is not None:
+            # partition-scoped compaction (Delta ``OPTIMIZE t WHERE``):
+            # rewrite ONLY the files whose hive partition value PROVES
+            # the predicate — O(partition) maintenance instead of
+            # O(table). Fail-CLOSED as an error (not a silent full
+            # rewrite): every top-level conjunct must be
+            # ``partition_col <op> literal``, the only form a file's
+            # directory value can prove.
+            ops = _full_partition_pred(
+                where, t.meta.get("partition_fields") or [], t._schema()
+            )
+            if not ops:
+                raise ValueError(
+                    "OPTIMIZE/compact WHERE accepts only AND-ed "
+                    "partition_col <op> literal conjuncts (per-file "
+                    "provable scope); got " + repr(where)
+                )
+            if t.table_type == "mor" and any(
+                e.get("kind") == "delta" for e in entries
+            ):
+                # tombstone deltas carry only (key, meta) — no partition
+                # columns — so a delta file cannot be attributed to the
+                # scope; folding a SUBSET of deltas could reorder merge
+                # winners. Full compact() first, then scope.
+                raise ValueError(
+                    "partition-scoped compaction on a MOR table with "
+                    "live delta files is not partition-attributable — "
+                    "run a full compact() first"
+                )
+            entries = [e for e in entries if _entry_fully_matches(e, ops)]
+            if not entries:
+                return None
         commit = t._next_commit()
         df = t._read_entries(entries)
         if t.table_type == "mor":
@@ -4184,3 +4313,84 @@ class TableServices:
             commit, "replace", added, [e["path"] for e in small], df.schema
         )
         return commit
+
+    def set_auto_index(self, specs: list[str] | None) -> None:
+        """Enable (or, with ``None``/empty, disable) synchronous
+        per-commit index maintenance on an EXISTING table — see
+        ``Table.create(auto_index=)``. Enabling does not backfill by
+        itself: the first data-adding commit after enabling extends an
+        index that exists, or full-builds one that doesn't (the
+        incremental builders' no-meta path), so a large table should
+        run the explicit ``build_*`` service once first if the first
+        post-enable commit must stay O(commit)."""
+        t = self.t
+        if specs:
+            t.meta["auto_index"] = _validate_auto_index(
+                list(specs), t.key
+            )
+        else:
+            t.meta.pop("auto_index", None)
+        write_json(posixpath.join(t.path, "_table.json"), t.meta)
+
+    def resize_buckets(self, new_count: int, rewrite: bool = True) -> str | None:
+        """Change a bucket table's bucket count (Hudi's consistent-
+        hashing bucket index solves the same problem — a day-1 count
+        that no longer fits the table's size — via bucket split/merge;
+        here the per-file recorded modulus makes BOTH migration modes
+        exact):
+
+        - ``rewrite=True`` (default): update the count, then one
+          :meth:`compact` pass re-buckets every live row under the new
+          modulus — one ``replace`` commit, O(table) cost, and every
+          subsequent merge prunes on the new layout immediately.
+        - ``rewrite=False``: METADATA-ONLY. New writes bucket under the
+          new count while existing files keep pruning by their own
+          recorded ``bucket_n`` — correctness never depends on the
+          migration having happened (each file's bucket ids are a pure
+          function of ITS modulus). Merge cost during the transition is
+          bounded by the batch's buckets under each live generation
+          (at most two resolve jobs per merge); a later bare
+          :meth:`compact` or the next full rewrite converges the
+          layout. This is the 100 TB path: no O(table) rewrite on the
+          critical path.
+
+        Time travel stays exact in both modes: pre-resize commits list
+        pre-resize files, whose recorded modulus drives the prune.
+        Refuses ``rewrite=False`` when any live file predates modulus
+        recording (legacy layout — pruning those under a changed count
+        could drop real merge candidates; the rewrite mode re-stamps
+        them safely). Returns the replace commit, or None when
+        metadata-only / the count is unchanged."""
+        t = self.t
+        if t.meta.get("index_type") != "bucket":
+            raise ValueError(
+                "resize_buckets needs index_type='bucket' (plain and "
+                "bloom tables have no bucket layout to resize)"
+            )
+        new_count = int(new_count)
+        if new_count < 1:
+            raise ValueError(f"bucket_count must be >= 1, got {new_count}")
+        if new_count == int(t.meta["bucket_count"]):
+            return None
+        if not rewrite:
+            legacy = [
+                e["path"]
+                for e in t.current_files()
+                if not e.get("bucket_n")
+            ]
+            if legacy:
+                raise ValueError(
+                    "metadata-only resize needs every live file to "
+                    "record its bucket modulus; "
+                    f"{len(legacy)} file(s) predate modulus recording "
+                    "(e.g. "
+                    f"{legacy[0]!r}) — call resize_buckets(n) with "
+                    "rewrite=True to re-stamp them"
+                )
+        t.meta["bucket_count"] = new_count
+        write_json(posixpath.join(t.path, "_table.json"), t.meta)
+        # the point-read memo is keyed (value, modulus) so stale counts
+        # can't be served; nothing to invalidate
+        if not rewrite:
+            return None
+        return self.compact()

@@ -2,7 +2,9 @@
 pins to ``pmod(hash(key), bucket_count)``; writes range-partition on the
 bucket id so per-file bucket stats are tight, and merges/point reads
 prune candidates by bucket with ZERO index I/O. Creation-time structural
-mode (no backfill — an existing layout can't be re-bucketed in place)."""
+mode; the count can later change via ``resize_buckets`` — files record
+the modulus they were written under, so mixed generations and time
+travel prune exactly."""
 
 from __future__ import annotations
 
@@ -111,8 +113,8 @@ def test_bucket_point_read_prunes_to_one_bucket(spark, tpath):
     assert 1 <= len(pruned) <= 2 < len(entries)
     row = t.snapshot(filters={"k": 4242}).where("k = 4242").collect()
     assert [(r["k"], r["v"]) for r in row] == [(4242, 8484)]
-    # memoized: second lookup resolves driver-side
-    assert 4242 in t._bucket_value_cache
+    # memoized per (value, modulus): second lookup resolves driver-side
+    assert (4242, 8) in t._bucket_value_cache
 
 
 def test_bucket_int_batch_widening_stable(spark, tpath):
@@ -321,3 +323,119 @@ def test_bucket_refuses_bloom_conversion(spark, tpath):
         )
     with pytest.raises(ValueError, match="cannot be dropped"):
         execute_ddl(spark, "DROP INDEX bucket_index ON tb", cat)
+
+
+# ---------------------------------------------------------------------------
+# resize_buckets
+# ---------------------------------------------------------------------------
+
+
+def _svc(t):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    return TableServices(t)
+
+
+def test_resize_rewrite_preserves_data_and_time_travel(spark, tpath):
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=2000, nfiles=6))
+    pre = t.latest_commit()
+    t.upsert(spark.createDataFrame([(7, 700)], "k long, v long"))
+    c = _svc(t).resize_buckets(8)
+    assert c is not None and t._manifest(c)["action"] == "replace"
+    assert t.meta["bucket_count"] == 8
+    assert all(e.get("bucket_n") == 8 for e in t.current_files())
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[7] == 700 and len(got) == 2000
+    # post-resize merge prunes under the NEW modulus
+    t.upsert(spark.createDataFrame([(42, 4242)], "k long, v long"))
+    assert t._last_bucket_prune["moduli"] == [8]
+    assert t._last_bucket_prune["kept"] < t._last_bucket_prune["candidates"]
+    # time travel BEFORE the resize: old entries prune by their OWN
+    # recorded modulus (4), not the table's current 8
+    old = t.snapshot(as_of=pre, filters={"k": 42}).where("k = 42").collect()
+    assert [(r["k"], r["v"]) for r in old] == [(42, 84)]
+
+
+def test_resize_metadata_only_mixed_generations(spark, tpath):
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=2000, nfiles=6))
+    assert _svc(t).resize_buckets(16, rewrite=False) is None
+    assert t.meta["bucket_count"] == 16
+    # new writes land under 16 while old files keep modulus 4
+    t.upsert(spark.createDataFrame([(5, 500), (1999, 1)], "k long, v long"))
+    assert t._last_bucket_prune["moduli"] == [4]  # candidates all old-gen
+    live = t.current_files()
+    assert {e.get("bucket_n") for e in live} == {4, 16}
+    # a second merge sees BOTH generations and resolves per modulus
+    t.upsert(spark.createDataFrame([(5, 501)], "k long, v long"))
+    assert t._last_bucket_prune["moduli"] == [4, 16]
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[5] == 501 and got[1999] == 1 and got[6] == 12
+    assert len(got) == 2000
+    # point reads hit both generations correctly
+    assert t.snapshot(filters={"k": 5}).where("k = 5").collect()[0]["v"] == 501
+    assert t.snapshot(filters={"k": 8}).where("k = 8").collect()[0]["v"] == 16
+    # a bare compact converges the layout to one generation
+    _svc(t).compact()
+    assert {e.get("bucket_n") for e in t.current_files()} == {16}
+
+
+def test_resize_validation(spark, tpath, tmp_path):
+    plain = Table.create(
+        spark, str(tmp_path / "plain"), key="k", precombine="v"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        _svc(plain).resize_buckets(8)
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=100, nfiles=2))
+    with pytest.raises(ValueError, match=">= 1"):
+        _svc(t).resize_buckets(0)
+    assert _svc(t).resize_buckets(4) is None  # same count: no-op
+    assert int(t.latest_commit()) == 1  # no commit published
+
+
+def test_resize_metadata_only_refuses_legacy_entries(spark, tpath):
+    import json
+
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=100, nfiles=2))
+    # simulate a pre-resize-support layout: strip the recorded modulus
+    mpath = t._commits_dir() + "/" + t.latest_commit() + ".json"
+    man = json.load(open(mpath))
+    for e in man["files_added"]:
+        e.pop("bucket_n", None)
+    json.dump(man, open(mpath, "w"))
+    t2 = Table.load(spark, t.path)
+    with pytest.raises(ValueError, match="modulus"):
+        _svc(t2).resize_buckets(8, rewrite=False)
+    # the rewrite mode re-stamps them safely
+    c = _svc(t2).resize_buckets(8, rewrite=True)
+    assert c is not None
+    assert all(e.get("bucket_n") == 8 for e in t2.current_files())
+    assert t2.snapshot().count() == 100
+
+
+def test_resize_via_call_procedure(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_dml import (
+        call_procedure,
+    )
+
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=200, nfiles=2))
+    out = call_procedure(
+        spark,
+        "CALL run_clustering(table => 'tb', bucket_count => 8)",
+        {"tb": t},
+    ).collect()
+    assert out[0]["state"] == "completed"
+    assert t.meta["bucket_count"] == 8
+    with pytest.raises(ValueError, match="own strategy"):
+        call_procedure(
+            spark,
+            "CALL run_clustering(table => 'tb', bucket_count => 4, "
+            "small_file_rows => 10)",
+            {"tb": t},
+        )

@@ -256,3 +256,75 @@ def test_execute_points_call_at_call_procedure(spark, t):
 
     with pytest.raises(ValueError, match="call_procedure"):
         sql_dml.execute(spark, "CALL show_commits(table => 't')", {"t": t})
+
+
+def test_show_archived_commits(spark, t):
+    tabs = {"t": t}
+    # build depth + a checkpoint horizon so archiving can fold commits
+    for i in range(12):
+        t.upsert(
+            spark.createDataFrame(
+                [(i % 3, 2 + i, 999.0 + i)], "id long, ver long, amt double"
+            )
+        )
+    call_procedure(
+        spark, "CALL archive_commits(table => 't', keep_active => 2)", tabs
+    )
+    archived = t._archived_manifests()
+    if archived:  # archivability depends on the checkpoint cadence
+        out = call_procedure(
+            spark,
+            "CALL show_archived_commits(table => 't', limit => 100)",
+            tabs,
+        ).collect()
+        assert {r.commit for r in out} == set(archived)
+        assert all(r.action for r in out)
+    # active timeline rows never appear
+    active = call_procedure(
+        spark, "CALL show_commits(table => 't', limit => 100)", tabs
+    )
+    assert t.latest_commit() not in {
+        r.commit
+        for r in call_procedure(
+            spark,
+            "CALL show_archived_commits(table => 't', limit => 100)",
+            tabs,
+        ).collect()
+    }
+    assert active.count() >= 2
+
+
+def test_commits_compare(spark, t, tmp_path):
+    o = Table.create(
+        spark, str(tmp_path / "o"), key="id", precombine="ver",
+        table_name="o",
+    )
+    o.bulk_insert(
+        spark.createDataFrame([(1, 1, 1.0)], "id long, ver long, amt double")
+    )
+    tabs = {"t": t, "o": o}
+    r = call_procedure(
+        spark, "CALL commits_compare(table => 't', other => 'o')", tabs
+    ).collect()[0]
+    assert r.source_commits == 1 and r.target_commits == 1
+    assert "same commit depth" in r.message
+    t.upsert(
+        spark.createDataFrame([(0, 2, 5.0)], "id long, ver long, amt double")
+    )
+    r = call_procedure(
+        spark, "CALL commits_compare(table => 't', other => 'o')", tabs
+    ).collect()[0]
+    assert r.source_commits == 2 and "ahead by 1" in r.message
+    assert r.source_latest == t.latest_commit()
+    r = call_procedure(
+        spark, "CALL commits_compare(table => 'o', other => 't')", tabs
+    ).collect()[0]
+    assert "behind by 1" in r.message
+    with pytest.raises(ValueError, match="other"):
+        call_procedure(spark, "CALL commits_compare(table => 't')", tabs)
+    with pytest.raises(ValueError, match="unknown CALL table"):
+        call_procedure(
+            spark,
+            "CALL commits_compare(table => 't', other => 'zz')",
+            tabs,
+        )

@@ -1070,3 +1070,231 @@ def test_insert_overwrite_static_spec_literal_codec(spark, tmp_path):
     )
     got = sorted((r.id, r.p, r.amt) for r in t.snapshot().collect())
     assert got == [(2, 6.0, 20.0), (9, 5.0, 90.0)]
+
+
+# ---------------------------------------------------------------------------
+# DELETE / UPDATE with subqueries (IN / NOT IN / EXISTS / scalar)
+# ---------------------------------------------------------------------------
+
+
+def test_contains_subquery_lexing():
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sqltext import (
+        contains_subquery,
+    )
+
+    assert contains_subquery("id IN (SELECT x FROM v)")
+    assert contains_subquery("amt > (  select max(a) FROM v)")
+    assert contains_subquery("a = 1 AND EXISTS (/*c*/SELECT 1)")
+    assert not contains_subquery("val = '(SELECT'")
+    assert not contains_subquery('val = "(SELECT 1)"')
+    assert not contains_subquery("a IN (1, 2, 3) -- (SELECT hidden)")
+    assert not contains_subquery("selector = 1 AND (a OR b)")
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_delete_in_subquery(spark, tpath, table_type):
+    t = make(spark, tpath, table_type=table_type)
+    spark.createDataFrame([(1,), (3,)], "sid long").createOrReplaceTempView(
+        "subq_del_ids"
+    )
+    try:
+        sql_dml.execute(
+            spark,
+            "DELETE FROM t WHERE id IN (SELECT sid FROM subq_del_ids)",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("subq_del_ids")
+    assert snap(t) == [(2, "b", 20.0)]
+
+
+def test_delete_not_in_subquery(spark, tpath):
+    t = make(spark, tpath)
+    spark.createDataFrame([(2,)], "sid long").createOrReplaceTempView(
+        "subq_keep_ids"
+    )
+    try:
+        sql_dml.execute(
+            spark,
+            "DELETE FROM t WHERE id NOT IN (SELECT sid FROM subq_keep_ids)",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("subq_keep_ids")
+    assert snap(t) == [(2, "b", 20.0)]
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_update_scalar_subquery_self_reference(spark, tpath, table_type):
+    """The scalar subquery reads the TARGET's pre-statement snapshot
+    (max(amt)=30, threshold 15 -> ids 2 and 3 update; the new amt
+    values must NOT re-enter the threshold — simultaneous semantics)."""
+    t = make(spark, tpath, table_type=table_type)
+    sql_dml.execute(
+        spark,
+        "UPDATE t SET val = 'X' WHERE amt > (SELECT max(amt) / 2 FROM t)",
+        {"t": t},
+    )
+    assert snap(t) == [(1, "a", 10.0), (2, "X", 20.0), (3, "X", 30.0)]
+
+
+def test_update_subquery_in_set_expression(spark, tpath):
+    t = make(spark, tpath)
+    sql_dml.execute(
+        spark,
+        "UPDATE t SET amt = (SELECT max(amt) FROM t) WHERE id = 1",
+        {"t": t},
+    )
+    assert snap(t) == [(1, "a", 30.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_update_subquery_simultaneous_assignment(spark, tpath):
+    """Every SET evaluates against the OLD row even on the subquery
+    path (one projection, not sequential assignment)."""
+    t = make(spark, tpath)
+    spark.createDataFrame([(1,), (2,)], "sid long").createOrReplaceTempView(
+        "subq_upd_ids"
+    )
+    try:
+        sql_dml.execute(
+            spark,
+            "UPDATE t SET amt = amt * 2, val = concat(val, '!') "
+            "WHERE id IN (SELECT sid FROM subq_upd_ids)",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("subq_upd_ids")
+    assert snap(t) == [(1, "a!", 20.0), (2, "b!", 40.0), (3, "c", 30.0)]
+
+
+def test_update_subquery_rejects_structural_and_unknown(spark, tpath):
+    t = make(spark, tpath)
+    with pytest.raises(ValueError, match="structural"):
+        sql_dml.execute(
+            spark,
+            "UPDATE t SET id = 9 WHERE amt > (SELECT min(amt) FROM t)",
+            {"t": t},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        sql_dml.execute(
+            spark,
+            "UPDATE t SET nope = 9 WHERE amt > (SELECT min(amt) FROM t)",
+            {"t": t},
+        )
+
+
+def test_delete_subquery_empty_match_is_noop_commit(spark, tpath):
+    t = make(spark, tpath)
+    before = snap(t)
+    spark.createDataFrame([(99,)], "sid long").createOrReplaceTempView(
+        "subq_miss_ids"
+    )
+    try:
+        sql_dml.execute(
+            spark,
+            "DELETE FROM t WHERE id IN (SELECT sid FROM subq_miss_ids)",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("subq_miss_ids")
+    assert snap(t) == before
+
+
+def test_quoted_select_literal_stays_on_expression_path(spark, tpath):
+    """'(SELECT' inside a string literal must NOT trigger the subquery
+    route (the expression path evaluates it as a plain comparison)."""
+    t = make(spark, tpath)
+    before = snap(t)
+    sql_dml.execute(spark, "DELETE FROM t WHERE val = '(SELECT'", {"t": t})
+    assert snap(t) == before
+
+
+def test_delete_correlated_exists_subquery(spark, tpath):
+    t = make(spark, tpath)
+    spark.createDataFrame([(1,), (3,)], "sid long").createOrReplaceTempView(
+        "subq_exists_ids"
+    )
+    try:
+        sql_dml.execute(
+            spark,
+            "DELETE FROM t WHERE EXISTS "
+            "(SELECT 1 FROM subq_exists_ids e WHERE e.sid = t.id)",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("subq_exists_ids")
+    assert snap(t) == [(2, "b", 20.0)]
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ... WHERE (partition-scoped compaction)
+# ---------------------------------------------------------------------------
+
+
+def make_2part(spark, path, **kw):
+    t = Table.create(
+        spark, path, key="id", precombine="ver", table_name="t",
+        partition_fields=["p"], max_records_per_file=2, **kw
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, 1, "a" if i < 6 else "b", i * 1.0) for i in range(12)],
+            "id long, ver long, p string, amt double",
+        )
+    )
+    return t
+
+
+def test_optimize_where_rewrites_only_the_partition(spark, tpath):
+    t = make_2part(spark, tpath)
+    before = {e["path"] for e in t.current_files()}
+    b_files = {p for p in before if "p=b" in p}
+    a_files = before - b_files
+    assert len(a_files) > 1 and len(b_files) > 1
+    c = sql_dml.execute(spark, "OPTIMIZE t WHERE p = 'a'", {"t": t})
+    assert c and t._manifest(c)["action"] == "replace"
+    after = {e["path"] for e in t.current_files()}
+    assert b_files <= after, "untouched partition must keep its files"
+    assert not (a_files & after), "scoped partition must be rewritten"
+    got = sorted((r.id, r.p) for r in t.snapshot().collect())
+    assert got == [(i, "a" if i < 6 else "b") for i in range(12)]
+
+
+def test_optimize_where_fail_closed_and_empty_scope(spark, tpath):
+    t = make_2part(spark, tpath)
+    with pytest.raises(ValueError, match="partition_col"):
+        sql_dml.execute(spark, "OPTIMIZE t WHERE id < 3", {"t": t})
+    with pytest.raises(ValueError, match="partition_col"):
+        sql_dml.execute(
+            spark, "OPTIMIZE t WHERE p = 'a' OR p = 'b'", {"t": t}
+        )
+    last = t.latest_commit()
+    assert sql_dml.execute(spark, "OPTIMIZE t WHERE p = 'zz'", {"t": t}) == ""
+    assert t.latest_commit() == last  # empty scope publishes nothing
+
+
+def test_optimize_where_zorder_within_scope(spark, tpath):
+    t = make_2part(spark, tpath)
+    c = sql_dml.execute(
+        spark, "OPTIMIZE t WHERE p = 'b' ZORDER BY (id, amt)", {"t": t}
+    )
+    assert c and t.snapshot().count() == 12
+
+
+def test_optimize_where_mor_with_deltas_raises(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    t = make_2part(spark, tpath + "_mor", table_type="mor")
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, "a", 99.0)], "id long, ver long, p string, amt double"
+        )
+    )
+    with pytest.raises(ValueError, match="delta"):
+        sql_dml.execute(spark, "OPTIMIZE t WHERE p = 'a'", {"t": t})
+    # full compact folds the deltas; the scoped form then works
+    TableServices(t).compact()
+    c = sql_dml.execute(spark, "OPTIMIZE t WHERE p = 'a'", {"t": t})
+    assert c and t.snapshot().where("id = 0").collect()[0]["amt"] == 99.0

@@ -228,3 +228,35 @@ def test_tvf_text_inside_string_literal_binds_nothing(spark, tmp_path):
     assert tc_referenced_names(
         "SELECT * FROM table_changes('bronze', 'latest_state', '1')"
     ) == {"bronze"}
+
+
+def test_dml_subquery_binds_referenced_views(spark, sess):
+    """DELETE/UPDATE whose predicate embeds a subquery get the same
+    implicit view binding as INSERT..SELECT — a cross-table subquery
+    resolves catalog tables by name with no prior attach."""
+    sess.sql(
+        f"CREATE TABLE facts (id bigint, ver bigint, amt double) "
+        f"USING engine {PROPS}"
+    )
+    sess.sql(
+        f"CREATE TABLE bans (id bigint, ver bigint, why string) "
+        f"USING engine {PROPS}"
+    )
+    sess.sql(
+        "INSERT INTO facts VALUES (1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0)"
+    )
+    sess.sql("INSERT INTO bans VALUES (2, 1, 'spam')")
+    sess.sql("DELETE FROM facts WHERE id IN (SELECT id FROM bans)")
+    assert [
+        r.id for r in sess.sql("SELECT id FROM facts ORDER BY id").collect()
+    ] == [1, 3]
+    # UPDATE with a scalar subquery over ANOTHER catalog table
+    sess.sql(
+        "UPDATE facts SET amt = amt + (SELECT count(*) FROM bans) "
+        "WHERE id = 1"
+    )
+    got = {
+        r.id: r.amt
+        for r in sess.sql("SELECT id, amt FROM facts").collect()
+    }
+    assert got == {1: 11.0, 3: 30.0}

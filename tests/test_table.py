@@ -1972,3 +1972,99 @@ def test_compact_does_not_plant_null_mrpf(spark, tpath):
     assert "max_records_per_file" not in t.meta or (
         t.meta["max_records_per_file"] is not None
     )
+
+
+# ---------------------------------------------------------------------------
+# auto_index: synchronous per-commit index maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_auto_index_validation(spark, tpath):
+    import pytest
+
+    with pytest.raises(ValueError, match="auto_index spec"):
+        make_table(spark, tpath, auto_index=["bogus"])
+    with pytest.raises(ValueError, match="duplicates the record key"):
+        make_table(spark, tpath, auto_index=["secondary_index(id)"])
+    with pytest.raises(ValueError, match="duplicate"):
+        make_table(spark, tpath, auto_index=["record_index", "record_index"])
+
+
+def test_auto_record_index_tracks_every_commit(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.storage import (
+        read_json,
+    )
+
+    t = make_table(spark, tpath, auto_index=["record_index"])
+    t.upsert(df_of(spark, [(k, 1, f"e{k}") for k in range(0, 100, 2)]).coalesce(1))
+    _, meta_path = t._record_index_paths()
+    covered = set(read_json(meta_path)["files"])
+    assert covered == {e["path"] for e in t.current_files()}
+    # second interleaved commit: coverage extends to the NEW files only
+    t.upsert(df_of(spark, [(k, 1, f"o{k}") for k in range(1, 100, 2)]).coalesce(1))
+    covered2 = set(read_json(meta_path)["files"])
+    assert covered2 == {e["path"] for e in t.current_files()}
+    assert covered < covered2
+    # exact pruning with NO explicit build call ever
+    keys = spark.createDataFrame([(3,)], "id long")
+    assert len(t._prune_by_keys(t.current_files(), keys)) == 1
+    t.upsert(df_of(spark, [(3, 2, "upd")]))
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got[3] == "upd" and t.snapshot().count() == 100
+
+
+def test_auto_secondary_index_and_set_auto_index(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.storage import (
+        read_json,
+    )
+
+    t = make_table(spark, tpath)
+    t.upsert(df_of(spark, [(k, 1, f"g{k % 3}") for k in range(30)]).coalesce(1))
+    TableServices(t).set_auto_index(["secondary_index(val)"])
+    assert Table.load(spark, t.path).meta["auto_index"] == [
+        "secondary_index(val)"
+    ]
+    # first post-enable commit backfills (no prior index meta)
+    t.upsert(df_of(spark, [(100, 1, "g9")]).coalesce(1))
+    _, meta_path = t._secondary_index_paths("val")
+    assert set(read_json(meta_path)["files"]) == {
+        e["path"] for e in t.current_files()
+    }
+    # disable: the next commit no longer extends coverage
+    TableServices(t).set_auto_index(None)
+    assert "auto_index" not in Table.load(spark, t.path).meta
+    t.upsert(df_of(spark, [(101, 1, "g9")]).coalesce(1))
+    covered = set(read_json(meta_path)["files"])
+    assert covered < {e["path"] for e in t.current_files()}
+
+
+def test_auto_index_via_ddl_and_show_create(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.storage import (
+        read_json,
+    )
+
+    cat: dict[str, Table] = {}
+    execute_ddl(
+        spark,
+        "CREATE TABLE ai (id bigint, ver bigint, val string) USING engine "
+        "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver', "
+        "autoIndex = 'record_index,secondary_index(val)') "
+        f"LOCATION '{tmp_path / 'ai'}'",
+        cat,
+        None,
+    )
+    t = cat["ai"]
+    assert t.meta["auto_index"] == ["record_index", "secondary_index(val)"]
+    t.upsert(df_of(spark, [(1, 1, "x"), (2, 1, "y")]))
+    for meta_path in (
+        t._record_index_paths()[1],
+        t._secondary_index_paths("val")[1],
+    ):
+        assert set(read_json(meta_path)["files"]) == {
+            e["path"] for e in t.current_files()
+        }
+    out = execute_ddl(spark, "SHOW CREATE TABLE ai", cat, None).collect()
+    assert "autoIndex = 'record_index,secondary_index(val)'" in out[0][0]
