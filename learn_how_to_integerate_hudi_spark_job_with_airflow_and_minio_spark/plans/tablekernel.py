@@ -2630,13 +2630,18 @@ def table_sql_optimize_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
     path = tempfile.mkdtemp(prefix="engine_optw_")
+    # scale-invariant file budget (~24 files at any SF): the point is
+    # the partition-scoped REWRITE SCOPE, not small-file pressure — a
+    # fixed mrpf would mean O(SF) files and the per-file stats/commit
+    # constants would dominate the row (the bloom-row lesson)
+    nrows = orders.count()
     t = Table.create(
         spark,
         path,
         key="o_orderkey",
         precombine="o_orderdate",
         partition_fields=["o_orderstatus"],
-        max_records_per_file=400,
+        max_records_per_file=max(400, nrows // 24),
         table_name="orders_opt",
     )
     t.bulk_insert(orders)

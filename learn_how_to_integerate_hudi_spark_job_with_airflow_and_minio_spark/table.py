@@ -110,6 +110,35 @@ def _validate_auto_index(specs: list[str], key: str) -> list[str]:
     return out
 
 
+def _validate_validators(v: dict) -> dict:
+    """Shape-check pre-commit validators: ``{"equality": [sql, ...],
+    "single_result": [[sql, expected], ...]}`` — every sql must read
+    the table via the ``<TABLE>`` placeholder."""
+    unknown = set(v) - {"equality", "single_result"}
+    if unknown:
+        raise ValueError(
+            f"unknown pre_commit_validators key(s) {sorted(unknown)}"
+        )
+    for q in v.get("equality") or []:
+        if not isinstance(q, str) or "<TABLE>" not in q:
+            raise ValueError(
+                f"equality validator must be SQL containing <TABLE>: {q!r}"
+            )
+    for item in v.get("single_result") or []:
+        if (
+            not isinstance(item, (list, tuple))
+            or len(item) != 2
+            or not isinstance(item[0], str)
+            or "<TABLE>" not in item[0]
+        ):
+            raise ValueError(
+                "single_result validator must be [sql_with_<TABLE>, "
+                f"expected]: {item!r}"
+            )
+    return {k: [list(i) if isinstance(i, tuple) else i for i in vv]
+            for k, vv in v.items() if vv}
+
+
 def _norm_file_path(col):
     """Normalize Spark's _metadata.file_path URI to a plain path."""
     return F.regexp_replace(col, "^file:/+", "/")
@@ -154,6 +183,7 @@ class Table:
         index_type: str | None = None,
         bucket_count: int = 0,
         auto_index: list[str] | None = None,
+        pre_commit_validators: dict | None = None,
     ) -> "Table":
         if table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
@@ -216,6 +246,19 @@ class Table:
             # maintained async via the CALL/build services (covered-set
             # staleness is always correct either way).
             meta["auto_index"] = _validate_auto_index(auto_index, key)
+        if pre_commit_validators:
+            # Hudi pre-commit validator family
+            # (hoodie.precommit.validators —
+            # SqlQueryEqualityPreCommitValidator /
+            # SqlQuerySingleResultPreCommitValidator): SQL checks that
+            # run against the WOULD-BE post-commit state BEFORE the
+            # manifest publish; a failure aborts the commit (nothing
+            # becomes visible; the written files are unreferenced
+            # orphans vacuum_orphans reclaims). See
+            # _validate_pre_commit for the contract.
+            meta["pre_commit_validators"] = _validate_validators(
+                pre_commit_validators
+            )
         write_json(meta_path, meta)
         return cls(spark, path, meta)
 
@@ -3355,6 +3398,12 @@ class Table:
         # failure: a retry re-runs the gate and re-persists)
         while self._pending_unpersist:
             self._pending_unpersist.pop().unpersist()
+        if (added or removed) and self.meta.get("pre_commit_validators"):
+            # validators run BEFORE the atomic manifest create: a
+            # failure means nothing ever became visible — the written
+            # files are unreferenced orphans (vacuum_orphans reclaims
+            # them), exactly Hudi's marker-cleanup story
+            self._validate_pre_commit(added, removed)
         try:
             # ATOMIC exclusive create (os.link locally, S3 conditional
             # put): the filesystem — not a check-then-write window —
@@ -3386,6 +3435,83 @@ class Table:
             # subset (staleness-correct by the index contract), never a
             # half-commit.
             self._maintain_auto_indexes()
+
+    def _validate_pre_commit(
+        self, added: list[dict], removed: list[str]
+    ) -> None:
+        """Run the declared pre-commit validators against the WOULD-BE
+        post-commit state (pre-state files minus ``removed`` plus
+        ``added`` — the data files are already on disk, only the
+        manifest is pending):
+
+        - ``equality``: each SQL (with ``<TABLE>`` bound to a view)
+          must return the SAME rows pre- and post-commit — Hudi's
+          SqlQueryEqualityPreCommitValidator, for invariants a write
+          must not disturb.
+        - ``single_result``: each [sql, expected] must return exactly
+          one row/column equal (by string form) to ``expected`` on the
+          post-state — Hudi's SqlQuerySingleResultPreCommitValidator,
+          e.g. ["SELECT count(*) FROM <TABLE> WHERE amt < 0", 0].
+
+        Validators see the PRE-commit manifest schema (an evolving
+        commit's widened columns aren't queryable until published).
+        Cost: the validator queries themselves (typically tiny
+        aggregates) over pre and hypothetical post views — opt-in."""
+        import uuid as _uuid
+
+        vals = self.meta.get("pre_commit_validators") or {}
+        rm = set(removed)
+        post_entries = [
+            e for e in self.current_files() if e["path"] not in rm
+        ] + list(added)
+        post = self._read_entries(post_entries)
+        if self.table_type == "mor":
+            post = self._merge_view(post)
+        tag = _uuid.uuid4().hex[:8]
+        pre_v, post_v = f"__pcv_pre_{tag}", f"__pcv_post_{tag}"
+        first = self.latest_commit() is None
+        pre = (
+            self.spark.createDataFrame([], post.schema)
+            if first
+            else self.snapshot()
+        )
+        pre.createOrReplaceTempView(pre_v)
+        post.createOrReplaceTempView(post_v)
+        try:
+            # equality validators skip the FIRST commit: there is no
+            # established invariant before any data exists (an empty-vs-
+            # loaded compare would reject every initial load); single-
+            # result validators run from commit one.
+            for q in [] if first else (vals.get("equality") or []):
+                a = self.spark.sql(q.replace("<TABLE>", pre_v)).collect()
+                b = self.spark.sql(q.replace("<TABLE>", post_v)).collect()
+                # order-insensitive row compare; repr key keeps mixed/
+                # None-bearing rows sortable (plain tuple sort would
+                # TypeError and abort a GOOD commit)
+                ka = sorted(map(tuple, a), key=repr)
+                kb = sorted(map(tuple, b), key=repr)
+                if ka != kb:
+                    raise ValueError(
+                        f"pre-commit equality validator failed: {q!r} "
+                        f"pre={a[:5]!r} post={b[:5]!r} — commit aborted"
+                    )
+            for q, expected in vals.get("single_result") or []:
+                rows = self.spark.sql(q.replace("<TABLE>", post_v)).collect()
+                if len(rows) != 1 or len(rows[0]) != 1:
+                    raise ValueError(
+                        f"pre-commit single-result validator {q!r} must "
+                        f"return exactly one value, got {len(rows)} rows"
+                    )
+                got = rows[0][0]
+                if str(got) != str(expected):
+                    raise ValueError(
+                        f"pre-commit single-result validator failed: "
+                        f"{q!r} expected {expected!r} got {got!r} — "
+                        "commit aborted"
+                    )
+        finally:
+            self.spark.catalog.dropTempView(pre_v)
+            self.spark.catalog.dropTempView(post_v)
 
     def _maintain_auto_indexes(self) -> None:
         svc = TableServices(self)
@@ -4330,6 +4456,19 @@ class TableServices:
             )
         else:
             t.meta.pop("auto_index", None)
+        write_json(posixpath.join(t.path, "_table.json"), t.meta)
+
+    def set_pre_commit_validators(self, validators: dict | None) -> None:
+        """Set (or, with ``None``/empty, clear) the table's pre-commit
+        validators — see ``Table.create(pre_commit_validators=)`` and
+        :meth:`.Table._validate_pre_commit` for the contract."""
+        t = self.t
+        if validators:
+            t.meta["pre_commit_validators"] = _validate_validators(
+                validators
+            )
+        else:
+            t.meta.pop("pre_commit_validators", None)
         write_json(posixpath.join(t.path, "_table.json"), t.meta)
 
     def resize_buckets(self, new_count: int, rewrite: bool = True) -> str | None:

@@ -2068,3 +2068,102 @@ def test_auto_index_via_ddl_and_show_create(spark, tmp_path):
         }
     out = execute_ddl(spark, "SHOW CREATE TABLE ai", cat, None).collect()
     assert "autoIndex = 'record_index,secondary_index(val)'" in out[0][0]
+
+
+# ---------------------------------------------------------------------------
+# pre-commit validators
+# ---------------------------------------------------------------------------
+
+
+def test_pre_commit_validator_shape_rejections(spark, tpath):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown pre_commit"):
+        make_table(spark, tpath, pre_commit_validators={"bogus": []})
+    with pytest.raises(ValueError, match="<TABLE>"):
+        make_table(
+            spark, tpath, pre_commit_validators={"equality": ["SELECT 1"]}
+        )
+    with pytest.raises(ValueError, match="single_result"):
+        make_table(
+            spark,
+            tpath,
+            pre_commit_validators={
+                "single_result": ["SELECT count(*) FROM <TABLE>"]
+            },
+        )
+
+
+def test_pre_commit_single_result_aborts_bad_commit(spark, tpath):
+    import pytest
+
+    t = make_table(
+        spark,
+        tpath,
+        pre_commit_validators={
+            "single_result": [
+                ["SELECT count(*) FROM <TABLE> WHERE ver < 0", 0]
+            ]
+        },
+    )
+    t.upsert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    good = t.latest_commit()
+    with pytest.raises(ValueError, match="single-result validator failed"):
+        t.upsert(df_of(spark, [(3, -5, "bad")]))
+    # nothing became visible: same commit, same rows
+    assert t.latest_commit() == good
+    assert t.snapshot().count() == 2
+    # the aborted attempt's files are unreferenced orphans; the vacuum
+    # service reclaims them
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    orphans = TableServices(t).vacuum_orphans(older_than_seconds=0.0)
+    assert orphans
+    assert t.snapshot().count() == 2
+    # a clean batch still commits
+    t.upsert(df_of(spark, [(3, 5, "ok")]))
+    assert t.snapshot().count() == 3
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_pre_commit_equality_validator(spark, tpath, table_type):
+    import pytest
+
+    t = make_table(
+        spark,
+        tpath,
+        table_type=table_type,
+        pre_commit_validators={
+            "equality": ["SELECT count(DISTINCT id) AS n FROM <TABLE>"]
+        },
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    # updating existing keys keeps the key population — passes
+    t.upsert(df_of(spark, [(2, 2, "b2")]))
+    assert {r.val for r in t.snapshot().collect()} == {"a", "b2"}
+    # inserting a NEW key changes the invariant — aborted
+    with pytest.raises(ValueError, match="equality validator failed"):
+        t.upsert(df_of(spark, [(9, 1, "new")]))
+    assert t.snapshot().count() == 2
+
+
+def test_set_pre_commit_validators_roundtrip(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, "a")]))
+    TableServices(t).set_pre_commit_validators(
+        {"single_result": [["SELECT max(ver) FROM <TABLE>", 1]]}
+    )
+    assert "pre_commit_validators" in Table.load(spark, t.path).meta
+    import pytest
+
+    with pytest.raises(ValueError, match="single-result"):
+        t.upsert(df_of(spark, [(1, 2, "a2")]))
+    TableServices(t).set_pre_commit_validators(None)
+    t.upsert(df_of(spark, [(1, 2, "a2")]))  # cleared: commits again
+    assert t.snapshot().collect()[0]["val"] == "a2"
