@@ -285,6 +285,14 @@ def _create(
                 raise ValueError(
                     f"declared column list lacks structural column {c!r}"
                 )
+        if auto_index:
+            # a typo'd secondary_index column must fail the CREATE, not
+            # the first post-commit maintenance pass
+            from .table import _validate_auto_index
+
+            _validate_auto_index(
+                auto_index, key, set(declared.fieldNames())
+            )
     ctas_df = None
     if p["select"] is not None:
         # analyze + validate the CTAS query BEFORE creating anything on

@@ -330,6 +330,12 @@ def _subquery_frame(
     <name>)``) binds the same pre-statement snapshot, per standard SQL
     ("subqueries see the table state before the statement").
 
+    The target name is ALWAYS (re)bound to the pre-statement snapshot
+    for the duration of the statement — probing the catalog first would
+    let a stale or unrelated temp view with the target's name silently
+    feed wrong data to the subquery (review-confirmed) — and dropped
+    after; callers re-bind per statement (SqlSession does).
+
     ``spark.sql`` analyzes eagerly, so the scratch views are dropped
     before returning — the resolved plan keeps the snapshot lineage.
 
@@ -340,23 +346,28 @@ def _subquery_frame(
     bloom/record-index prunes bound the rewrite to affected files."""
     import uuid as _uuid
 
-    snap = t.snapshot()
+    if t.latest_commit() is None:
+        # zero-commit table: SQL semantics say it reads as 0 rows (the
+        # plain-predicate path is a no-op commit on the same state)
+        sch = t.effective_schema()
+        if sch is None:
+            raise ValueError(
+                f"table {name!r} has no schema yet (no commits and no "
+                "declared columns) — nothing for the subquery to bind"
+            )
+        snap = spark.createDataFrame([], sch)
+    else:
+        snap = t.snapshot()
     tag = f"__dml_src_{_uuid.uuid4().hex[:10]}"
     snap.createOrReplaceTempView(tag)
-    made_self = False
+    snap.createOrReplaceTempView(name)
     try:
-        try:
-            spark.table(name)
-        except Exception:  # noqa: BLE001 — unbound target name
-            snap.createOrReplaceTempView(name)
-            made_self = True
         return spark.sql(
             f"SELECT {projection} FROM {tag} AS `{name}` WHERE {cond}"
         )
     finally:
         spark.catalog.dropTempView(tag)
-        if made_self:
-            spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(name)
 
 
 def execute(
@@ -435,22 +446,10 @@ def execute(
             # "upsert"/"deltacommit" — the read-modify-write shape.
             t = tables[name]
             assigns = _parse_assignments(sets)
-            structural = {t.key, META_COL}
-            bad = sorted(set(assigns) & structural)
-            if bad:
-                raise ValueError(
-                    f"cannot UPDATE structural column(s) {bad}"
-                )
+            t._validate_update_targets(assigns)
             schema = t.effective_schema()
             if schema is None:
                 raise ValueError(f"UPDATE target {name!r} has no schema")
-            known = set(schema.fieldNames())
-            unknown = sorted(set(assigns) - known)
-            if unknown:
-                raise ValueError(
-                    f"UPDATE SET targets unknown column(s) {unknown}; "
-                    "add new columns via a write with the evolved schema"
-                )
             proj = ", ".join(
                 f"({assigns[c]}) AS `{c}`" if c in assigns else f"`{c}`"
                 for c in schema.fieldNames()
@@ -861,7 +860,12 @@ def call_procedure(
             # CALL form always rewrites — the metadata-only migration
             # is the API's resize_buckets(rewrite=False)
             if cols_clash := {
-                k for k in ("order", "zorder", "small_file_rows") if k in kw
+                k
+                for k in (
+                    "order", "zorder", "small_file_rows",
+                    "target_records_per_file",
+                )
+                if k in kw
             }:
                 raise ValueError(
                     "bucket_count is its own strategy — omit "

@@ -66,19 +66,22 @@ def _strip_quoted(s: str) -> str:
     """The statement with single/double-quoted literals blanked (same
     lexical rules as sqltext) so identifier scans never match text
     inside strings; backtick contents are KEPT (they are identifiers)."""
+    from .sqltext import skip_string
+
     out, i, n = [], 0, len(s)
     while i < n:
         c = s[i]
         if c in ("'", '"'):
-            j = s.find(c, i + 1)
+            # same escape-aware walk as sqltext (backslash escapes end
+            # a literal early under a bare find(), mis-lexing the rest)
             out.append(" ")
-            i = n if j < 0 else j + 1
+            i = skip_string(s, i, c)
             continue
         if c == "`":
-            j = s.find(c, i + 1)
-            seg = s[i + 1 : (n if j < 0 else j)]
+            end = skip_string(s, i, c)
+            seg = s[i + 1 : end - 1] if s[end - 1 : end] == c else s[i + 1 : end]
             out.append(f" {seg} ")
-            i = n if j < 0 else j + 1
+            i = end
             continue
         out.append(c)
         i += 1

@@ -17,6 +17,25 @@ import re
 IDENT = r"[A-Za-z_][\w$]*|`[^`]+`"
 
 
+def skip_string(s: str, i: int, q: str) -> int:
+    """Index just past the string/identifier opened by ``s[i] == q``.
+    Single/double-quoted strings honor backslash escapes (Spark's
+    default lexer does — ``'it\\'s'`` is ONE literal, so a walker using
+    a bare find() would end it early and mis-lex everything after,
+    review finding); backtick identifiers have no backslash escapes."""
+    n = len(s)
+    j = i + 1
+    while j < n:
+        c = s[j]
+        if c == "\\" and q != "`":
+            j += 2
+            continue
+        if c == q:
+            return j + 1
+        j += 1
+    return n
+
+
 def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
     """(start, end) spans of ``pattern`` matches at paren depth 0,
     outside single/double-quoted strings and backtick identifiers."""
@@ -27,8 +46,7 @@ def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
     while i < n:
         c = s[i]
         if c == "'" or c == "`" or c == '"':
-            j = s.find(c, i + 1)
-            i = n if j < 0 else j + 1
+            i = skip_string(s, i, c)
             continue
         # SQL comments (Spark lexes -- and /* */ outside strings): a
         # keyword inside a comment is not a keyword, and an unbalanced
@@ -68,8 +86,7 @@ def blank_strings(s: str) -> str:
     while i < n:
         c = s[i]
         if c == "'" or c == "`" or c == '"':
-            j = s.find(c, i + 1)
-            end = n if j < 0 else j + 1
+            end = skip_string(s, i, c)
             out.append(" " * (end - i))
             i = end
             continue

@@ -82,11 +82,16 @@ def _utcnow() -> str:
 _AUTO_IDX_RX = re.compile(r"^secondary_index\(([A-Za-z_][\w$]*)\)$")
 
 
-def _validate_auto_index(specs: list[str], key: str) -> list[str]:
+def _validate_auto_index(
+    specs: list[str], key: str, columns: set[str] | None = None
+) -> list[str]:
     """Normalize/validate auto-index specs: ``record_index`` or
     ``secondary_index(<col>)`` (the two per-commit-maintainable index
     families; expression indexes stay CALL-driven — their exprs are
-    arbitrary SQL and belong to explicit DDL)."""
+    arbitrary SQL and belong to explicit DDL). ``columns``, when the
+    schema is known, rejects secondary specs on nonexistent columns AT
+    SPEC TIME — otherwise a typo'd spec would make every write raise
+    AFTER its commit durably published (review finding)."""
     out = []
     for raw in specs:
         s = str(raw).strip()
@@ -103,6 +108,11 @@ def _validate_auto_index(specs: list[str], key: str) -> list[str]:
             raise ValueError(
                 f"secondary_index({key}) duplicates the record key — "
                 "use 'record_index'"
+            )
+        if columns is not None and m.group(1) not in columns:
+            raise ValueError(
+                f"auto_index spec {raw!r} names a column not in the "
+                "table schema"
             )
         out.append(s)
     if len(set(out)) != len(out):
@@ -1242,6 +1252,25 @@ class Table:
         self._publish(commit, "delete", added, removed, survivors.schema)
         return commit
 
+    def _validate_update_targets(self, cols) -> None:
+        """Shared UPDATE SET target contract (used by update_where AND
+        the SQL subquery-UPDATE route — one copy, one message):
+        structural columns are never assignable; known-schema tables
+        reject unknown targets (schema-less tables pass — nothing to
+        check against)."""
+        structural = {self.key, META_COL}
+        bad = sorted(set(cols) & structural)
+        if bad:
+            raise ValueError(f"cannot UPDATE structural column(s) {bad}")
+        schema = self._schema()
+        known = set(schema.fieldNames()) if schema is not None else set()
+        unknown = sorted(set(cols) - known)
+        if known and unknown:
+            raise ValueError(
+                f"UPDATE SET targets unknown column(s) {unknown}; "
+                "add new columns via a write with the evolved schema"
+            )
+
     def update_where(
         self,
         set_exprs: dict[str, Any],
@@ -1270,18 +1299,7 @@ class Table:
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in set_exprs.items()
         }
-        structural = {self.key, META_COL}
-        bad = sorted(set(sets) & structural)
-        if bad:
-            raise ValueError(f"cannot UPDATE structural column(s) {bad}")
-        schema = self._schema()
-        known = set(schema.fieldNames()) if schema is not None else set()
-        unknown = sorted(set(sets) - known)
-        if known and unknown:
-            raise ValueError(
-                f"UPDATE SET targets unknown column(s) {unknown}; "
-                "add new columns via a write with the evolved schema"
-            )
+        self._validate_update_targets(sets)
         if self.table_type == "mor":
             matched = self.snapshot(filters=filters).where(cond).drop(META_COL)
             updated = matched.select(
@@ -2850,6 +2868,22 @@ class Table:
             f"{self.key!r} is neither"
         )
 
+    def _entry_modulus(self, e: dict, current: int) -> int:
+        """The modulus a file was bucketed under: its recorded
+        ``bucket_n``; else — for legacy files written before modulus
+        recording — the table's count at the FIRST resize
+        (``legacy_bucket_count``, stamped by resize_buckets: before any
+        resize the count was immutable, so every legacy file shares
+        it); else the current count (never-resized table). Without the
+        legacy fallback, time-traveled or not-yet-rewritten legacy
+        files would prune under a post-resize count and silently drop
+        rows (review-confirmed)."""
+        return int(
+            e.get("bucket_n")
+            or self.meta.get("legacy_bucket_count")
+            or current
+        )
+
     def _prune_by_bucket(
         self, entries: list[dict], keys: DataFrame
     ) -> list[dict]:
@@ -2892,9 +2926,8 @@ class Table:
         # key's bucket id differs per modulus, so the batch's bucket set
         # is resolved once per DISTINCT modulus (normally exactly one
         # tiny job; two only during a metadata-only resize transition).
-        # Legacy entries without the field predate resize support and
-        # can only carry the table's (then-immutable) current count.
-        moduli = sorted({int(e.get("bucket_n") or n) for e in entries})
+        # Legacy entries (no bucket_n) resolve via _entry_modulus.
+        moduli = sorted({self._entry_modulus(e, n) for e in entries})
         sets: dict[int, list[int]] = {}
         for nn in moduli:
             rows = (
@@ -2913,7 +2946,7 @@ class Table:
             if not st or st[0] is None:
                 out.append(e)
                 continue
-            buckets = sets[int(e.get("bucket_n") or n)]
+            buckets = sets[self._entry_modulus(e, n)]
             if not buckets:
                 continue
             i = bisect.bisect_left(buckets, int(st[0]))
@@ -2950,7 +2983,7 @@ class Table:
         # resolve the value's bucket once per DISTINCT file modulus
         # (files record bucket_n; generations can mix after a
         # metadata-only resize_buckets — see _prune_by_bucket)
-        moduli = sorted({int(e.get("bucket_n") or n) for e in entries})
+        moduli = sorted({self._entry_modulus(e, n) for e in entries})
         bmap: dict[int, int] = {}
         for nn in moduli:
             ck = (value, nn)
@@ -2984,7 +3017,7 @@ class Table:
             if not st or st[0] is None:
                 out.append(e)
                 continue
-            b = bmap[int(e.get("bucket_n") or n)]
+            b = bmap[self._entry_modulus(e, n)]
             if int(st[0]) <= b <= int(st[1]):
                 out.append(e)
         return out
@@ -3470,19 +3503,21 @@ class Table:
         tag = _uuid.uuid4().hex[:8]
         pre_v, post_v = f"__pcv_pre_{tag}", f"__pcv_post_{tag}"
         first = self.latest_commit() is None
-        pre = (
-            self.spark.createDataFrame([], post.schema)
-            if first
-            else self.snapshot()
-        )
-        pre.createOrReplaceTempView(pre_v)
+        # equality validators skip the FIRST commit: there is no
+        # established invariant before any data exists (an empty-vs-
+        # loaded compare would reject every initial load); single-
+        # result validators run from commit one. The pre-state view is
+        # built ONLY when an equality validator will read it — a
+        # single_result-only table must not pay a manifest replay +
+        # merge plan per commit for a view nothing queries.
+        eq = [] if first else (vals.get("equality") or [])
+        bound_pre = False
+        if eq:
+            self.snapshot().createOrReplaceTempView(pre_v)
+            bound_pre = True
         post.createOrReplaceTempView(post_v)
         try:
-            # equality validators skip the FIRST commit: there is no
-            # established invariant before any data exists (an empty-vs-
-            # loaded compare would reject every initial load); single-
-            # result validators run from commit one.
-            for q in [] if first else (vals.get("equality") or []):
+            for q in eq:
                 a = self.spark.sql(q.replace("<TABLE>", pre_v)).collect()
                 b = self.spark.sql(q.replace("<TABLE>", post_v)).collect()
                 # order-insensitive row compare; repr key keeps mixed/
@@ -3510,18 +3545,33 @@ class Table:
                         "commit aborted"
                     )
         finally:
-            self.spark.catalog.dropTempView(pre_v)
+            if bound_pre:
+                self.spark.catalog.dropTempView(pre_v)
             self.spark.catalog.dropTempView(post_v)
 
     def _maintain_auto_indexes(self) -> None:
         svc = TableServices(self)
         for spec in self.meta.get("auto_index") or []:
-            if spec == "record_index":
-                svc.build_record_index(incremental=True)
-            else:
-                svc.build_secondary_index(
-                    spec[len("secondary_index("):-1], incremental=True
-                )
+            try:
+                if spec == "record_index":
+                    svc.build_record_index(incremental=True)
+                else:
+                    svc.build_secondary_index(
+                        spec[len("secondary_index("):-1], incremental=True
+                    )
+            except Exception as exc:
+                # the manifest is already durable: make it unambiguous
+                # to the caller that the WRITE SUCCEEDED (a bare
+                # propagated error reads as a failed write, and
+                # retrying an insert would duplicate rows) and the
+                # index remains a valid covered subset
+                raise RuntimeError(
+                    f"auto-index maintenance {spec!r} failed AFTER "
+                    f"commit {self.latest_commit()} durably published; "
+                    "the table state is committed — do NOT retry the "
+                    "write. Fix or remove the spec (set_auto_index) "
+                    f"and rebuild: {exc}"
+                ) from exc
 
 
 from contextlib import contextmanager
@@ -4451,8 +4501,11 @@ class TableServices:
         post-enable commit must stay O(commit)."""
         t = self.t
         if specs:
+            sch = t.effective_schema()
             t.meta["auto_index"] = _validate_auto_index(
-                list(specs), t.key
+                list(specs),
+                t.key,
+                set(sch.fieldNames()) if sch is not None else None,
             )
         else:
             t.meta.pop("auto_index", None)
@@ -4494,12 +4547,15 @@ class TableServices:
           critical path.
 
         Time travel stays exact in both modes: pre-resize commits list
-        pre-resize files, whose recorded modulus drives the prune.
-        Refuses ``rewrite=False`` when any live file predates modulus
-        recording (legacy layout — pruning those under a changed count
-        could drop real merge candidates; the rewrite mode re-stamps
-        them safely). Returns the replace commit, or None when
-        metadata-only / the count is unchanged."""
+        pre-resize files, whose recorded modulus drives the prune;
+        files written before modulus recording existed (legacy) are
+        covered by ``legacy_bucket_count`` — the FIRST resize stamps
+        the count it replaced into the table meta, and before any
+        resize the count was immutable, so every legacy file provably
+        carries it (this also makes an interrupted rewrite safe: the
+        meta flip alone leaves exactly the metadata-only state).
+        Returns the replace commit, or None when metadata-only / the
+        count is unchanged."""
         t = self.t
         if t.meta.get("index_type") != "bucket":
             raise ValueError(
@@ -4511,21 +4567,9 @@ class TableServices:
             raise ValueError(f"bucket_count must be >= 1, got {new_count}")
         if new_count == int(t.meta["bucket_count"]):
             return None
-        if not rewrite:
-            legacy = [
-                e["path"]
-                for e in t.current_files()
-                if not e.get("bucket_n")
-            ]
-            if legacy:
-                raise ValueError(
-                    "metadata-only resize needs every live file to "
-                    "record its bucket modulus; "
-                    f"{len(legacy)} file(s) predate modulus recording "
-                    "(e.g. "
-                    f"{legacy[0]!r}) — call resize_buckets(n) with "
-                    "rewrite=True to re-stamp them"
-                )
+        t.meta.setdefault(
+            "legacy_bucket_count", int(t.meta["bucket_count"])
+        )
         t.meta["bucket_count"] = new_count
         write_json(posixpath.join(t.path, "_table.json"), t.meta)
         # the point-read memo is keyed (value, modulus) so stale counts

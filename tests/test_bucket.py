@@ -397,25 +397,46 @@ def test_resize_validation(spark, tpath, tmp_path):
     assert int(t.latest_commit()) == 1  # no commit published
 
 
-def test_resize_metadata_only_refuses_legacy_entries(spark, tpath):
+def _strip_bucket_n(t):
+    """Simulate a pre-resize-support layout: strip the recorded modulus
+    from the latest manifest's entries."""
     import json
 
-    t = _make(spark, tpath, n_buckets=4)
-    t.bulk_insert(_interleaved(spark, n=100, nfiles=2))
-    # simulate a pre-resize-support layout: strip the recorded modulus
     mpath = t._commits_dir() + "/" + t.latest_commit() + ".json"
     man = json.load(open(mpath))
     for e in man["files_added"]:
         e.pop("bucket_n", None)
     json.dump(man, open(mpath, "w"))
-    t2 = Table.load(spark, t.path)
-    with pytest.raises(ValueError, match="modulus"):
-        _svc(t2).resize_buckets(8, rewrite=False)
-    # the rewrite mode re-stamps them safely
-    c = _svc(t2).resize_buckets(8, rewrite=True)
+    return Table.load(t.spark, t.path)
+
+
+def test_resize_covers_legacy_entries_via_recorded_old_count(spark, tpath):
+    t = _make(spark, tpath, n_buckets=4)
+    t.bulk_insert(_interleaved(spark, n=200, nfiles=4))
+    t2 = _strip_bucket_n(t)
+    pre = t2.latest_commit()
+    # metadata-only resize on a LEGACY layout: the first resize stamps
+    # legacy_bucket_count=4, so legacy files keep pruning under 4
+    assert _svc(t2).resize_buckets(8, rewrite=False) is None
+    assert t2.meta["legacy_bucket_count"] == 4
+    for k in range(0, 20):
+        got = t2.snapshot(filters={"k": k}).where(f"k = {k}").collect()
+        assert [(r["k"], r["v"]) for r in got] == [(k, 2 * k)], k
+    # merges against the legacy generation stay exact too
+    t2.upsert(spark.createDataFrame([(7, 777)], "k long, v long"))
+    assert t2.snapshot().where("k = 7").collect()[0]["v"] == 777
+    assert t2.snapshot().count() == 200
+    # the rewrite mode re-stamps everything under the new count
+    c = _svc(t2).resize_buckets(16, rewrite=True)
     assert c is not None
-    assert all(e.get("bucket_n") == 8 for e in t2.current_files())
-    assert t2.snapshot().count() == 100
+    assert all(e.get("bucket_n") == 16 for e in t2.current_files())
+    # time travel to the LEGACY commit still point-reads exactly
+    # (review repro: without legacy_bucket_count these returned empty)
+    for k in (0, 1, 4, 5, 6):
+        got = t2.snapshot(as_of=pre, filters={"k": k}).where(
+            f"k = {k}"
+        ).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(k, 2 * k)], k
 
 
 def test_resize_via_call_procedure(spark, tpath):

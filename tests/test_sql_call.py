@@ -328,3 +328,20 @@ def test_commits_compare(spark, t, tmp_path):
             "CALL commits_compare(table => 't', other => 'zz')",
             tabs,
         )
+
+
+def test_run_clustering_bucket_count_rejects_sizing_arg(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "bt"), key="id", precombine="ver",
+        index_type="bucket", bucket_count=4,
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, 1)], "id long, ver long")
+    )
+    with pytest.raises(ValueError, match="own strategy"):
+        call_procedure(
+            spark,
+            "CALL run_clustering(table => 'bt', bucket_count => 8, "
+            "target_records_per_file => 1000)",
+            {"bt": t},
+        )

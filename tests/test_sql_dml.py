@@ -1298,3 +1298,72 @@ def test_optimize_where_mor_with_deltas_raises(spark, tpath):
     TableServices(t).compact()
     c = sql_dml.execute(spark, "OPTIMIZE t WHERE p = 'a'", {"t": t})
     assert c and t.snapshot().where("id = 0").collect()[0]["amt"] == 99.0
+
+
+def test_contains_subquery_escaped_quotes():
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sqltext import (
+        contains_subquery,
+    )
+
+    # Spark's lexer honors backslash escapes: the literal is ONE string
+    assert contains_subquery(r"val = 'it\'s' AND id IN (SELECT sid FROM v)")
+    assert not contains_subquery(r"val = 'it\'s (SELECT nope)'")
+
+
+def test_delete_subquery_with_escaped_quote_literal(spark, tpath):
+    t = make(spark, tpath)
+    spark.createDataFrame([(1,)], "sid long").createOrReplaceTempView(
+        "subq_esc_ids"
+    )
+    try:
+        sql_dml.execute(
+            spark,
+            r"DELETE FROM t WHERE val != 'it\'s' "
+            r"AND id IN (SELECT sid FROM subq_esc_ids)",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("subq_esc_ids")
+    assert snap(t) == [(2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_subquery_self_reference_ignores_stale_view(spark, tpath):
+    """Review repro: a pre-existing temp view named like the target must
+    NOT shadow the pre-statement snapshot for self-references."""
+    t = make(spark, tpath)
+    spark.createDataFrame(
+        [(99, 1, "zz", 1000.0)], "id long, ver long, val string, amt double"
+    ).createOrReplaceTempView("t")
+    try:
+        sql_dml.execute(
+            spark,
+            "UPDATE t SET val = 'X' WHERE amt > (SELECT max(amt) / 2 FROM t)",
+            {"t": t},
+        )
+    finally:
+        # _subquery_frame drops the 't' binding it owns; nothing to
+        # restore — the stale view is consumed by design
+        pass
+    # threshold came from the SNAPSHOT (max 30 / 2 = 15), not the stale
+    # view (1000 / 2 = 500 would have updated nothing)
+    assert snap(t) == [(1, "a", 10.0), (2, "X", 20.0), (3, "X", 30.0)]
+
+
+def test_delete_subquery_on_zero_commit_table(spark, tmp_path):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_session import (
+        SqlSession,
+    )
+
+    sess = SqlSession(spark, base_dir=str(tmp_path))
+    sess.sql(
+        "CREATE TABLE empt (id bigint, ver bigint) USING engine "
+        "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver')"
+    )
+    sess.sql(
+        "CREATE TABLE bans2 (id bigint, ver bigint) USING engine "
+        "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver')"
+    )
+    sess.sql("INSERT INTO bans2 VALUES (1, 1)")
+    # zero-commit target reads as 0 rows — a clean no-op, not an error
+    c = sess.sql("DELETE FROM empt WHERE id IN (SELECT id FROM bans2)")
+    assert isinstance(c, str)

@@ -2167,3 +2167,40 @@ def test_set_pre_commit_validators_roundtrip(spark, tpath):
     TableServices(t).set_pre_commit_validators(None)
     t.upsert(df_of(spark, [(1, 2, "a2")]))  # cleared: commits again
     assert t.snapshot().collect()[0]["val"] == "a2"
+
+
+def test_auto_index_typo_column_rejected_at_spec_time(spark, tpath, tmp_path):
+    import pytest
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_ddl import (
+        execute_ddl,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    # DDL CREATE with a declared schema: typo fails the CREATE itself
+    with pytest.raises(ValueError, match="not in the table schema"):
+        execute_ddl(
+            spark,
+            "CREATE TABLE ai2 (id bigint, ver bigint, val string) "
+            "USING engine TBLPROPERTIES (primaryKey = 'id', "
+            "preCombineField = 'ver', autoIndex = "
+            "'secondary_index(vall)') "
+            f"LOCATION '{tmp_path / 'ai2'}'",
+            {},
+            None,
+        )
+    # set_auto_index on a table with a known schema: same
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="not in the table schema"):
+        TableServices(t).set_auto_index(["secondary_index(nope)"])
+    # maintenance failures after a durable publish say so explicitly
+    t.meta["auto_index"] = ["secondary_index(ghost)"]  # bypass validation
+    import re as _re
+
+    with pytest.raises(RuntimeError, match="durably published"):
+        t.upsert(df_of(spark, [(2, 1, "b")]))
+    # the commit IS there; retrying would duplicate — snapshot shows it
+    assert t.snapshot().count() == 2
