@@ -387,3 +387,105 @@ def test_bucket_table_upserts_match_plain_table(
         plain.upsert(df)
         bucketed.upsert(df)
     assert _snap(bucketed) == _snap(plain)
+
+
+# ---------------------------------------------------------------------------
+# r10: subquery-UPDATE parity and bucket-resize generation algebra
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=BATCH, threshold=st.integers(min_value=0, max_value=5))
+def test_subquery_update_parity_with_update_where(
+    spark, tmp_path_factory, rows, threshold
+):
+    """An UPDATE whose predicate is expressible both ways must land the
+    same final state: the expression path (update_where) and the
+    subquery path (spark.sql over the snapshot -> upsert) are two
+    implementations of one statement semantics."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark import (
+        sql_dml,
+    )
+
+    base = tmp_path_factory.mktemp("prop")
+    ta = _mk(spark, base)
+    tb = _mk(spark, base)
+    ta.upsert(_df(spark, rows))
+    tb.upsert(_df(spark, rows))
+    sql_dml.execute(
+        spark,
+        f"UPDATE t SET val = concat(val, '!') WHERE ver >= {threshold}",
+        {"t": ta},
+    )
+    # same predicate, forced onto the subquery route via a scalar
+    # subquery that evaluates to the same constant
+    sql_dml.execute(
+        spark,
+        "UPDATE t SET val = concat(val, '!') "
+        f"WHERE ver >= (SELECT {threshold})",
+        {"t": tb},
+    )
+    assert _snap(ta) == _snap(tb)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    b1=BATCH,
+    b2=BATCH,
+    b3=BATCH,
+    counts=st.tuples(
+        st.sampled_from([2, 4, 8]), st.sampled_from([3, 5, 16])
+    ),
+    modes=st.tuples(st.booleans(), st.booleans()),
+)
+def test_bucket_resize_generations_model(
+    spark, tmp_path_factory, b1, b2, b3, counts, modes
+):
+    """Upserts interleaved with resizes (rewrite or metadata-only, any
+    counts) must equal the plain dict model — the bucket prune across
+    mixed generations is invisible to semantics."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    global _SEQ
+    _SEQ += 1
+    t = Table.create(
+        spark,
+        f"{tmp_path_factory.mktemp('prop')}/bt{_SEQ}",
+        key="id",
+        precombine="ver",
+        table_name="bt",
+        index_type="bucket",
+        bucket_count=counts[0],
+    )
+    model = {}
+
+    def apply(rows):
+        t.upsert(_df(spark, rows))
+        # within-batch: max(precombine) wins; across batches: the
+        # incoming batch replaces existing keys unconditionally
+        # (incoming-wins, pinned by test_sequential_upserts_incoming_wins)
+        model.update(expected_single_batch(rows))
+
+    apply(b1)
+    TableServices(t).resize_buckets(counts[1], rewrite=modes[0])
+    apply(b2)
+    # resize back (possibly same-count no-op) under the other mode
+    TableServices(t).resize_buckets(counts[0], rewrite=modes[1])
+    apply(b3)
+    assert _snap(t) == model
+    # point reads across all generations
+    for k in model:
+        got = t.snapshot(filters={"id": k}).where(f"id = {k}").collect()
+        assert [(r["id"], r["ver"], r["val"]) for r in got] == [
+            (k, *model[k])
+        ], k
