@@ -129,6 +129,7 @@ HEADLINE = [
     "table_sql_delete_update_subquery",
     "table_bucket_resize",
     "table_sql_optimize_partition",
+    "table_auto_index_upsert",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -183,6 +184,9 @@ PRINT_OMIT = {
     # retired with the 13th r10 birth row (dedup family keeps minhash,
     # ngram, incremental, semantic_* printed)
     "dedup_remove_spans",
+    # retired with the 14th r10 birth row (events family keeps
+    # skyline_pareto_2d printed)
+    "funnel_steps",
     "text_bigram_logprob",
 }
 

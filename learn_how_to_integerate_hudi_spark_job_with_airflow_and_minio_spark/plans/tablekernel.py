@@ -2655,3 +2655,77 @@ def table_sql_optimize_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert others <= after, "unscoped partitions must keep their files"
     assert not (scoped & after), "scoped partition must be rewritten"
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_auto_index_upsert",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 4
+                    ) THEN 'A' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 4
+                    ) THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+    """,
+    doc="AUTO-INDEX maintenance (Hudi metadata-table behavior — "
+    "hoodie.metadata.record.index.enable: the record index updates "
+    "WITH each commit instead of via an async CALL): the table is "
+    "created with auto_index=['record_index']; every commit extends "
+    "the index over its NEW files only (O(commit) per write), so the "
+    "4-key point batch (smallest keys — hash-interleaved layout makes "
+    "range stats useless) prunes merge candidates by "
+    "EXACT containment with no build_record_index call ever made. "
+    "The query asserts index coverage equals the live set after each "
+    "commit and that the prune dropped files",
+)
+def table_auto_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..storage import read_json
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_autoidx_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_autoidx",
+        auto_index=["record_index"],
+    )
+    # interleaved KEY layout: hash-repartition → every file's key range
+    # covers ~the whole domain, so only exact containment prunes
+    t.bulk_insert(orders.repartition(8, "o_orderkey"))
+    _, meta_path = t._record_index_paths()
+    covered = set(read_json(meta_path)["files"])
+    assert covered == {e["path"] for e in t.current_files()}
+    low4 = [
+        r[0]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(4)
+        .collect()
+    ]
+    batch = (
+        orders.where(F.col("o_orderkey").isin(low4))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("A"))
+        .select(*_COLS)
+    )
+    # exact containment keeps at most |batch| = 4 of the 8 files
+    entries = t.current_files()
+    keys = batch.select("o_orderkey").distinct()
+    pruned = t._prune_by_keys(entries, keys)
+    assert len(pruned) < len(entries), (len(pruned), len(entries))
+    t.upsert(batch)
+    covered2 = set(read_json(meta_path)["files"])
+    # every LIVE file is covered (the commit's new files were indexed
+    # in-commit); rewritten files' old paths stay in the covered set as
+    # inert dead mappings — the index contract, so superset not equality
+    assert {e["path"] for e in t.current_files()} <= covered2
+    assert covered < covered2
+    return t.snapshot().drop(META_COL)
