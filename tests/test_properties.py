@@ -489,3 +489,61 @@ def test_bucket_resize_generations_model(
         assert [(r["id"], r["ver"], r["val"]) for r in got] == [
             (k, *model[k])
         ], k
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=BATCH, scoped=st.sampled_from(["x", "y"]))
+def test_partition_scoped_compact_is_read_invisible(
+    spark, tmp_path_factory, rows, scoped
+):
+    """OPTIMIZE WHERE <partition> never changes what any read returns:
+    snapshot, per-key point reads, and the other partition's physical
+    files are all byte-stable."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    global _SEQ
+    _SEQ += 1
+    t = Table.create(
+        spark,
+        f"{tmp_path_factory.mktemp('prop')}/pc{_SEQ}",
+        key="id",
+        precombine="ver",
+        table_name="pc",
+        partition_fields=["p"],
+        max_records_per_file=2,
+    )
+    df = spark.createDataFrame(
+        [
+            (k, v, f"{val}{k}:{v}", "x" if k % 2 == 0 else "y")
+            for k, v, val in rows
+        ],
+        "id long, ver long, val string, p string",
+    )
+    t.upsert(df)
+    before = {
+        r["id"]: (r["ver"], r["val"], r["p"])
+        for r in t.snapshot().collect()
+    }
+    other_files = {
+        e["path"]
+        for e in t.current_files()
+        if f"p={scoped}" not in e["path"]
+    }
+    c = TableServices(t).compact(where=f"p = '{scoped}'")
+    after = {
+        r["id"]: (r["ver"], r["val"], r["p"])
+        for r in t.snapshot().collect()
+    }
+    assert after == before
+    live = {e["path"] for e in t.current_files()}
+    assert other_files <= live  # unscoped partition untouched
+    if c is not None:
+        # the replace commit removed ONLY scoped-partition files
+        man = t._manifest(c)
+        assert all(f"p={scoped}" in p for p in man["files_removed"])
