@@ -38,7 +38,9 @@ their WHEN/THEN tokens don't terminate a clause):
       -- WHERE scope: AND-ed partition_col <op> literal conjuncts only
       -- (per-file provable); rewrites O(partition), not O(table).
       -- Empty scope returns "" (no commit published)
-    VACUUM <target> [RETAIN <n> COMMITS]   -- default: RETAIN 5 COMMITS
+    VACUUM <target> [RETAIN <n> {COMMITS | HOURS}]
+      -- default: RETAIN 5 COMMITS; HOURS routes to the time-based
+      -- cleaner (Hudi KEEP_LATEST_BY_HOURS / Delta VACUUM RETAIN)
 
     CALL <procedure>(key => value[, ...])  -- see :func:`call_procedure`
                                            -- (returns a DataFrame, so it
@@ -585,7 +587,8 @@ def execute(
         )
         return c if c is not None else ""
     m = re.match(
-        rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+COMMITS)?\s*$",
+        rf"VACUUM\s+({_IDENT})"
+        r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(COMMITS|HOURS))?\s*$",
         s,
         re.IGNORECASE,
     )
@@ -593,8 +596,20 @@ def execute(
         name = m.group(1).strip("`")
         if name not in tables:
             raise ValueError(f"unknown VACUUM target table {name!r}")
-        retain = int(m.group(2)) if m.group(2) else 5  # documented default
-        TableServices(tables[name]).clean(retain_commits=retain)
+        unit = (m.group(3) or "COMMITS").upper()
+        if unit == "HOURS":
+            # Delta's VACUUM t RETAIN n HOURS — routes to the
+            # time-based cleaner policy (Hudi KEEP_LATEST_BY_HOURS)
+            TableServices(tables[name]).clean(
+                retain_hours=float(m.group(2))
+            )
+        else:
+            if m.group(2) is not None and "." in m.group(2):
+                raise ValueError(
+                    f"RETAIN {m.group(2)} COMMITS must be an integer"
+                )
+            retain = int(m.group(2)) if m.group(2) else 5  # doc default
+            TableServices(tables[name]).clean(retain_commits=retain)
         # clean() publishes no commit — return the (unchanged) latest
         # commit id; documented in the module grammar
         return tables[name].latest_commit()

@@ -1367,3 +1367,33 @@ def test_delete_subquery_on_zero_commit_table(spark, tmp_path):
     # zero-commit target reads as 0 rows — a clean no-op, not an error
     c = sess.sql("DELETE FROM empt WHERE id IN (SELECT id FROM bans2)")
     assert isinstance(c, str)
+
+
+def test_vacuum_retain_hours(spark, tpath):
+    """VACUUM t RETAIN n HOURS routes to the time-based cleaner."""
+    import json
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    t = make(spark, tpath)
+    sql_dml.execute(spark, "UPDATE t SET amt = amt + 1 WHERE id = 1", {"t": t})
+    sql_dml.execute(spark, "UPDATE t SET amt = amt + 1 WHERE id = 1", {"t": t})
+    c1, c2, _ = t.commits()
+    for c in (c1, c2):
+        p = os.path.join(t.path, "_commits", f"{c}.json")
+        m = json.load(open(p))
+        m["ts"] = (
+            datetime.now(timezone.utc) - timedelta(hours=10)
+        ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        json.dump(m, open(p, "w"))
+    t2 = Table.load(spark, t.path)
+    out = sql_dml.execute(spark, "VACUUM t RETAIN 5 HOURS", {"t": t2})
+    assert out == t2.latest_commit()  # vacuum publishes no commit
+    assert snap(t2) == [(1, "a", 12.0), (2, "b", 20.0), (3, "c", 30.0)]
+    # aged commits' retired files are gone: time travel to c1 breaks
+    with pytest.raises(Exception):
+        t2.snapshot(as_of=c1).collect()
+    # fractional hours parse; fractional COMMITS do not
+    sql_dml.execute(spark, "VACUUM t RETAIN 0.5 HOURS", {"t": t2})
+    with pytest.raises(ValueError, match="integer"):
+        sql_dml.execute(spark, "VACUUM t RETAIN 1.5 COMMITS", {"t": t2})

@@ -260,3 +260,28 @@ def test_dml_subquery_binds_referenced_views(spark, sess):
         for r in sess.sql("SELECT id, amt FROM facts").collect()
     }
     assert got == {1: 11.0, 3: 30.0}
+
+
+def test_delete_subquery_over_table_changes_tvf(spark, sess):
+    """The table_changes() TVF rewrites inside a DELETE's subquery just
+    as it does inside MERGE USING — retention driven by a CDC window in
+    one SQL string."""
+    sess.sql(
+        f"CREATE TABLE src (id bigint, ver bigint, amt double) "
+        f"USING engine {PROPS}"
+    )
+    sess.sql(
+        f"CREATE TABLE tgt (id bigint, ver bigint, amt double) "
+        f"USING engine {PROPS}"
+    )
+    sess.sql("INSERT INTO tgt VALUES (1, 1, 1.0), (2, 1, 2.0), (3, 1, 3.0)")
+    sess.sql("INSERT INTO src VALUES (2, 1, 0.0)")  # commit 1
+    begin = sess.catalog["src"].latest_commit()
+    sess.sql("INSERT INTO src VALUES (3, 1, 0.0)")  # commit 2 (the window)
+    sess.sql(
+        "DELETE FROM tgt WHERE id IN "
+        f"(SELECT id FROM table_changes('src', 'latest_state', '{begin}'))"
+    )
+    assert [
+        r.id for r in sess.sql("SELECT id FROM tgt ORDER BY id").collect()
+    ] == [1, 2]
