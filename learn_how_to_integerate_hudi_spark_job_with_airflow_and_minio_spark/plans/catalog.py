@@ -59,69 +59,70 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-10 window (stalest-green rule, standing rotation):
-# (0) round-10 births, gated on first appearance (standing rule);
-# (1) the 26 queries whose latest driver row dates from round 5 —
-# everything the r9 window could not fit (staleness computed from
-# CORRECTNESS_r0{1..9}.json key sets);
-# (2) the stalest round-6 rows, alphabetical, filling to 50. After
-# this round no query's latest driver row predates round 6. The
-# whole catalog stays covered by tests/test_catalog_oracle.py every
+# Round-11 window (stalest-green rule, standing rotation):
+# (0) the 4 round-10 late births that never had a driver row
+# (registered after the r10 rotation; staleness computed from
+# CORRECTNESS_r0{1..10}.json key sets);
+# (1) all 36 queries whose latest driver row dates from round 6;
+# (2) the 10 alphabetically-first round-7-stale agg_* rows, filling
+# to 50. After this round no query's latest driver row predates
+# round 7 except the remaining r7 rows themselves. The whole
+# catalog stays covered by tests/test_catalog_oracle.py every
 # round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 10 — gate on first appearance (standing rule)
-    "table_bloom_index_upsert",
-    "table_concurrent_writers",
-    "table_sql_drop_partition",
-    "table_sql_delete_partition_pred",
-    "table_sql_show_indexes",
-    "text_pack_chunk_spans",
-    "text_pack_bin_stats",
-    "table_bucket_index_upsert",
-    "table_small_file_clustering",
-    "table_sql_alter_column_type",
-    # (1) latest driver row = round 5 (the r9 spill, all 26)
-    "sim_label_centroid",
-    "sim_quantized_topk",
-    "skyline_pareto_2d",
-    "source_csv_corrupt_records",
-    "source_python_datasource",
-    "sql_recursive_cte",
-    "stream_mv_refresh",
-    "stream_python_datasource",
-    "table_archive_timeline",
-    "table_bootstrap_upsert",
-    "table_cdc_before_after",
-    "table_drop_column",
-    "table_mor_snapshot",
-    "table_partial_update",
-    "table_partition_evolution",
-    "table_record_index_upsert",
-    "table_savepoint",
-    "table_secondary_index_lookup",
-    "table_write_constraints_quarantine",
-    "text_dsir_importance",
-    "text_sentence_udtf",
-    "text_unigram_logprob",
-    "ts_ewma",
-    "ts_resample_gapfill",
-    "win_gaps_islands",
-    "win_pattern_match",
-    # (2) latest driver row = round 6 (alphabetical fill to 50)
-    "agg_collect_list_sorted",
-    "agg_tpch_q1",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_prune",
-    "dedup_simhash",
-    "join_tpch_q10",
-    "multimodal_ahash_pairs",
-    "multimodal_features",
-    "pipeline_semantic_gold",
-    "quality_report",
-    "sample_stratified_deterministic",
+    # (0) born round 10 (post-rotation) - first driver row ever
+    "table_sql_delete_update_subquery",
+    "table_bucket_resize",
+    "table_sql_optimize_partition",
+    "table_auto_index_upsert",
+    # (1) latest driver row = round 6 (all 36)
+    "scalar_array_funcs",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "sim_matmul_topk",
+    "sim_topk_bruteforce",
+    "sql_catalog_attach",
+    "stream_foreachbatch_upsert",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_table_feed",
+    "stream_tumbling_window",
+    "table_clean_snapshot",
+    "table_compaction_snapshot",
+    "table_delete_snapshot",
+    "table_delete_where",
+    "table_merge_mixed",
+    "table_mor_compaction",
+    "table_mor_read_optimized",
+    "table_restore",
+    "table_update_where",
+    "text_bigram_logprob",
+    "text_bpe_token_count",
+    "text_chunk_sliding",
+    "text_fingerprint",
+    "text_langid",
+    "text_normalize",
+    "text_quality",
+    "text_quality_classifier",
+    "text_redact_pii",
+    "text_token_stats",
+    "ts_anomaly_zscore",
+    "ts_ewma_grouped",
+    "ts_moving_median",
+    "win_rank_percent",
+    "win_running_sum",
+    "win_topk_per_group",
+    # (2) latest driver row = round 7 (alphabetical agg_* fill to 50)
+    "agg_approx_distinct",
+    "agg_bool",
+    "agg_corr_covar",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_exact_percentile",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_rollup",
 ]
 
 
