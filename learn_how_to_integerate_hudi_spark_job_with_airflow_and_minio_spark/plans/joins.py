@@ -736,12 +736,18 @@ def join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q7 shape (volume shipping between two nations): 6-way "
     "join with a cross-pair nation condition and per-year decimal "
-    "revenue. Both nation legs are pre-filtered to the two names and "
-    "hint-broadcast (fixed 25-row table); supplier/customer/orders "
-    "join hint-free (SF-proportional, AQE chooses); the two-year "
-    "shipdate band pushes into the fact scan; the asymmetric pair "
-    "condition applies as a post-join filter over the two broadcast "
-    "legs — never a cartesian",
+    "revenue. Dimension legs REDUCE FIRST (r11 reorder): supplier and "
+    "customer each join their hint-broadcast 2-row nation slice before "
+    "touching a fact table, so the selective nation filter (2/25 of "
+    "suppliers/customers) applies before the big joins — orders joins "
+    "an 8%-customer leg, and the lineitem join's build side is 8% of "
+    "orders, small enough for AQE to broadcast at any bounded pair "
+    "selectivity (at 100 TB it degrades to a shuffle of 8% of orders, "
+    "still 12x less than the old full-orders exchange; the old shape "
+    "shuffled the full fact side TWICE before any nation filtering). "
+    "The two-year shipdate band pushes into the fact scan; the "
+    "asymmetric pair condition applies as a post-join filter over the "
+    "two broadcast legs — never a cartesian",
 )
 def join_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
@@ -754,6 +760,16 @@ def join_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t["nation"].where(F.col("n_name").isin(pair)).select(
         F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
     )
+    # Nation-filtered dimension legs, built before any fact join:
+    supp = t["supplier"].select("s_suppkey", "s_nationkey").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k")
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k")
+    )
+    ordc = t["orders"].select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
     revenue = F.col("l_extendedprice").cast("decimal(18,6)") * (
         1 - F.col("l_discount")
     ).cast("decimal(18,6)")
@@ -763,20 +779,8 @@ def join_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1995-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
         )
-        .join(
-            t["supplier"].select("s_suppkey", "s_nationkey"),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
-        .join(
-            t["orders"].select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(
-            t["customer"].select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ordc, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(
             (
                 (F.col("supp_nation") == "NATION_3")

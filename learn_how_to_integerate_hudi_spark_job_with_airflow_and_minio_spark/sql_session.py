@@ -63,28 +63,23 @@ _WORD = re.compile(r"[A-Za-z_][\w$]*")
 
 
 def _strip_quoted(s: str) -> str:
-    """The statement with single/double-quoted literals blanked (same
-    lexical rules as sqltext) so identifier scans never match text
-    inside strings; backtick contents are KEPT (they are identifiers)."""
-    from .sqltext import skip_string
+    """The statement with single/double-quoted literals and comments
+    blanked (one shared walker — :func:`.sqltext.walk` — so the escape
+    and comment rules can never drift from the DML/prune lexers again)
+    so identifier scans never match text inside strings or comments;
+    backtick CONTENTS are kept (they are identifiers), the ticks are
+    replaced with spaces."""
+    from .sqltext import walk
 
-    out, i, n = [], 0, len(s)
-    while i < n:
-        c = s[i]
-        if c in ("'", '"'):
-            # same escape-aware walk as sqltext (backslash escapes end
-            # a literal early under a bare find(), mis-lexing the rest)
-            out.append(" ")
-            i = skip_string(s, i, c)
-            continue
-        if c == "`":
-            end = skip_string(s, i, c)
-            seg = s[i + 1 : end - 1] if s[end - 1 : end] == c else s[i + 1 : end]
+    out = []
+    for kind, a, b in walk(s):
+        if kind == "text":
+            out.append(s[a:b])
+        elif kind == "backtick":
+            seg = s[a + 1 : b - 1] if s[b - 1 : b] == "`" else s[a + 1 : b]
             out.append(f" {seg} ")
-            i = end
-            continue
-        out.append(c)
-        i += 1
+        else:  # string or comment: nothing inside is an identifier
+            out.append(" ")
     return "".join(out)
 
 

@@ -36,44 +36,91 @@ def skip_string(s: str, i: int, q: str) -> int:
     return n
 
 
+def walk(s: str):
+    """THE quote/comment/escape walker (r10 unified three copies).
+
+    Yields ``(kind, start, end)`` segments that tile ``s`` exactly once,
+    in order, where kind is:
+
+    - ``"text"`` — plain SQL outside strings and comments;
+    - ``"string"`` — a single- or double-quoted literal INCLUDING its
+      quotes (Spark's default lexer treats ``"..."`` as a string
+      literal), backslash-escape-aware via :func:`skip_string`;
+    - ``"backtick"`` — a backtick-quoted identifier including its
+      ticks (no backslash escapes);
+    - ``"comment"`` — a ``--``-to-newline (newline included) or
+      ``/* */`` comment.
+
+    Every lexical scan in the engine (:func:`scan_top`,
+    :func:`blank_strings`, :func:`.sql_session._strip_quoted`) is a
+    thin adapter over this generator, so an escape/comment rule fix
+    lands in ONE place — the r10 backslash fix had to patch three
+    hand-rolled loops separately.
+    """
+    i, n = 0, len(s)
+    text_start = 0
+    while i < n:
+        c = s[i]
+        if c == "'" or c == '"' or c == "`":
+            if text_start < i:
+                yield ("text", text_start, i)
+            end = skip_string(s, i, c)
+            yield ("backtick" if c == "`" else "string", i, end)
+            i = text_start = end
+            continue
+        if c == "-" and s.startswith("--", i):
+            if text_start < i:
+                yield ("text", text_start, i)
+            j = s.find("\n", i)
+            end = n if j < 0 else j + 1
+            yield ("comment", i, end)
+            i = text_start = end
+            continue
+        if c == "/" and s.startswith("/*", i):
+            if text_start < i:
+                yield ("text", text_start, i)
+            j = s.find("*/", i + 2)
+            end = n if j < 0 else j + 2
+            yield ("comment", i, end)
+            i = text_start = end
+            continue
+        i += 1
+    if text_start < n:
+        yield ("text", text_start, n)
+
+
 def scan_top(s: str, pattern: str) -> list[tuple[int, int]]:
     """(start, end) spans of ``pattern`` matches at paren depth 0,
-    outside single/double-quoted strings and backtick identifiers."""
+    outside single/double-quoted strings, backtick identifiers, and
+    comments. Matches are bounded to one text segment (the patterns
+    used here are keywords/separators — whitespace in them never
+    legitimately crosses a string or comment, which the old
+    position-by-position loop couldn't either since ``'``/``/`` are
+    not ``\\s``)."""
     rx = re.compile(pattern, re.IGNORECASE)
     spans: list[tuple[int, int]] = []
     depth = 0
-    i, n = 0, len(s)
-    while i < n:
-        c = s[i]
-        if c == "'" or c == "`" or c == '"':
-            i = skip_string(s, i, c)
+    for kind, a, b in walk(s):
+        if kind != "text":
             continue
-        # SQL comments (Spark lexes -- and /* */ outside strings): a
-        # keyword inside a comment is not a keyword, and an unbalanced
-        # quote/paren inside one must not derail the depth tracking
-        if c == "-" and s.startswith("--", i):
-            j = s.find("\n", i)
-            i = n if j < 0 else j + 1
-            continue
-        if c == "/" and s.startswith("/*", i):
-            j = s.find("*/", i + 2)
-            i = n if j < 0 else j + 2
-            continue
-        if c == "(":
-            depth += 1
-            i += 1
-            continue
-        if c == ")":
-            depth -= 1
-            i += 1
-            continue
-        if depth == 0:
-            m = rx.match(s, i)
-            if m:
-                spans.append((m.start(), m.end()))
-                i = m.end()
+        i = a
+        while i < b:
+            c = s[i]
+            if c == "(":
+                depth += 1
+                i += 1
                 continue
-        i += 1
+            if c == ")":
+                depth -= 1
+                i += 1
+                continue
+            if depth == 0:
+                m = rx.match(s, i, b)
+                if m:
+                    spans.append((m.start(), m.end()))
+                    i = m.end()
+                    continue
+            i += 1
     return spans
 
 
@@ -82,28 +129,9 @@ def blank_strings(s: str) -> str:
     and comments replaced by spaces (same-length, so offsets survive).
     Keyword scans over the result can never match text a user typed
     inside a literal or a comment."""
-    out, i, n = [], 0, len(s)
-    while i < n:
-        c = s[i]
-        if c == "'" or c == "`" or c == '"':
-            end = skip_string(s, i, c)
-            out.append(" " * (end - i))
-            i = end
-            continue
-        if c == "-" and s.startswith("--", i):
-            j = s.find("\n", i)
-            end = n if j < 0 else j + 1
-            out.append(" " * (end - i))
-            i = end
-            continue
-        if c == "/" and s.startswith("/*", i):
-            j = s.find("*/", i + 2)
-            end = n if j < 0 else j + 2
-            out.append(" " * (end - i))
-            i = end
-            continue
-        out.append(c)
-        i += 1
+    out = []
+    for kind, a, b in walk(s):
+        out.append(s[a:b] if kind == "text" else " " * (b - a))
     return "".join(out)
 
 

@@ -1397,3 +1397,51 @@ def test_vacuum_retain_hours(spark, tpath):
     sql_dml.execute(spark, "VACUUM t RETAIN 0.5 HOURS", {"t": t2})
     with pytest.raises(ValueError, match="integer"):
         sql_dml.execute(spark, "VACUUM t RETAIN 1.5 COMMITS", {"t": t2})
+
+
+def test_unified_walker_adversarial():
+    """One adversarial statement mixing backslash escapes, line and
+    block comments, double-quoted literals, and backtick identifiers
+    must lex identically through all three adapter paths (r11 lexer
+    unification — scan_top / blank_strings / _strip_quoted are thin
+    views over sqltext.walk)."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sqltext import (
+        blank_strings,
+        scan_top,
+        split_top,
+        walk,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_session import (
+        _strip_quoted,
+    )
+
+    s = (
+        "SELECT a FROM t WHERE x = 'it\\'s AND (not) a -- keyword' "
+        'AND y = "quo\\"ted AND more" -- real comment AND z = 1\n'
+        "AND `weird AND name` = 2 /* block AND ( comment */ AND w = 3"
+    )
+    # walk() tiles the string exactly once, in order
+    segs = list(walk(s))
+    assert "".join(s[a:b] for _, a, b in segs) == s
+    assert [k for k, _, _ in segs].count("comment") == 2
+    assert [k for k, _, _ in segs].count("string") == 2
+    assert [k for k, _, _ in segs].count("backtick") == 1
+    # scan_top sees exactly the three real top-level ANDs
+    spans = scan_top(s, r"\bAND\b")
+    assert len(spans) == 3
+    parts = split_top(s, r"\bAND\b")
+    assert len(parts) == 4
+    assert parts[-1].strip() == "w = 3"
+    # blank_strings is same-length and erases every quoted/commented AND
+    b = blank_strings(s)
+    assert len(b) == len(s)
+    assert b.count("AND") == 3
+    assert "keyword" not in b and "quo" not in b and "weird" not in b
+    # _strip_quoted keeps backtick CONTENTS (identifiers) but drops
+    # string literals AND comments (comments bound no views)
+    sq = _strip_quoted(s)
+    assert "weird AND name" in sq
+    assert "keyword" not in sq and "real comment" not in sq
+    assert "block" not in sq  # block comment blanked too
+    # unterminated string: everything after the open quote is string
+    assert blank_strings("SELECT 'oops FROM a").startswith("SELECT")
