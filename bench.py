@@ -185,8 +185,8 @@ PRINT_OMIT = {
     # ngram, incremental, semantic_* printed)
     "dedup_remove_spans",
     # retired with the 14th r10 birth row (events family keeps
-    # skyline_pareto_2d printed)
-    "funnel_steps",
+    # skyline_pareto_2d printed; funnel_steps was already retired in
+    # the 8th-10th block above, so the slot came from text family)
     "text_bigram_logprob",
 }
 

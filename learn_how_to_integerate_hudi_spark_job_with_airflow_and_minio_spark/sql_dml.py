@@ -335,8 +335,11 @@ def _subquery_frame(
     The target name is ALWAYS (re)bound to the pre-statement snapshot
     for the duration of the statement — probing the catalog first would
     let a stale or unrelated temp view with the target's name silently
-    feed wrong data to the subquery (review-confirmed) — and dropped
-    after; callers re-bind per statement (SqlSession does).
+    feed wrong data to the subquery (review-confirmed). If a user temp
+    view already held the name it is RESTORED afterwards (analysis is
+    eager, so capturing ``spark.table(name)`` before the override pins
+    the old view's resolved plan); otherwise the scratch binding is
+    dropped.
 
     ``spark.sql`` analyzes eagerly, so the scratch views are dropped
     before returning — the resolved plan keeps the snapshot lineage.
@@ -361,6 +364,15 @@ def _subquery_frame(
     else:
         snap = t.snapshot()
     tag = f"__dml_src_{_uuid.uuid4().hex[:10]}"
+    prev = None
+    try:
+        if any(
+            v.name == name and v.isTemporary
+            for v in spark.catalog.listTables()
+        ):
+            prev = spark.table(name)  # eager analysis pins the old plan
+    except Exception:
+        prev = None
     snap.createOrReplaceTempView(tag)
     snap.createOrReplaceTempView(name)
     try:
@@ -369,7 +381,10 @@ def _subquery_frame(
         )
     finally:
         spark.catalog.dropTempView(tag)
-        spark.catalog.dropTempView(name)
+        if prev is not None:
+            prev.createOrReplaceTempView(name)
+        else:
+            spark.catalog.dropTempView(name)
 
 
 def execute(

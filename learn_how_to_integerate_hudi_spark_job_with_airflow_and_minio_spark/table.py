@@ -3705,10 +3705,20 @@ _PRED_CMP = re.compile(
 def _pred_literal(rhs: str, dtype: str):
     """Parse a SQL literal against a column type, or None (fail
     closed). Only types whose python value orders identically to the
-    recorded footer-stats domain are eligible — dates/timestamps/
-    decimals/binary are skipped so a lexical comparison can never
-    misprune."""
+    recorded footer-stats domain are eligible. Dates qualify via their
+    STRING form: both the footer-stats domain (``date.isoformat()``)
+    and the hive directory value are zero-padded ISO ``YYYY-MM-DD``,
+    which orders lexicographically = chronologically — so ``dt =
+    DATE '2026-01-01'`` (the retention shape) prunes manifests.
+    Timestamps/decimals/binary stay skipped: their stats domain mixes
+    string forms (isoformat ``T`` vs SQL-literal space), so a lexical
+    comparison could misprune."""
     rhs = rhs.strip()
+    if dtype == "date":
+        m = re.match(
+            r"^(?:DATE\s*)?'(\d{4}-\d{2}-\d{2})'$", rhs, re.IGNORECASE
+        )
+        return m.group(1) if m else None
     m = re.match(r"^'([^']*)'$", rhs, re.DOTALL)
     if m is not None:
         return m.group(1) if dtype == "string" else None
@@ -3968,7 +3978,6 @@ class TableServices:
         key = t.key
         newest = None
         for token in sorted(by_token):
-            newest = token.split("-", 1)[0]
             sp = t._bloom_sidecar_path(token)
             have: dict[str, dict] = {}
             if t.fs.exists(sp):
@@ -3978,6 +3987,7 @@ class TableServices:
                     have = {}
             rels = [r for r in by_token[token] if r not in have]
             if not rels:
+                newest = token.split("-", 1)[0]  # already fully covered
                 continue
             abss = [t._abs(r) for r in rels]
             sc = t.spark.sparkContext
@@ -3992,6 +4002,10 @@ class TableServices:
                 continue  # nothing built — leave the sidecar repairable
             write_json(sp, {"files": {**have, **blooms}})
             t._bloom_sidecars.pop(token, None)  # drop stale cache entry
+            if all(r in have or r in blooms for r in by_token[token]):
+                # "newest covered commit" means it: every live file of
+                # the token made it into the sidecar this run or before
+                newest = token.split("-", 1)[0]
         return newest
 
     def drop_bloom_index(self) -> None:

@@ -319,3 +319,31 @@ def test_bloom_reserved_names_and_drop_fallthrough(spark, tpath):
     execute_ddl(spark, "DROP INDEX bloom_index ON tb", cat)
     with pytest.raises(ValueError, match="no index"):
         execute_ddl(spark, "DROP INDEX bloom_index ON tb", cat)
+
+
+def test_bloom_backfill_newest_reflects_coverage(spark, tpath, monkeypatch):
+    """The returned "newest covered commit" must not name a commit whose
+    files all failed to read (r10 advice item): a token that builds no
+    filters stays out of the watermark until a repair run covers it."""
+    import learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.bloom as bloom_mod
+
+    t = Table.create(spark, tpath, key="k", precombine="v")
+    t.bulk_insert(_interleaved(spark, n=200, nfiles=2))
+    t.upsert(spark.createDataFrame([(5, 99)], "k long, v long"))
+    c1, c2 = t.commits()
+    real = bloom_mod.bloom_for_parquet_file
+
+    def fail_newest(path, key):
+        # simulate a transient read failure for every c2 file
+        return None if f"/{c2}-" in path or f"/{c2}." in path else real(path, key)
+
+    monkeypatch.setattr(bloom_mod, "bloom_for_parquet_file", fail_newest)
+    newest = TableServices(t).build_bloom_index()
+    assert newest == c1  # c2 produced no sidecar entries — not covered
+    # repair run with reads working again advances the watermark
+    monkeypatch.setattr(bloom_mod, "bloom_for_parquet_file", real)
+    t2 = Table.load(spark, tpath)
+    assert TableServices(t2).build_bloom_index() == c2
+    assert all(
+        b is not None for b in t2._bloom_for_entries(t2.current_files())
+    )

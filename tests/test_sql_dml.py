@@ -1340,13 +1340,43 @@ def test_subquery_self_reference_ignores_stale_view(spark, tpath):
             "UPDATE t SET val = 'X' WHERE amt > (SELECT max(amt) / 2 FROM t)",
             {"t": t},
         )
+        # threshold came from the SNAPSHOT (max 30 / 2 = 15), not the
+        # stale view (1000 / 2 = 500 would have updated nothing)
+        assert snap(t) == [(1, "a", 10.0), (2, "X", 20.0), (3, "X", 30.0)]
+        # ... and the user's view is restored after the statement, not
+        # silently destroyed (r10 advice item)
+        assert [r[0] for r in spark.table("t").select("id").collect()] == [99]
     finally:
-        # _subquery_frame drops the 't' binding it owns; nothing to
-        # restore — the stale view is consumed by design
-        pass
-    # threshold came from the SNAPSHOT (max 30 / 2 = 15), not the stale
-    # view (1000 / 2 = 500 would have updated nothing)
-    assert snap(t) == [(1, "a", 10.0), (2, "X", 20.0), (3, "X", 30.0)]
+        spark.catalog.dropTempView("t")
+
+
+def test_subquery_restores_preexisting_temp_view(spark, tpath):
+    """A user temp view sharing the target's name survives subquery DML
+    (shadowed during the statement, re-registered after); with no such
+    view, the scratch binding is dropped cleanly."""
+    t = make(spark, tpath)
+    spark.createDataFrame([(7, "keepme")], "id long, tag string")\
+        .createOrReplaceTempView("t")
+    try:
+        sql_dml.execute(
+            spark,
+            "DELETE FROM t WHERE id IN (SELECT id FROM t WHERE amt > 25)",
+            {"t": t},
+        )
+        assert snap(t) == [(1, "a", 10.0), (2, "b", 20.0)]
+        assert spark.table("t").collect()[0]["tag"] == "keepme"
+    finally:
+        spark.catalog.dropTempView("t")
+    # no pre-existing view: the statement leaves no binding behind
+    sql_dml.execute(
+        spark,
+        "DELETE FROM t WHERE id IN (SELECT id FROM t WHERE amt > 15)",
+        {"t": t},
+    )
+    assert not any(
+        v.name == "t" and v.isTemporary for v in spark.catalog.listTables()
+    )
+    assert snap(t) == [(1, "a", 10.0)]
 
 
 def test_delete_subquery_on_zero_commit_table(spark, tmp_path):

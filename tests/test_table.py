@@ -1686,6 +1686,60 @@ def test_delete_where_null_partition_never_fast_dropped(spark, tpath):
     assert snap.where("grp IS NULL").count() == 10
 
 
+def _date_parted_table(spark, tpath):
+    t = Table.create(
+        spark, str(tpath) + "_dtfd", key="k", precombine="v",
+        partition_fields=["dt"],
+    )
+    t.bulk_insert(
+        spark.range(0, 90).selectExpr(
+            "id AS k", "id AS v",
+            "date_add(DATE '2026-01-01', cast(id % 3 AS int)) AS dt",
+        )
+    )
+    return t
+
+
+def test_delete_where_date_partition_fast_path(spark, tpath):
+    """The retention shape — DELETE WHERE dt = DATE '...' on a date
+    partition column — retires whole partitions manifest-only (r10
+    advice: date literals were fail-closed out of _pred_literal, so
+    this silently degraded to a partition scan)."""
+    t = _date_parted_table(spark, tpath)
+    c = t.delete_where("dt = DATE '2026-01-02'")
+    man = t._manifest(c)
+    assert man["files_added"] == [] and len(man["files_removed"]) >= 1
+    snap = t.snapshot()
+    assert snap.where("dt = DATE '2026-01-02'").count() == 0
+    assert snap.count() == 60
+    # range form (ISO strings order lexicographically = chronologically)
+    c2 = t.delete_where("dt >= '2026-01-03'")
+    assert t._manifest(c2)["files_added"] == []
+    assert t.snapshot().count() == 30
+    # time travel still reads the retired partitions (files untouched)
+    assert t.snapshot(as_of=t.commits()[0]).count() == 90
+
+
+def test_optimize_where_date_partition_scope(spark, tpath):
+    """Partition-scoped compaction accepts a DATE literal scope instead
+    of erroring (r10 advice item)."""
+    t = _date_parted_table(spark, tpath)
+    t.upsert(
+        spark.range(0, 6).selectExpr(
+            "id AS k", "(id + 1000) AS v", "DATE '2026-01-01' AS dt"
+        )
+    )
+    before = {e["path"] for e in t.current_files()}
+    TableServices(t).compact(where="dt = DATE '2026-01-01'")
+    after = {e["path"] for e in t.current_files()}
+    # only the scoped partition's files were rewritten
+    assert all("dt=2026-01-02" in p or "dt=2026-01-03" in p
+               for p in before & after)
+    snap = t.snapshot()
+    assert snap.count() == 90
+    assert snap.where("dt = DATE '2026-01-01' AND v >= 1000").count() == 6
+
+
 def test_mor_upsert_occ_retry(spark, tpath):
     """MOR delta writes race only the commit-id allocation; occ_retries
     re-runs the O(batch) append under a fresh id (close to Hudi 1.0's
