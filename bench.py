@@ -130,6 +130,8 @@ HEADLINE = [
     "table_bucket_resize",
     "table_sql_optimize_partition",
     "table_auto_index_upsert",
+    # born round 11
+    "table_sql_rename_column",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -188,6 +190,10 @@ PRINT_OMIT = {
     # skyline_pareto_2d printed; funnel_steps was already retired in
     # the 8th-10th block above, so the slot came from text family)
     "text_bigram_logprob",
+    # retired with the 1st r11 birth row (table_sql_rename_column; the
+    # DDL/catalog family keeps table_sql_ddl_lifecycle, pruned_cte and
+    # the alter/drop rows printed)
+    "table_sql_ctas",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

@@ -183,7 +183,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df, epoch_id):
         if not batch_df.isEmpty():
-            gold.upsert(batch_df.drop(META_COL))
+            # batch_id = replay guard: a restart-replayed epoch is
+            # recognized from the commit metadata and skipped, making
+            # the sink exactly-once under at-least-once delivery
+            gold.upsert(batch_df.drop(META_COL), batch_id=str(epoch_id))
 
     q = (
         src.read_stream()
@@ -576,7 +579,8 @@ def stream_multimodal_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx.upsert(
                 M.ahash_hashes(batch_df.drop(META_COL)).withColumnRenamed(
                     "_h", "ahash"
-                )
+                ),
+                batch_id=str(epoch_id),
             )
 
     q = (

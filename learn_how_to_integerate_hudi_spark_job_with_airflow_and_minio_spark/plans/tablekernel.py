@@ -1450,9 +1450,11 @@ def table_sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table services): create_savepoint pins the initial commit, two "
     "update commits land, run_clustering rewrites sort-and-size, "
     "run_clean GCs beyond a 1-commit window (the savepoint is what "
-    "keeps the pinned state readable), and rollback_to_savepoint "
-    "restores it — the final snapshot equals the original load, so "
-    "the oracle checks savepoint/cleaner/restore interplay end-to-end",
+    "keeps the pinned state readable), rollback_to_savepoint restores "
+    "it, one more update commit lands, and rollback_to_instant (the "
+    "unpinned Hudi rollback procedure) restores the restore — the "
+    "final snapshot equals the original load, so the oracle checks "
+    "savepoint/cleaner/double-rollback interplay end-to-end",
 )
 def table_sql_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql_dml import call_procedure
@@ -1483,9 +1485,14 @@ def table_sql_call_procedures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CALL run_clean(table => 'orders_call', retain_commits => 1)",
         tabs,
     )
-    call_procedure(
+    rb = call_procedure(
         spark, f"CALL rollback_to_savepoint(table => 'orders_call', "
         f"instant_time => '{c1}')", tabs,
+    ).collect()[0]["commit"]
+    t.upsert(_update_batch(orders))
+    call_procedure(
+        spark, f"CALL rollback_to_instant(table => 'orders_call', "
+        f"instant_time => '{rb}')", tabs,
     )
     return t.snapshot().drop(META_COL)
 
@@ -2244,6 +2251,64 @@ def table_sql_alter_column_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.upsert(batch)
     snap = t.snapshot()
     assert dict(snap.dtypes)["o_custkey"] == "bigint"
+    return snap.drop(META_COL)
+
+
+@register(
+    "table_sql_rename_column",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_amount,
+               o_orderdate
+        FROM orders
+    """,
+    doc="metadata-only column RENAME through SQL (Hudi 1.0 / Iceberg "
+    "ALTER TABLE .. RENAME COLUMN — completes the schema-evolution "
+    "triad next to DROP COLUMN and TYPE widening): one statement "
+    "publishes the renamed schema plus an Iceberg-style field-id map "
+    "WITHOUT touching a data file (added/removed asserted empty — at "
+    "100 TB the alternative is a full-corpus rewrite). Files written "
+    "BEFORE the rename keep the old physical name and every read "
+    "resolves them per commit vintage (scan under the old name, alias "
+    "back — Catalyst pushes filters through the alias, so pruning and "
+    "pushdown are unchanged); the post-rename upsert writes under the "
+    "new name, so the final snapshot mixes both vintages and the "
+    "oracle hash proves the mapping is exact row-for-row",
+)
+def table_sql_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql_ddl import execute_ddl
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_rencol_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_ren",
+    )
+    t.bulk_insert(orders)
+    c = execute_ddl(
+        spark,
+        "ALTER TABLE orders_ren RENAME COLUMN o_totalprice TO o_amount",
+        {"orders_ren": t},
+    )
+    man = t._manifest(c)
+    assert man["files_added"] == [] and man["files_removed"] == [], man
+    assert man["field_ids"]["o_amount"] == "o_totalprice", man["field_ids"]
+    batch = (
+        orders.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_amount", F.col("o_totalprice") * 2)
+        .drop("o_totalprice")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_amount",
+            "o_orderdate",
+        )
+    )
+    t.upsert(batch)
+    snap = t.snapshot()
+    assert "o_amount" in snap.columns and "o_totalprice" not in snap.columns
     return snap.drop(META_COL)
 
 

@@ -34,6 +34,7 @@ Grammar (case-insensitive keywords; clauses in any order after
     ALTER TABLE <name> ADD COLUMNS (col type[, ...])
     ALTER TABLE <name> DROP COLUMN <col>
     ALTER TABLE <name> ALTER COLUMN <col> TYPE <type>   -- widening only
+    ALTER TABLE <name> RENAME COLUMN <col> TO <newcol>  -- metadata-only
     ALTER TABLE <name> SET TBLPROPERTIES (k = v[, ...])
     ALTER TABLE <name> RENAME TO <newname>
     CREATE INDEX <name> ON [TABLE] <table>
@@ -632,6 +633,18 @@ def execute_ddl(
                     t.meta.setdefault("tblproperties", {})[k] = v
             write_json(posixpath.join(t.path, "_table.json"), t.meta)
             return None
+        rcm = re.match(
+            rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+            body,
+            re.IGNORECASE,
+        )
+        if rcm:
+            # metadata-only column rename (Iceberg/Hudi 1.0 RENAME
+            # COLUMN — see Table.alter_rename_column: field-id map keeps
+            # old files readable under the new name, zero files touched)
+            return t.alter_rename_column(
+                rcm.group(1).strip("`"), rcm.group(2).strip("`")
+            )
         rm = re.match(
             rf"RENAME\s+TO\s+({_IDENT})\s*$", body, re.IGNORECASE
         )

@@ -796,37 +796,35 @@ class Table:
             return self.spark.createDataFrame([], schema)
         # Manifest schema = latest committed schema; files written before
         # a column was added surface it as null (Hudi-style evolution-on-
-        # append) without a mergeSchema footer sweep.
+        # append) without a mergeSchema footer sweep. Renamed tables
+        # additionally group files by NAME VINTAGE (see _vintage_mapping):
+        # a file written before a RENAME carries the old physical column
+        # name, so its group scans under the old name and aliases back —
+        # identity-mapped groups take the plain fast path below.
+        vmaps = self._vintage_mappings(entries, schema, as_of)
         if not (self.meta.get("partition_fields") or []):
-            # unpartitioned: one multi-path scan (single relation, single
-            # listing) — no partition discovery needed. External
-            # (bootstrapped) files live OUTSIDE the table root, so they
-            # get their own relation without the basePath option; the
-            # explicit schema surfaces their missing meta column as null,
-            # which the coalesce below stamps with the bootstrap commit.
+            # unpartitioned: one multi-path scan per name vintage (a
+            # single relation, single listing, for never-renamed tables)
+            # — no partition discovery needed. External (bootstrapped)
+            # files live OUTSIDE the table root, so they get their own
+            # relation without the basePath option; the explicit schema
+            # surfaces their missing meta column as null, which the
+            # coalesce below stamps with the bootstrap commit.
             ext = [e for e in entries if e.get("external")]
             managed = [e for e in entries if not e.get("external")]
             dfs = []
-            for paths, base in (
-                ([self._abs(e["path"]) for e in managed],
-                 posixpath.join(self.path, "data")),
-                ([e["path"] for e in ext], None),
+            for group, base, abs_paths in (
+                (managed, posixpath.join(self.path, "data"), True),
+                (ext, None, False),
             ):
-                if not paths:
-                    continue
-                reader = self.spark.read
-                if base is not None:
-                    reader = reader.option("basePath", base)
-                if schema is not None:
-                    reader = reader.schema(schema)
-                part = reader.parquet(*paths)
-                if with_file:
-                    # _metadata resolves on the scan relation, not
-                    # through a Union — attach per branch
-                    part = part.withColumn(
-                        "_file", _norm_file_path(F.col("_metadata.file_path"))
+                for paths, mapping in self._group_by_mapping(
+                    group, vmaps, abs_paths
+                ):
+                    dfs.append(
+                        self._scan_entry_group(
+                            paths, base, schema, with_file, mapping
+                        )
                     )
-                dfs.append(part)
             df = dfs[0]
             for extra in dfs[1:]:
                 df = df.unionByName(extra)
@@ -842,7 +840,9 @@ class Table:
         # files is col=val — the commit dir — so files are read per commit
         # group and unioned. The union is bounded by the number of live
         # commits (compaction collapses it to 1); each branch is still a
-        # plain pruned parquet scan with full filter pushdown.
+        # plain pruned parquet scan with full filter pushdown. Name
+        # vintages align with commit dirs, so renames add NO extra
+        # branches here.
         by_commit: dict[str, list[str]] = {}
         for e in entries:
             rel = e["path"]  # data/<commit>/...
@@ -850,18 +850,175 @@ class Table:
             by_commit.setdefault(commit_dir, []).append(self._abs(rel))
         out = None
         for commit_dir in sorted(by_commit):
-            reader = self.spark.read.option("basePath", self._abs(commit_dir))
-            if schema is not None:
-                reader = reader.schema(schema)
-            part = reader.parquet(*by_commit[commit_dir])
-            if with_file:
-                # _metadata is only resolvable on the scan relation itself,
-                # not through a Union — attach the file column per branch
-                part = part.withColumn(
-                    "_file", _norm_file_path(F.col("_metadata.file_path"))
-                )
+            mapping = (
+                vmaps.get(commit_dir.split("/")[1]) if vmaps else None
+            )
+            part = self._scan_entry_group(
+                by_commit[commit_dir],
+                self._abs(commit_dir),
+                schema,
+                with_file,
+                mapping,
+            )
             out = part if out is None else out.unionByName(part)
         return out
+
+    # -- rename-aware scan plumbing (Iceberg-style field identity) ------
+
+    def _field_ids(self, as_of: str | None = None) -> dict[str, str] | None:
+        """Cumulative ``{current column name -> stable field id}`` as of
+        ``as_of`` (latest when None) — the engine's Iceberg-field-id
+        analog that makes RENAME COLUMN metadata-only. Manifests written
+        before the table's first rename carry no ``field_ids`` key, so
+        identity-by-name is synthesized from their schema (a column's
+        original name IS its id). Same walk shape as :meth:`_schema`,
+        with an archive fallback for deep-vintage lookups."""
+        for c in reversed(self.commits()):
+            if as_of is not None and c > as_of:
+                continue
+            m = self._manifest(c)
+            if m.get("schema"):
+                ids = m.get("field_ids")
+                if ids is not None:
+                    return dict(ids)
+                return {
+                    f["name"]: f["name"] for f in m["schema"]["fields"]
+                }
+        arch = self._archived_manifests()
+        for c in sorted(arch, reverse=True):
+            if as_of is not None and c > as_of:
+                continue
+            m = arch[c]
+            if m.get("schema"):
+                ids = m.get("field_ids")
+                if ids is not None:
+                    return dict(ids)
+                return {
+                    f["name"]: f["name"] for f in m["schema"]["fields"]
+                }
+        return None
+
+    def _vintage_mappings(
+        self,
+        entries: list[dict],
+        schema: StructType | None,
+        as_of: str | None,
+    ) -> dict[str, dict[str, str | None]] | None:
+        """Per-vintage ``{current name -> physical name in the file}``
+        maps for every distinct commit vintage in ``entries`` — None
+        (zero cost) unless the table has ever renamed a column. A
+        current column absent at a vintage maps to None (surfaced as a
+        typed null — same contract as evolution-on-append). O(distinct
+        vintages) manifest-header reads, only on renamed tables."""
+        if not self.meta.get("has_renames") or schema is None:
+            return None
+        cur_ids = self._field_ids(as_of=as_of)
+        if cur_ids is None:
+            return None
+        out: dict[str, dict[str, str | None]] = {}
+        for e in entries:
+            v = self._entry_vintage(e)
+            if v is None or v in out:
+                continue
+            vin = self._field_ids(as_of=v)
+            if vin is None:
+                # pre-schema vintage (unreachable for a data file) —
+                # identity keeps the old single-schema behavior
+                out[v] = {n: n for n in cur_ids}
+                continue
+            inv = {i: n for n, i in vin.items()}
+            out[v] = {cur: inv.get(i) for cur, i in cur_ids.items()}
+        return out
+
+    def _entry_vintage(self, e: dict) -> str | None:
+        """The commit whose schema a file was written under: encoded in
+        the managed layout (``data/<commit>/...``); external bootstrap
+        files were adopted as-is at the bootstrap commit."""
+        if e.get("external"):
+            return self.meta.get("bootstrap_commit")
+        parts = e["path"].split("/")
+        return parts[1] if len(parts) > 1 else None
+
+    def _scan_entry_group(
+        self,
+        paths: list[str],
+        base: str | None,
+        schema: StructType | None,
+        with_file: bool,
+        mapping: dict[str, str | None] | None,
+    ) -> DataFrame:
+        """One pruned parquet scan over ``paths``. With a non-identity
+        ``mapping`` (files written before a rename) the scan schema uses
+        the PHYSICAL names and a projection aliases back to current
+        names — Catalyst pushes later filters through the aliases, so
+        pushdown/pruning are unchanged. Fields absent at the vintage
+        become typed nulls AFTER the scan (never read physically: a
+        re-added name must not resurrect old bytes)."""
+        identity = mapping is None or all(
+            mapping.get(f.name, f.name) == f.name for f in (schema.fields if schema else ())
+        )
+        reader = self.spark.read
+        if base is not None:
+            reader = reader.option("basePath", base)
+        if schema is not None:
+            if identity:
+                reader = reader.schema(schema)
+            else:
+                from pyspark.sql.types import StructField
+
+                phys = [
+                    StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                    if mapping.get(f.name, f.name) is not None
+                ]
+                reader = reader.schema(StructType(phys))
+        df = reader.parquet(*paths)
+        if with_file:
+            # _metadata resolves on the scan relation, not through a
+            # Union — attach per branch
+            df = df.withColumn(
+                "_file", _norm_file_path(F.col("_metadata.file_path"))
+            )
+        if schema is not None and not identity:
+            cols = []
+            for f in schema.fields:
+                pname = mapping.get(f.name, f.name)
+                if pname is None:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(pname).alias(f.name))
+            if with_file:
+                cols.append(F.col("_file"))
+            df = df.select(*cols)
+        return df
+
+    def _group_by_mapping(
+        self,
+        entries: list[dict],
+        vmaps: dict[str, dict[str, str | None]] | None,
+        abs_paths: bool,
+    ) -> list[tuple[list[str], dict[str, str | None] | None]]:
+        """Partition ``entries`` into scan groups sharing one physical-
+        name mapping (exactly one group — today's single relation — for
+        never-renamed tables; ≤ #renames + 1 groups after)."""
+        path = (lambda e: self._abs(e["path"])) if abs_paths else (
+            lambda e: e["path"]
+        )
+        if not entries:
+            return []
+        if vmaps is None:
+            return [([path(e) for e in entries], None)]
+        by_sig: dict[tuple, tuple[dict[str, str | None] | None, list[str]]] = {}
+        for e in entries:
+            v = self._entry_vintage(e)
+            mp = vmaps.get(v) if v is not None else None
+            sig = tuple(sorted(mp.items())) if mp is not None else ()
+            if sig not in by_sig:
+                by_sig[sig] = (mp, [])
+            by_sig[sig][1].append(path(e))
+        return [(paths, mp) for mp, paths in by_sig.values()]
 
     def files_df(self, as_of: str | None = None) -> DataFrame:
         """The live file set as a DataFrame (Iceberg ``table.files`` /
@@ -889,11 +1046,24 @@ class Table:
 
     def history_df(self) -> DataFrame:
         """The commit timeline as a DataFrame (Delta DESCRIBE HISTORY
-        analog): commit id, action, wall-clock ts, files added/removed —
-        driver-side manifest headers only, no data reads."""
+        analog): commit id, action, wall-clock ts, files added/removed,
+        plus per-commit outcome metadata — the streaming ``batch_id``
+        stamped by a foreachBatch writer (replay guard), the pre-commit
+        validators that passed (stamped into the manifest before the
+        atomic create), and the auto-indexes maintained after publish
+        (from the ``_idxlog_`` sidecars) — driver-side manifest headers
+        only, no data reads."""
+        idxlogs: dict[str, list[str]] = {}
+        for p in self.fs.list(self._commits_dir()):
+            name = posixpath.basename(p)
+            if name.startswith("_idxlog_") and name.endswith(".json"):
+                c = name[len("_idxlog_") : -len(".json")]
+                idxlogs[c] = read_json(p).get("auto_indexed") or []
         rows = []
         for c in self.commits(include_archived=True):
             m = self._manifest(c)
+            vp = m.get("validators_passed")
+            ai = idxlogs.get(c)
             rows.append(
                 (
                     c,
@@ -901,12 +1071,17 @@ class Table:
                     m.get("ts"),
                     len(m.get("files_added") or []),
                     len(m.get("files_removed") or []),
+                    m.get("batch_id"),
+                    ",".join(vp) if vp else None,
+                    ",".join(ai) if ai else None,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "commit string, action string, ts string, "
-            "n_files_added long, n_files_removed long",
+            "n_files_added long, n_files_removed long, "
+            "batch_id string, validators_passed string, "
+            "auto_indexed string",
         )
 
     def is_empty(self) -> bool:
@@ -927,6 +1102,25 @@ class Table:
         schema = self._schema()
         if schema is None:
             raise ValueError(f"table at {self.path} has no commits yet")
+        if self.meta.get("has_renames"):
+            # the file-source stream scans every commit dir under ONE
+            # schema — a live file written before a RENAME carries the
+            # old physical name and would stream typed nulls. Fail
+            # closed; compaction migrates the files to current names.
+            vmaps = self._vintage_mappings(
+                self.current_files(), schema, None
+            )
+            stale = any(
+                any(mp.get(n, n) != n for n in (mp or {}))
+                for mp in (vmaps or {}).values()
+            )
+            if stale:
+                raise ValueError(
+                    "read_stream on a renamed table whose live files "
+                    "predate the rename would surface nulls for the "
+                    "renamed column — run compact() first to migrate "
+                    "files to the current physical names"
+                )
         reader = self.spark.readStream.schema(schema)
         for k, v in reader_options.items():
             # e.g. maxFilesPerTrigger=1 to bound micro-batch size
@@ -935,8 +1129,24 @@ class Table:
 
     # -- writes ----------------------------------------------------------
 
-    def upsert(self, df: DataFrame, occ_retries: int = 0) -> str:
+    def upsert(
+        self,
+        df: DataFrame,
+        occ_retries: int = 0,
+        batch_id: str | None = None,
+    ) -> str | None:
         """Merge a batch: new keys inserted, existing keys replaced (K1/K2).
+
+        ``batch_id``: idempotent streaming replay guard (Hudi's
+        checkpoint-in-commit-metadata for Structured Streaming sinks).
+        A foreachBatch writer passes ``str(epoch_id)``; the id is
+        stamped into the commit manifest, and a later call whose id is
+        ≤ the newest stamped id (numeric compare when both parse;
+        equality otherwise) is recognized as a restart-replayed
+        micro-batch and SKIPPED — returns None, nothing written. Epoch
+        ids are monotone per streaming query, so the ≤ rule also
+        covers a multi-batch replay window. Exactly-once per batch
+        composes from at-least-once delivery + this guard.
 
         ``occ_retries``: optimistic concurrency for multi-writer upserts.
         The manifest publish is an ATOMIC exclusive create, so two
@@ -964,6 +1174,8 @@ class Table:
         write path, ``create_hudi_tables.py:110,124``); reconciliation
         happens at read (:meth:`_merge_view`) or at compaction.
         """
+        if batch_id is not None and self._batch_already_applied(batch_id):
+            return None
         attempts = max(0, occ_retries) + 1
         for i in range(attempts):
             try:
@@ -972,37 +1184,68 @@ class Table:
                     # the retry is O(batch) — no merge to re-run; close to
                     # Hudi 1.0's non-blocking concurrency for append-only
                     # delta writers
-                    return self._delta_write(df)
-                return self._merge_write(df, action="upsert")
+                    return self._delta_write(df, batch_id=batch_id)
+                return self._merge_write(df, action="upsert", batch_id=batch_id)
             except RuntimeError as exc:
                 if "concurrent writer" not in str(exc) or i == attempts - 1:
                     raise
         raise AssertionError("unreachable")
 
-    def _delta_write(self, df: DataFrame) -> str:
+    def _batch_already_applied(self, batch_id: str) -> bool:
+        """True when a commit already carries this streaming batch id
+        (or a LATER one — epoch ids are monotone per query): the
+        micro-batch is a restart replay of work that durably published.
+        Walks the active timeline newest-first to the most recent
+        stamped id — O(1) manifest reads for an all-streaming table,
+        bounded by the archived horizon otherwise."""
+        for c in reversed(self.commits()):
+            last = self._manifest(c).get("batch_id")
+            if last is None:
+                continue
+            try:
+                return int(batch_id) <= int(last)
+            except (TypeError, ValueError):
+                return batch_id == last
+        return False
+
+    def _delta_write(self, df: DataFrame, batch_id: str | None = None) -> str:
         self._validate_batch(df)
         df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
         added = self._write_files(batch, commit, kind="delta")
-        self._publish(commit, "deltacommit", added, [], batch.schema)
+        self._publish(
+            commit, "deltacommit", added, [], batch.schema, batch_id=batch_id
+        )
         return commit
 
-    def insert(self, df: DataFrame, dedup_batch: bool = True) -> str:
+    def insert(
+        self,
+        df: DataFrame,
+        dedup_batch: bool = True,
+        batch_id: str | None = None,
+    ) -> str | None:
         """Append without merging into existing keys (Hudi 'insert' op).
 
         ``dedup_batch=True`` (engine default, safe-by-default) resolves
         within-batch key duplicates by max(precombine) at the cost of one
         shuffle job; pass ``False`` for unique-keyed append feeds — that
         is Hudi's own default (``hoodie.combine.before.insert=false``)
-        and makes the commit a single map-only write job."""
+        and makes the commit a single map-only write job.
+
+        ``batch_id``: streaming replay guard — see :meth:`upsert`;
+        returns None (nothing written) for a replayed micro-batch."""
+        if batch_id is not None and self._batch_already_applied(batch_id):
+            return None
         self._validate_batch(df, need_precombine=dedup_batch)
         df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df) if dedup_batch else df
         stamped = batch.withColumn(META_COL, F.lit(commit))
         added = self._write_files(stamped, commit)
-        self._publish(commit, "insert", added, [], stamped.schema)
+        self._publish(
+            commit, "insert", added, [], stamped.schema, batch_id=batch_id
+        )
         return commit
 
     def bulk_insert(self, df: DataFrame) -> str:
@@ -1348,7 +1591,14 @@ class Table:
         commit = self._next_commit()
         added = [target[p] for p in sorted(set(target) - set(current))]
         removed = sorted(set(current) - set(target))
-        self._publish(commit, "restore", added, removed, self._schema(as_of=as_of))
+        # the field-id map is restored WITH the schema (a rename after
+        # as_of must roll back too, or the restored old name would be
+        # mistaken for a fresh column and read as null from its own files)
+        self._publish(
+            commit, "restore", added, removed, self._schema(as_of=as_of),
+            field_ids=self._field_ids(as_of=as_of)
+            if self.meta.get("has_renames") else None,
+        )
         return commit
 
     # -- savepoints ----------------------------------------------------
@@ -2302,6 +2552,92 @@ class Table:
         self._publish(commit, "alter_column_type", [], [], new_schema)
         return commit
 
+    def alter_rename_column(self, old: str, new: str) -> str:
+        """Metadata-only column RENAME (Hudi 1.0 / Iceberg ``ALTER TABLE
+        .. RENAME COLUMN`` — completes the schema-evolution triad next
+        to DROP and TYPE-widen): publishes a commit whose manifest
+        schema carries the new name AND a cumulative ``field_ids`` map
+        (the Iceberg-field-id analog) in which the new name keeps the
+        old name's stable id. NO data is rewritten — files written
+        before the rename keep the old physical column name, and every
+        read resolves it through :meth:`_vintage_mappings` (scan under
+        the physical name, alias back). Time travel BEFORE the rename
+        sees the old name (``_schema(as_of)``); reads of the old name
+        after it fail analysis like any unknown column. Later rewrites
+        (upsert/compaction) physically migrate files to the new name.
+
+        Structural columns (key, precombine, partition fields, the meta
+        column) are refused — bucket hashing, hive dir names, and the
+        merge kernel all bind to them by name. Columns covered by a
+        named index (secondary / expression / auto_index spec) are
+        refused fail-closed: the index payloads key on the column name,
+        so rename would silently orphan them — drop the index first,
+        rename, recreate (Hudi's own contract).
+        """
+        schema = self._schema()
+        if schema is None:
+            raise ValueError(
+                "cannot RENAME COLUMN on a table with no commits yet"
+            )
+        reserved = {
+            self.key,
+            self.precombine,
+            META_COL,
+            *(self.meta.get("partition_fields") or []),
+        }
+        if old in reserved:
+            raise ValueError(
+                f"cannot rename {old!r}: key/precombine/meta/partition "
+                "columns are structural"
+            )
+        if old not in schema.fieldNames():
+            raise ValueError(f"no such column {old!r} in current schema")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        if self.fs.exists(self._secondary_index_paths(old)[1]):
+            raise ValueError(
+                f"column {old!r} is covered by a secondary index — "
+                "DROP INDEX first, rename, then recreate it"
+            )
+        for e in self._expression_indexes():
+            if re.search(rf"\b{re.escape(old)}\b", e.get("expr") or ""):
+                raise ValueError(
+                    f"column {old!r} appears in expression index "
+                    f"{e.get('name')!r} — drop it first"
+                )
+        for spec in self.meta.get("auto_index") or []:
+            if old in str(spec):
+                raise ValueError(
+                    f"column {old!r} appears in auto_index spec "
+                    f"{spec!r} — remove the spec first"
+                )
+        prev_ids = self._field_ids() or {
+            f.name: f.name for f in schema.fields
+        }
+        new_ids = {
+            (new if n == old else n): i for n, i in prev_ids.items()
+        }
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType,
+                            f.nullable)
+                for f in schema.fields
+            ]
+        )
+        # monotone flag: once set, reads pay the (cheap) vintage-mapping
+        # check forever — restore-safe because the mappings themselves
+        # are derived from the timeline, not from this flag
+        self.meta["has_renames"] = True
+        write_json(posixpath.join(self.path, "_table.json"), self.meta)
+        commit = self._next_commit()
+        self._publish(
+            commit, "alter_rename_column", [], [], new_schema,
+            field_ids=new_ids,
+        )
+        return commit
+
     def partial_update(self, df: DataFrame) -> str:
         """Column-subset upsert (the Hudi ``PARTIAL_UPDATE`` payload
         surface, admitted by ``hoodie.datasource.write.payload.class`` on
@@ -2570,7 +2906,9 @@ class Table:
             .select("_best.*")
         )
 
-    def _merge_write(self, df: DataFrame, action: str) -> str:
+    def _merge_write(
+        self, df: DataFrame, action: str, batch_id: str | None = None
+    ) -> str:
         self._validate_batch(df)
         df = self._gate_constraints(df)
         commit = self._next_commit()
@@ -2591,7 +2929,9 @@ class Table:
                     out = survivors.unionByName(batch, allowMissingColumns=True)
                     removed = self._to_rel(affected)
         added = self._write_files(out, commit)
-        self._publish(commit, action, added, removed, out.schema)
+        self._publish(
+            commit, action, added, removed, out.schema, batch_id=batch_id
+        )
         return commit
 
     def _with_file(self, entries: list[dict]) -> DataFrame:
@@ -3416,8 +3756,32 @@ class Table:
         added: list[dict],
         removed: list[str],
         schema: StructType | None,
+        field_ids: dict[str, str] | None = None,
+        batch_id: str | None = None,
     ) -> None:
         manifest_path = posixpath.join(self._commits_dir(), f"{commit}.json")
+        if field_ids is None and schema is not None and self.meta.get(
+            "has_renames"
+        ):
+            # renamed tables carry the cumulative field-id map forward on
+            # every schema-bearing commit (the _field_ids walk-back finds
+            # the newest one, like the schema itself); never-renamed
+            # tables pay nothing — no key, identity implied. A NEW
+            # column gets a FRESH id: its name may equal a live id (the
+            # re-add-after-rename case) and sharing that id would alias
+            # two columns onto one physical name in old files.
+            prev = self._field_ids() or {}
+            used = set(prev.values())
+            field_ids = {}
+            for f in schema.fields:
+                fid = prev.get(f.name)
+                if fid is None:
+                    fid, k = f.name, 2
+                    while fid in used:
+                        fid = f"{f.name}#{k}"
+                        k += 1
+                field_ids[f.name] = fid
+                used.add(fid)
         manifest = {
             "commit": commit,
             "action": action,
@@ -3426,6 +3790,13 @@ class Table:
             "files_removed": removed,
             "schema": schema.jsonValue() if schema is not None else None,
         }
+        if field_ids is not None:
+            manifest["field_ids"] = field_ids
+        if batch_id is not None:
+            # streaming replay guard (Hudi's checkpoint-in-commit-metadata):
+            # foreachBatch writers stamp the epoch id so a restart-replayed
+            # micro-batch is recognized and skipped (see upsert/insert)
+            manifest["batch_id"] = batch_id
         # the write that fed this publish is fully materialized on disk —
         # release any batch blocks persisted for it (success OR race
         # failure: a retry re-runs the gate and re-persists)
@@ -3435,8 +3806,11 @@ class Table:
             # validators run BEFORE the atomic manifest create: a
             # failure means nothing ever became visible — the written
             # files are unreferenced orphans (vacuum_orphans reclaims
-            # them), exactly Hudi's marker-cleanup story
-            self._validate_pre_commit(added, removed)
+            # them), exactly Hudi's marker-cleanup story. The manifest
+            # records what passed — observability via history_df.
+            manifest["validators_passed"] = self._validate_pre_commit(
+                added, removed
+            )
         try:
             # ATOMIC exclusive create (os.link locally, S3 conditional
             # put): the filesystem — not a check-then-write window —
@@ -3466,12 +3840,22 @@ class Table:
             # shape. Runs AFTER the manifest publish: a failure here
             # leaves the commit durable and the index a valid covered
             # subset (staleness-correct by the index contract), never a
-            # half-commit.
-            self._maintain_auto_indexes()
+            # half-commit. The outcome lands in a tiny SIDECAR (the
+            # manifest is already atomically visible — amending it would
+            # race readers); history_df surfaces it, a lost sidecar only
+            # costs the observability column, never correctness.
+            maintained = self._maintain_auto_indexes()
+            if maintained:
+                write_json(
+                    posixpath.join(
+                        self._commits_dir(), f"_idxlog_{commit}.json"
+                    ),
+                    {"commit": commit, "auto_indexed": maintained},
+                )
 
     def _validate_pre_commit(
         self, added: list[dict], removed: list[str]
-    ) -> None:
+    ) -> list[str]:
         """Run the declared pre-commit validators against the WOULD-BE
         post-commit state (pre-state files minus ``removed`` plus
         ``added`` — the data files are already on disk, only the
@@ -3512,6 +3896,7 @@ class Table:
         # merge plan per commit for a view nothing queries.
         eq = [] if first else (vals.get("equality") or [])
         bound_pre = False
+        passed: list[str] = []
         if eq:
             self.snapshot().createOrReplaceTempView(pre_v)
             bound_pre = True
@@ -3530,6 +3915,7 @@ class Table:
                         f"pre-commit equality validator failed: {q!r} "
                         f"pre={a[:5]!r} post={b[:5]!r} — commit aborted"
                     )
+                passed.append(f"equality:{q.strip()[:60]}")
             for q, expected in vals.get("single_result") or []:
                 rows = self.spark.sql(q.replace("<TABLE>", post_v)).collect()
                 if len(rows) != 1 or len(rows[0]) != 1:
@@ -3544,13 +3930,16 @@ class Table:
                         f"{q!r} expected {expected!r} got {got!r} — "
                         "commit aborted"
                     )
+                passed.append(f"single_result:{q.strip()[:60]}")
+            return passed
         finally:
             if bound_pre:
                 self.spark.catalog.dropTempView(pre_v)
             self.spark.catalog.dropTempView(post_v)
 
-    def _maintain_auto_indexes(self) -> None:
+    def _maintain_auto_indexes(self) -> list[str]:
         svc = TableServices(self)
+        maintained: list[str] = []
         for spec in self.meta.get("auto_index") or []:
             try:
                 if spec == "record_index":
@@ -3559,6 +3948,7 @@ class Table:
                     svc.build_secondary_index(
                         spec[len("secondary_index("):-1], incremental=True
                     )
+                maintained.append(spec)
             except Exception as exc:
                 # the manifest is already durable: make it unambiguous
                 # to the caller that the WRITE SUCCEEDED (a bare
@@ -3572,6 +3962,7 @@ class Table:
                     "write. Fix or remove the spec (set_auto_index) "
                     f"and rebuild: {exc}"
                 ) from exc
+        return maintained
 
 
 from contextlib import contextmanager

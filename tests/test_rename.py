@@ -1,0 +1,407 @@
+"""RENAME COLUMN (metadata-only schema evolution, round 11) + the
+streaming batch-id replay guard + history_df commit-outcome columns.
+
+The rename design is the Iceberg-field-id shape re-expressed over the
+engine's manifest timeline: the rename commit publishes a cumulative
+``field_ids`` map in which the new name keeps the old name's stable id,
+and every read resolves each file's PHYSICAL column names through its
+commit vintage (scan under the old name, alias back) — zero files
+touched, time travel exact, restore-safe. Reference parity: the
+reference delegates schema evolution to the Hudi bundle
+(``create_hudi_tables.py`` write configs); this is the engine-native
+analog of Hudi 1.0 / Spark ``ALTER TABLE .. RENAME COLUMN``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+    META_COL,
+    Table,
+    TableServices,
+)
+
+
+def rows_of(df, *cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def tpath(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def make_table(spark, path, **kw):
+    return Table.create(
+        spark, path, key="id", precombine="ver", table_name="t", **kw
+    )
+
+
+def df_of(spark, rows, schema="id long, ver long, amt double, tag string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- rename core -------------------------------------------------------
+
+
+def test_rename_is_metadata_only(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    before = {e["path"] for e in t.current_files()}
+    c = t.alter_rename_column("amt", "amount")
+    assert {e["path"] for e in t.current_files()} == before
+    m = t._manifest(c)
+    assert m["action"] == "alter_rename_column"
+    assert not m["files_added"] and not m["files_removed"]
+    # the rename commit carries the identity-preserving field-id map
+    assert m["field_ids"]["amount"] == "amt"
+
+
+def test_rename_preserves_old_file_values(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    snap = t.snapshot().drop(META_COL)
+    assert snap.columns == ["id", "ver", "amount", "tag"]
+    assert rows_of(snap, "id", "amount") == [(1, 10.0), (2, 20.0)]
+
+
+def test_rename_mixed_vintages(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(2, 2, 99.0, "b2"), (3, 1, 30.0, "c")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    assert rows_of(t.snapshot(), "id", "amount", "tag") == [
+        (1, 10.0, "a"),
+        (2, 99.0, "b2"),
+        (3, 30.0, "c"),
+    ]
+
+
+def test_rename_time_travel_sees_old_name(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    old = t.snapshot(as_of=c1)
+    assert "amt" in old.columns and "amount" not in old.columns
+    assert rows_of(old, "id", "amt") == [(1, 10.0)]
+
+
+def test_rename_old_name_unresolvable(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    with pytest.raises(Exception, match="amt"):
+        t.snapshot().select("amt").collect()
+
+
+def test_rename_read_where_and_filters(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(3, 1, 30.0, "c")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    # predicate on the NEW name across both vintages; old files' stats
+    # still carry 'amt' → no stats for 'amount' → conservatively kept,
+    # exactness comes from the post-scan predicate
+    assert rows_of(
+        t.read_where("amount > 15"), "id", "amount"
+    ) == [(2, 20.0), (3, 30.0)]
+    assert rows_of(
+        t.snapshot(filters={"amount": (15.0, 25.0)}).where(
+            "amount BETWEEN 15 AND 25"
+        ),
+        "id",
+    ) == [(2,)]
+
+
+def test_rename_restore_across(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(2, 1, 20.0, "b")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    t.restore(c1)
+    snap = t.snapshot()
+    assert "amt" in snap.columns
+    assert rows_of(snap, "id", "amt") == [(1, 10.0)]
+    # writes after the restore publish under the restored (old) name
+    t.upsert(df_of(spark, [(3, 1, 30.0, "c")]))
+    assert rows_of(t.snapshot(), "id", "amt") == [(1, 10.0), (3, 30.0)]
+
+
+def test_rename_refusals(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    with pytest.raises(ValueError, match="structural"):
+        t.alter_rename_column("id", "key2")
+    with pytest.raises(ValueError, match="structural"):
+        t.alter_rename_column("ver", "version")
+    with pytest.raises(ValueError, match="no such column"):
+        t.alter_rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.alter_rename_column("amt", "tag")
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.alter_rename_column("amt", "bad name")
+
+
+def test_rename_refused_when_index_covers(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    TableServices(t).build_secondary_index("tag")
+    with pytest.raises(ValueError, match="secondary index"):
+        t.alter_rename_column("tag", "label")
+    # a different column still renames fine
+    t.alter_rename_column("amt", "amount")
+
+
+def test_rename_partitioned_non_partition_col(spark, tmp_path):
+    t = Table.create(
+        spark,
+        str(tmp_path / "p"),
+        key="id",
+        precombine="ver",
+        table_name="p",
+        partition_fields=["tag"],
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "x"), (2, 1, 20.0, "y")]))
+    with pytest.raises(ValueError, match="structural"):
+        t.alter_rename_column("tag", "part")
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(3, 1, 30.0, "x")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    assert rows_of(t.snapshot(), "id", "amount", "tag") == [
+        (1, 10.0, "x"),
+        (2, 20.0, "y"),
+        (3, 30.0, "x"),
+    ]
+    # partition pruning still exact on the (unrenamed) partition column
+    assert rows_of(t.snapshot(filters={"tag": "x"}).where("tag = 'x'"), "id") == [
+        (1,),
+        (3,),
+    ]
+
+
+def test_rename_mor_with_deltas(spark, tpath):
+    t = make_table(spark, tpath, table_type="mor")
+    t.upsert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(2, 2, 99.0, "b2")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    t.delete(spark.createDataFrame([(1,)], "id long"))
+    assert rows_of(t.snapshot(), "id", "amount", "tag") == [(2, 99.0, "b2")]
+
+
+def test_rename_then_readd_does_not_resurrect(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    t.alter_add_columns([("amt", "double")])  # NEW column, old name
+    snap = t.snapshot()
+    r = snap.collect()[0]
+    # old bytes live under 'amount'; the re-added 'amt' is null — the
+    # physical 'amt' bytes in the pre-rename file must NOT leak back
+    assert r["amount"] == 10.0 and r["amt"] is None
+
+
+def test_rename_compaction_migrates_physical_names(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    with pytest.raises(ValueError, match="compact"):
+        t.read_stream()  # pre-rename files would stream nulls
+    TableServices(t).compact()
+    assert rows_of(t.snapshot(), "id", "amount") == [(1, 10.0), (2, 20.0)]
+    t.read_stream()  # post-compaction every live file carries 'amount'
+
+
+def test_rename_incremental_across_boundary(spark, tpath):
+    t = make_table(spark, tpath)
+    c1 = t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(2, 1, 20.0, "b")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    inc = t.incremental(begin=c1)
+    assert rows_of(inc, "id", "amount") == [(2, 20.0)]
+
+
+def test_rename_sql_ddl_route(spark, tpath):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark import (
+        sql_ddl,
+    )
+
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    catalog = {"t": t}
+    sql_ddl.execute_ddl(
+        spark, "ALTER TABLE t RENAME COLUMN amt TO amount", catalog
+    )
+    assert "amount" in t.snapshot().columns
+    # table rename (RENAME TO) still routes separately
+    sql_ddl.execute_ddl(spark, "ALTER TABLE t RENAME TO t2", catalog)
+    assert "t2" in catalog and "t" not in catalog
+
+
+def test_rename_subsequent_commits_carry_field_ids(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    c = t.upsert(
+        df_of(
+            spark,
+            [(2, 1, 20.0, "b")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    ids = t._manifest(c)["field_ids"]
+    assert ids["amount"] == "amt" and ids["tag"] == "tag"
+
+
+def test_second_rename_chains_identity(spark, tpath):
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    t.upsert(
+        df_of(
+            spark,
+            [(2, 1, 20.0, "b")],
+            "id long, ver long, amount double, tag string",
+        )
+    )
+    t.alter_rename_column("amount", "total")
+    # three vintages: amt-named file, amount-named file, and the read
+    # resolves both through the chained id
+    assert rows_of(t.snapshot(), "id", "total") == [(1, 10.0), (2, 20.0)]
+
+
+# -- streaming batch-id replay guard ----------------------------------
+
+
+def sdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, ver long, val string")
+
+
+def test_batch_id_skips_replay(spark, tpath):
+    t = make_table(spark, tpath)
+    assert t.upsert(sdf(spark, [(1, 1, "a")]), batch_id="0") is not None
+    assert t.upsert(sdf(spark, [(1, 1, "a")]), batch_id="0") is None
+    assert t.upsert(sdf(spark, [(2, 1, "b")]), batch_id="1") is not None
+    # monotone: a replayed OLDER epoch is also recognized
+    assert t.upsert(sdf(spark, [(1, 1, "a")]), batch_id="0") is None
+    assert len(t.commits()) == 2
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a"), (2, "b")]
+
+
+def test_batch_id_insert_and_non_numeric(spark, tpath):
+    t = make_table(spark, tpath)
+    assert t.insert(sdf(spark, [(1, 1, "a")]), batch_id="run-a") is not None
+    assert t.insert(sdf(spark, [(1, 1, "a")]), batch_id="run-a") is None
+    # non-numeric ids fall back to equality-vs-latest
+    assert t.insert(sdf(spark, [(2, 1, "b")]), batch_id="run-b") is not None
+    assert len(t.commits()) == 2
+
+
+def test_batch_id_stamped_in_history(spark, tpath):
+    t = make_table(spark, tpath)
+    t.upsert(sdf(spark, [(1, 1, "a")]), batch_id="7")
+    hist = {r["commit"]: r for r in t.history_df().collect()}
+    assert [r["batch_id"] for r in hist.values()] == ["7"]
+
+
+def test_foreachbatch_replay_single_application(spark, tmp_path):
+    """At-least-once replay through a REAL foreachBatch sink: run the
+    upsert stream to completion, then reprocess the whole source under a
+    FRESH checkpoint (the lost-checkpoint recovery scenario — epoch ids
+    restart at 0 and every micro-batch is re-delivered). The guard must
+    recognize each replayed epoch from the table's commit metadata and
+    apply nothing: same rows, same commit count. (Direct checkpoint
+    surgery is not testable in-session — Spark 4's checkpoint manager
+    hard-errors on a mutated commit log.)"""
+    src = Table.create(
+        spark, str(tmp_path / "src"), key="id", precombine="ver",
+        table_name="replay_src",
+    )
+    gold = Table.create(
+        spark, str(tmp_path / "gold"), key="id", precombine="ver",
+        table_name="replay_gold",
+    )
+    src.insert(sdf(spark, [(1, 1, "a"), (2, 1, "b")]), dedup_batch=False)
+    src.insert(sdf(spark, [(3, 1, "c")]), dedup_batch=False)
+
+    def sink(bdf, eid):
+        if not bdf.isEmpty():
+            gold.upsert(bdf.drop(META_COL), batch_id=str(eid))
+
+    def run(ckpt):
+        q = (
+            src.read_stream(maxFilesPerTrigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    rows1 = rows_of(gold.snapshot(), "id", "ver", "val")
+    n1 = len(gold.commits())
+    assert n1 >= 2  # maxFilesPerTrigger=1 → multiple epochs
+    run(str(tmp_path / "ckpt2"))  # full replay, epoch ids restart at 0
+    assert rows_of(gold.snapshot(), "id", "ver", "val") == rows1
+    assert len(gold.commits()) == n1
+
+
+# -- history_df commit-outcome columns ---------------------------------
+
+
+def test_history_validators_and_auto_index_columns(spark, tpath):
+    t = make_table(
+        spark,
+        tpath,
+        auto_index=["record_index"],
+        pre_commit_validators={
+            "single_result": [
+                ["SELECT count(*) FROM <TABLE> WHERE ver < 0", 0]
+            ]
+        },
+    )
+    c = t.upsert(sdf(spark, [(1, 1, "a")]))
+    hist = {r["commit"]: r for r in t.history_df().collect()}
+    assert hist[c]["validators_passed"].startswith("single_result:")
+    assert hist[c]["auto_indexed"] == "record_index"
