@@ -132,6 +132,9 @@ HEADLINE = [
     "table_auto_index_upsert",
     # born round 11
     "table_sql_rename_column",
+    "join_tpch_q21",
+    "text_bm25_search",
+    "table_catalog_sync",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -194,6 +197,13 @@ PRINT_OMIT = {
     # DDL/catalog family keeps table_sql_ddl_lifecycle, pruned_cte and
     # the alter/drop rows printed)
     "table_sql_ctas",
+    # retired with the 2nd-4th r11 birth rows (q21/bm25/catalog_sync;
+    # joins keep q3/q5/q7/q8/q18 + the new q21 printed, text keeps
+    # quality/gopher + the new bm25, catalog keeps auto_pruned_join/
+    # time_travel/table_changes + the new sync row)
+    "join_tpch_q10",
+    "text_dsir_importance",
+    "sql_catalog_pruned_cte",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

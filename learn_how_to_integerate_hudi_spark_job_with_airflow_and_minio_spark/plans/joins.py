@@ -1112,3 +1112,72 @@ def join_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "join_tpch_q21",
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+                       AND o.o_orderstatus = 'F'
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                       AND n.n_name = 'NATION_1'
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting — adapted: "
+    "the testdata has no commit/receipt dates, so l_returnflag='R' "
+    "stands in for 'late'): the signature DOUBLE-CORRELATED self-"
+    "subquery — EXISTS another supplier's line in the same order, NOT "
+    "EXISTS another supplier's LATE line. A literal translation is two "
+    "self-joins of the fact against itself; this plan DECORRELATES "
+    "both into ONE per-order aggregate (distinct suppliers / distinct "
+    "late suppliers per order — since l1's own supplier always "
+    "belongs to both sets, EXISTS-other ⟺ n_supp ≥ 2 and NOT-EXISTS-"
+    "other-late ⟺ n_late_supp = 1), so the fact shuffles ONCE on "
+    "l_orderkey instead of three times; the oracle keeps the textbook "
+    "EXISTS form as an independent formulation. Nation leg broadcast; "
+    "deterministic order with s_name tie-break",
+)
+def join_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "orders", "nation")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_late_supp"),
+    )
+    nat = t["nation"].where(F.col("n_name") == "NATION_1").select("n_nationkey")
+    supp = t["supplier"].select("s_suppkey", "s_name", "s_nationkey").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    forders = t["orders"].where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(forders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

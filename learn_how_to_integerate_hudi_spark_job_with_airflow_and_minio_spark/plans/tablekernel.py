@@ -2794,3 +2794,67 @@ def table_auto_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert {e["path"] for e in t.current_files()} <= covered2
     assert covered < covered2
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_catalog_sync",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate
+            FROM orders
+        )
+        WHERE o_orderstatus <> 'P'
+    """,
+    doc="Spark-catalog sync (the engine-native analog of the Hudi "
+    "hive-sync the reference carries disabled, "
+    "create_hudi_tables.py:130-138): the partitioned engine table "
+    "syncs its snapshot into a REAL session-catalog parquet table any "
+    "Spark SQL client can read. First sync is a partitioned CTAS; "
+    "after the mod-5 upsert (which MOVES keys into a new 'U' "
+    "partition) the second sync rewrites ONLY the touched partitions "
+    "via dynamic partition-overwrite (O(changed partitions), derived "
+    "from the commit manifests — asserted, plus untouched-partition "
+    "bytes asserted identical in tests/test_catalog_sync.py); the "
+    "manifest-only DROP PARTITION then propagates as a catalog "
+    "partition drop. The returned frame reads back through "
+    "spark.table() — the full external-reader round trip",
+)
+def table_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..table import TableServices
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_csync_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        partition_fields=["o_orderstatus"],
+        table_name="orders_csync",
+    )
+    t.bulk_insert(orders)
+    svc = TableServices(t)
+    ident = f"eng_sync_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="engine_csync_loc_")
+    assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+    t.upsert(_update_batch(orders))
+    refreshed = svc.sync_spark_catalog(ident, location=loc)
+    # O(changed partitions): the mod-5 move touches the three source
+    # partitions plus the new U target — never a full-table rewrite
+    assert set(refreshed) == {"F", "O", "P", "U"}, refreshed
+    t.delete_partition({"o_orderstatus": "P"})
+    assert svc.sync_spark_catalog(ident, location=loc) == ["P"]
+    # no DROP here: the returned frame is LAZY — the caller collects it
+    # after this function returns, so the catalog entry must survive
+    # (idents are uuid-unique; entries are session-scoped, files live
+    # in the run's scratch dir)
+    return spark.table(ident).select(*_COLS)

@@ -546,3 +546,137 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=50,
         seed=7,
     )
+
+
+# BM25 retrieval queries: fixed literal term sets (the corpus is the
+# synthetic word-salad documents table, so these are common terms with
+# distinct document-frequency profiles per query).
+_BM25_QUERIES = [
+    (1, "spark"), (1, "merge"), (1, "batch"),
+    (2, "hash"), (2, "join"), (2, "sort"),
+    (3, "window"), (3, "table"), (3, "key"),
+]
+
+
+@register(
+    "text_bm25_search",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        n AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT COUNT(*) FROM tok) AS total
+        ),
+        q(query_id, term) AS (VALUES
+            (1,'spark'),(1,'merge'),(1,'batch'),
+            (2,'hash'),(2,'join'),(2,'sort'),
+            (3,'window'),(3,'table'),(3,'key')
+        ),
+        tf AS (
+            SELECT CAST(q.query_id AS BIGINT) AS query_id, tok.term,
+                   tok.doc_id, COUNT(*) AS tf
+            FROM tok JOIN q ON q.term = tok.term
+            GROUP BY 1, 2, 3
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.query_id, tf.doc_id,
+                   CAST(round(
+                       ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
+                           / (df.df + 0.5) + 1.0)
+                       * ((tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75
+                             * (dl.dl / (CAST(n.total AS DOUBLE)
+                                         / n.n_docs))))),
+                   6) AS DECIMAL(18,6)) AS ts
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN n
+        ),
+        agg AS (
+            SELECT query_id, doc_id,
+                   CAST(CAST(SUM(ts) AS VARCHAR) AS DOUBLE) AS score
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score, rnk
+        FROM (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC
+                   ) AS rnk
+            FROM agg
+        )
+        WHERE rnk <= 5
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style "
+    "ln(1 + (N-df+0.5)/(df+0.5)) idf) — the retrieval-quality "
+    "counterpart to text_tfidf_top_terms: query terms broadcast into "
+    "the exploded token stream, so only matching postings survive the "
+    "first join (at 100 TB the per-term posting lists, never the "
+    "corpus, flow through tf/df aggregation); doc-length "
+    "normalization joins one COUNT-per-doc aggregate; per-term scores "
+    "rounded to 6dp and summed as DECIMAL so both engines rank "
+    "identical exact values (ties broken by doc_id); top-5 per query "
+    "via one window",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import tokens
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    total_tokens = tok.count()
+    avgdl = total_tokens / n_docs  # exact IEEE division of two ints
+    qterms = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfn = (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfn, 6).cast("decimal(18,6)").alias("ts"),
+        )
+    )
+    from .common import as_double
+
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        as_double(F.sum("ts")).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )

@@ -1,0 +1,128 @@
+"""Spark-catalog sync (TableServices.sync_spark_catalog, round 11) —
+the engine-native analog of the Hudi hive-sync the reference carries
+disabled (create_hudi_tables.py:130-138, off at :249,270): the synced
+entity is a REAL session-catalog parquet table, refreshed
+O(changed partitions) from the commit manifests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+    Table,
+    TableServices,
+)
+
+
+def rows_of(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def sdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, seq int, st string, amt double"
+    )
+
+
+@pytest.fixture()
+def synced(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "t"), key="k", precombine="seq",
+        table_name="t", partition_fields=["st"],
+    )
+    t.bulk_insert(
+        sdf(spark, [(1, 1, "F", 10.0), (2, 1, "O", 20.0),
+                    (3, 1, "P", 30.0), (4, 1, "F", 40.0)])
+    )
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    yield t, svc, ident, loc
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_full_then_noop(spark, synced):
+    t, svc, ident, loc = synced
+    assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+    assert rows_of(spark.table(ident), "k", "st") == [
+        (1, "F"), (2, "O"), (3, "P"), (4, "F"),
+    ]
+    # up to date → no write at all
+    assert svc.sync_spark_catalog(ident, location=loc) == []
+
+
+def test_incremental_touches_only_changed_partitions(spark, synced):
+    t, svc, ident, loc = synced
+    svc.sync_spark_catalog(ident, location=loc)
+    pdir = os.path.join(loc, "st=P")
+    before = {
+        f: os.path.getmtime(os.path.join(pdir, f))
+        for f in os.listdir(pdir)
+    }
+    # key 2 moves O→U, key 5 inserts into F; P is untouched
+    t.upsert(sdf(spark, [(2, 2, "U", 99.0), (5, 1, "F", 50.0)]))
+    refreshed = svc.sync_spark_catalog(ident, location=loc)
+    assert "P" not in refreshed and "U" in refreshed
+    after = {
+        f: os.path.getmtime(os.path.join(pdir, f))
+        for f in os.listdir(pdir)
+    }
+    assert after == before  # untouched partition bytes identical
+    assert rows_of(spark.table(ident), "k", "st", "amt") == [
+        (1, "F", 10.0), (2, "U", 99.0), (3, "P", 30.0),
+        (4, "F", 40.0), (5, "F", 50.0),
+    ]
+
+
+def test_dropped_partition_propagates(spark, synced):
+    t, svc, ident, loc = synced
+    svc.sync_spark_catalog(ident, location=loc)
+    t.delete_partition({"st": "P"})
+    assert svc.sync_spark_catalog(ident, location=loc) == ["P"]
+    assert rows_of(spark.table(ident), "k") == [(1,), (2,), (4,)]
+
+
+def test_metadata_only_commit_advances_watermark(spark, synced):
+    t, svc, ident, loc = synced
+    svc.sync_spark_catalog(ident, location=loc)
+    t.alter_add_columns([("note", "string")])  # zero files touched
+    assert svc.sync_spark_catalog(ident, location=loc) == []
+    # the watermark advanced: a second call is still a no-op
+    assert svc.sync_spark_catalog(ident, location=loc) == []
+
+
+def test_unpartitioned_full_refresh(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "u"), key="k", precombine="seq",
+        table_name="u",
+    )
+    t.bulk_insert(sdf(spark, [(1, 1, "F", 10.0), (2, 1, "O", 20.0)]))
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+        t.upsert(sdf(spark, [(2, 2, "O", 99.0)]))
+        # unpartitioned → every later sync is a full refresh (documented)
+        assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+        assert rows_of(spark.table(ident), "k", "amt") == [
+            (1, 10.0), (2, 99.0),
+        ]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_empty_table_refused(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "e"), key="k", precombine="seq",
+        table_name="e",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        TableServices(t).sync_spark_catalog("nope")
