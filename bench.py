@@ -194,8 +194,8 @@ PRINT_OMIT = {
     # the 8th-10th block above, so the slot came from text family)
     "text_bigram_logprob",
     # retired with the 1st r11 birth row (table_sql_rename_column; the
-    # DDL/catalog family keeps table_sql_ddl_lifecycle, pruned_cte and
-    # the alter/drop rows printed)
+    # DDL/catalog family keeps table_sql_ddl_lifecycle and the
+    # alter/drop rows printed)
     "table_sql_ctas",
     # retired with the 2nd-4th r11 birth rows (q21/bm25/catalog_sync;
     # joins keep q3/q5/q7/q8/q18 + the new q21 printed, text keeps

@@ -898,6 +898,23 @@ class Table:
                 }
         return None
 
+    def _field_ids_used(self) -> set[str]:
+        """Every field id EVER allocated, cumulative across drops — the
+        allocation blacklist for fresh ids (a retired id may still name
+        physical bytes in live or time-travelable files). Falls back to
+        the live map's keys∪values for manifests written before the
+        key existed (those tables allocated ids == original names)."""
+        for c in reversed(self.commits()):
+            m = self._manifest(c)
+            if m.get("field_ids_used") is not None:
+                return set(m["field_ids_used"])
+            if m.get("schema"):
+                ids = m.get("field_ids")
+                if ids is not None:
+                    return set(ids.values()) | set(ids.keys())
+                return {f["name"] for f in m["schema"]["fields"]}
+        return set()
+
     def _vintage_mappings(
         self,
         entries: list[dict],
@@ -1198,14 +1215,24 @@ class Table:
         Walks the active timeline newest-first to the most recent
         stamped id — O(1) manifest reads for an all-streaming table,
         bounded by the archived horizon otherwise."""
-        for c in reversed(self.commits()):
-            last = self._manifest(c).get("batch_id")
-            if last is None:
-                continue
+        def _cmp(last: str) -> bool:
             try:
                 return int(batch_id) <= int(last)
             except (TypeError, ValueError):
                 return batch_id == last
+
+        for c in reversed(self.commits()):
+            last = self._manifest(c).get("batch_id")
+            if last is not None:
+                return _cmp(last)
+        # archive fallback: archive_timeline may have folded every
+        # stamped manifest out of the active window — going blind there
+        # would re-apply a replayed epoch. One consolidated read.
+        arch = self._archived_manifests()
+        for c in sorted(arch, reverse=True):
+            last = arch[c].get("batch_id")
+            if last is not None:
+                return _cmp(last)
         return False
 
     def _delta_write(self, df: DataFrame, batch_id: str | None = None) -> str:
@@ -2608,10 +2635,37 @@ class Table:
                     f"{e.get('name')!r} — drop it first"
                 )
         for spec in self.meta.get("auto_index") or []:
-            if old in str(spec):
+            # parse the spec like the maintenance loop does — a raw
+            # substring test would spuriously refuse unrelated columns
+            # whose name happens to appear inside the spec text
+            spec_col = (
+                self.key
+                if spec == "record_index"
+                else str(spec)[len("secondary_index("):-1].strip()
+            )
+            if spec_col == old:
                 raise ValueError(
                     f"column {old!r} appears in auto_index spec "
                     f"{spec!r} — remove the spec first"
+                )
+        word = re.compile(rf"\b{re.escape(old)}\b")
+        for cname, cexpr in (self.meta.get("constraints") or {}).items():
+            if word.search(str(cexpr)):
+                raise ValueError(
+                    f"column {old!r} appears in constraint {cname!r} "
+                    f"({cexpr!r}) — every later write would fail "
+                    "analysis; drop/re-declare the constraint around "
+                    "the rename"
+                )
+        vals = self.meta.get("pre_commit_validators") or {}
+        for q in list(vals.get("equality") or []) + [
+            q for q, _ in (vals.get("single_result") or [])
+        ]:
+            if word.search(str(q)):
+                raise ValueError(
+                    f"column {old!r} appears in a pre-commit validator "
+                    f"({str(q)[:60]!r}) — every later commit would "
+                    "abort; re-declare the validator around the rename"
                 )
         prev_ids = self._field_ids() or {
             f.name: f.name for f in schema.fields
@@ -3760,28 +3814,33 @@ class Table:
         batch_id: str | None = None,
     ) -> None:
         manifest_path = posixpath.join(self._commits_dir(), f"{commit}.json")
-        if field_ids is None and schema is not None and self.meta.get(
-            "has_renames"
-        ):
+        ids_used: set[str] | None = None
+        if schema is not None and self.meta.get("has_renames"):
             # renamed tables carry the cumulative field-id map forward on
             # every schema-bearing commit (the _field_ids walk-back finds
             # the newest one, like the schema itself); never-renamed
             # tables pay nothing — no key, identity implied. A NEW
-            # column gets a FRESH id: its name may equal a live id (the
-            # re-add-after-rename case) and sharing that id would alias
-            # two columns onto one physical name in old files.
-            prev = self._field_ids() or {}
-            used = set(prev.values())
-            field_ids = {}
-            for f in schema.fields:
-                fid = prev.get(f.name)
-                if fid is None:
-                    fid, k = f.name, 2
-                    while fid in used:
-                        fid = f"{f.name}#{k}"
-                        k += 1
-                field_ids[f.name] = fid
-                used.add(fid)
+            # column gets a FRESH id never used at ANY point in the
+            # table's history (``field_ids_used``, carried forward even
+            # across drops): its name may equal a live id (re-add-after-
+            # rename) or a RETIRED id (rename → drop → re-add), and
+            # either reuse would alias the new column onto old physical
+            # bytes.
+            ids_used = self._field_ids_used()
+            if field_ids is None:
+                prev = self._field_ids() or {}
+                field_ids = {}
+                for f in schema.fields:
+                    fid = prev.get(f.name)
+                    if fid is None:
+                        fid, k = f.name, 2
+                        while fid in ids_used:
+                            fid = f"{f.name}#{k}"
+                            k += 1
+                    field_ids[f.name] = fid
+                    ids_used.add(fid)
+            else:
+                ids_used |= set(field_ids.values())
         manifest = {
             "commit": commit,
             "action": action,
@@ -3792,6 +3851,8 @@ class Table:
         }
         if field_ids is not None:
             manifest["field_ids"] = field_ids
+        if ids_used is not None:
+            manifest["field_ids_used"] = sorted(ids_used)
         if batch_id is not None:
             # streaming replay guard (Hudi's checkpoint-in-commit-metadata):
             # foreachBatch writers stamp the epoch id so a restart-replayed
@@ -5026,7 +5087,14 @@ class TableServices:
         if synced is not None and exists and pf:
             if synced >= latest:
                 return []
-            touched = self._touched_partitions(synced, latest, pf)
+            if set(spark.table(ident).columns) != set(snap.columns):
+                # schema evolved (ADD/DROP/RENAME/type change) since the
+                # mirror was created — the incremental insertInto path
+                # would silently drop new columns or fail analysis on
+                # retired ones; fall back to a full resync (fail-closed)
+                touched = None
+            else:
+                touched = self._touched_partitions(synced, latest, pf)
         if touched is None:
             w = snap.write.mode("overwrite").format("parquet")
             if pf:
@@ -5055,12 +5123,18 @@ class TableServices:
             cond = cond | c
         changed = snap.where(cond)
         # bounded collect: one distinct row per TOUCHED partition (the
-        # partition-count plane, never the data plane)
+        # partition-count plane, never the data plane). Values are
+        # string-cast SPARK-side so they compare against the manifests'
+        # hive-dir strings (Spark casts boolean→'true', date→ISO — a
+        # Python str() would read 'True' and misclassify a freshly
+        # rewritten partition as dropped)
         present = {
-            tuple(
-                None if r[col] is None else str(r[col]) for col in pf
+            tuple(r[col] for col in pf)
+            for r in changed.select(
+                *[F.col(c).cast("string").alias(c) for c in pf]
             )
-            for r in changed.select(*pf).distinct().collect()
+            .distinct()
+            .collect()
         }
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         try:
@@ -5083,7 +5157,9 @@ class TableServices:
             set(touched) - present, key=lambda x: tuple(map(repr, x))
         ):
             spec = ", ".join(
-                f"{col} = '{raw}'"
+                # single quotes doubled: a value like o'brien must not
+                # break the statement (or smuggle SQL in)
+                "{} = '{}'".format(col, str(raw).replace("'", "''"))
                 for col, raw in zip(pf, tup)
                 if raw is not None
             )

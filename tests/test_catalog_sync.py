@@ -90,7 +90,11 @@ def test_dropped_partition_propagates(spark, synced):
 def test_metadata_only_commit_advances_watermark(spark, synced):
     t, svc, ident, loc = synced
     svc.sync_spark_catalog(ident, location=loc)
-    t.alter_add_columns([("note", "string")])  # zero files touched
+    # a schema-preserving commit that touches zero files (no-match
+    # predicate delete): nothing to rewrite, watermark just advances.
+    # (A schema-CHANGING metadata commit instead full-syncs — see
+    # test_schema_evolution_falls_back_to_full_sync.)
+    t.delete_where("amt < 0")
     assert svc.sync_spark_catalog(ident, location=loc) == []
     # the watermark advanced: a second call is still a no-op
     assert svc.sync_spark_catalog(ident, location=loc) == []
@@ -126,3 +130,71 @@ def test_empty_table_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty"):
         TableServices(t).sync_spark_catalog("nope")
+
+
+# -- review-pass regression pins (r11) ---------------------------------
+
+
+def test_schema_evolution_falls_back_to_full_sync(spark, synced):
+    t, svc, ident, loc = synced
+    svc.sync_spark_catalog(ident, location=loc)
+    t.alter_add_columns([("note", "string")])
+    t.upsert(
+        spark.createDataFrame(
+            [(5, 1, "F", 50.0, "hello")],
+            "k int, seq int, st string, amt double, note string",
+        )
+    )
+    # incremental insertInto would silently drop 'note' — must full-sync
+    assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+    got = {r["k"]: r["note"] for r in spark.table(ident).collect()}
+    assert got[5] == "hello" and got[1] is None
+
+
+def test_boolean_partition_not_misdropped(spark, tmp_path):
+    """hive dir strings are 'true'/'false'; a Python str() comparison
+    would read 'True' and DROP a freshly rewritten partition."""
+    t = Table.create(
+        spark, str(tmp_path / "b"), key="k", precombine="seq",
+        table_name="b", partition_fields=["flag"],
+    )
+    bdf = lambda rows: spark.createDataFrame(
+        rows, "k int, seq int, flag boolean, amt double"
+    )
+    t.bulk_insert(bdf([(1, 1, True, 10.0), (2, 1, False, 20.0)]))
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        svc.sync_spark_catalog(ident, location=loc)
+        t.upsert(bdf([(3, 1, True, 30.0)]))
+        refreshed = svc.sync_spark_catalog(ident, location=loc)
+        assert refreshed == ["true"], refreshed
+        assert rows_of(spark.table(ident), "k", "flag") == [
+            (1, True), (2, False), (3, True),
+        ]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_quoted_partition_value_drop(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "q"), key="k", precombine="seq",
+        table_name="q", partition_fields=["st"],
+    )
+    t.bulk_insert(sdf(spark, [(1, 1, "o'brien", 1.0), (2, 1, "plain", 2.0)]))
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        svc.sync_spark_catalog(ident, location=loc)
+        t.delete_partition({"st": "o'brien"})
+        refreshed = svc.sync_spark_catalog(ident, location=loc)
+        assert refreshed == ["o'brien"], refreshed
+        assert rows_of(spark.table(ident), "k") == [(2,)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")

@@ -405,3 +405,85 @@ def test_history_validators_and_auto_index_columns(spark, tpath):
     hist = {r["commit"]: r for r in t.history_df().collect()}
     assert hist[c]["validators_passed"].startswith("single_result:")
     assert hist[c]["auto_indexed"] == "record_index"
+
+
+# -- review-pass regression pins (r11) ---------------------------------
+
+
+def test_rename_drop_readd_does_not_resurrect(spark, tpath):
+    """rename a→b, DROP b, re-add a: the fresh id must avoid ids used
+    at ANY point in history (field_ids_used), or pre-rename files'
+    physical 'amt' bytes would alias onto the re-added column."""
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    t.alter_drop_column("amount")
+    t.alter_add_columns([("amt", "double")])
+    r = t.snapshot().collect()[0]
+    assert r["amt"] is None
+
+
+def test_rename_refused_when_constraint_references(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "c"), key="id", precombine="ver",
+        table_name="c", constraints={"pos": "amt > 0"},
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    with pytest.raises(ValueError, match="constraint"):
+        t.alter_rename_column("amt", "amount")
+    t.alter_rename_column("tag", "label")  # unreferenced column is fine
+
+
+def test_rename_refused_when_validator_references(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "v"), key="id", precombine="ver",
+        table_name="v",
+        pre_commit_validators={
+            "single_result": [
+                ["SELECT count(*) FROM <TABLE> WHERE amt < 0", 0]
+            ]
+        },
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    with pytest.raises(ValueError, match="validator"):
+        t.alter_rename_column("amt", "amount")
+
+
+def test_rename_auto_index_guard_is_not_substring(spark, tmp_path):
+    """auto_index=['secondary_index(tagx)'] must not block renaming
+    'tag' (substring), but must block renaming 'tagx' (the spec col)."""
+    t = Table.create(
+        spark, str(tmp_path / "ai"), key="id", precombine="ver",
+        table_name="ai", auto_index=["secondary_index(tagx)"],
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, 10.0, "a", "x")],
+            "id long, ver long, amt double, tag string, tagx string",
+        )
+    )
+    t.alter_rename_column("tag", "label")  # substring — allowed
+    # the built index trips the secondary-index check; with the index
+    # dropped, the auto_index SPEC check still refuses on its own
+    with pytest.raises(ValueError, match="secondary index|auto_index"):
+        t.alter_rename_column("tagx", "tagy")
+    idx_dir, meta_path = t._secondary_index_paths("tagx")
+    for p in sorted(t.fs.list(idx_dir), reverse=True):
+        t.fs.delete(p)
+    t.fs.delete(meta_path)
+    with pytest.raises(ValueError, match="auto_index"):
+        t.alter_rename_column("tagx", "tagy")
+
+
+def test_batch_guard_survives_archive(spark, tpath):
+    """archive_timeline folding the stamped manifests must not blind
+    the replay guard (archive fallback)."""
+    t = make_table(spark, tpath)
+    for i in range(12):
+        t.insert(sdf(spark, [(100 + i, 1, "x")]), batch_id=str(i))
+    archived = TableServices(t).archive_timeline(keep_active=1)
+    assert archived  # the stamped manifests left the active window
+    # the surviving active tail may itself carry a batch_id; force the
+    # archive path by checking an id only the archive can adjudicate
+    assert t.insert(sdf(spark, [(1, 1, "y")]), batch_id="3") is None
+    assert t.insert(sdf(spark, [(1, 1, "y")]), batch_id="99") is not None
