@@ -547,3 +547,136 @@ def test_partition_scoped_compact_is_read_invisible(
         # the replace commit removed ONLY scoped-partition files
         man = t._manifest(c)
         assert all(f"p={scoped}" in p for p in man["files_removed"])
+
+
+# -- rename / schema-evolution algebra (r11) ---------------------------
+
+_EVO_OP = st.one_of(
+    st.tuples(st.just("upsert"), st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 4)),
+        min_size=1, max_size=4,
+    )),
+    st.tuples(st.just("rename"), st.integers(0, 10)),
+    st.tuples(st.just("add"), st.just(0)),
+    st.tuples(st.just("drop"), st.integers(0, 10)),
+    st.tuples(st.just("restore"), st.integers(0, 10)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_EVO_OP, min_size=2, max_size=6))
+def test_rename_evolution_algebra(spark, tmp_path_factory, ops):
+    """Random interleavings of upsert / RENAME / ADD / DROP / RESTORE
+    match a pure-Python reference model, including one time-travel
+    probe into the middle of the history — pins the field-id identity
+    algebra (values written under any historical name must surface
+    under the CURRENT name, never resurrect, never null out)."""
+    import copy
+
+    global _SEQ
+    _SEQ += 1
+    base = tmp_path_factory.mktemp("evo")
+    cols = ["c0", "c1"]  # current non-structural columns, in order
+    fresh = 2
+    t = Table.create(
+        spark, f"{base}/t{_SEQ}", key="id", precombine="ver",
+        table_name="t",
+    )
+    # model: rows = {key: {"ver": v, <col>: val}}, one entry per commit
+    rows: dict[int, dict] = {}
+    history: list[tuple[str, list[str], dict]] = []  # (commit, cols, rows)
+
+    def _commit(c):
+        history.append((c, list(cols), copy.deepcopy(rows)))
+
+    # initial batch so every table has a schema
+    first = [(0, 0), (1, 0)]
+    df = spark.createDataFrame(
+        [(k, v, *[f"{n}={k}.{v}" for n in cols]) for k, v in first],
+        f"id long, ver long, {', '.join(n + ' string' for n in cols)}",
+    )
+    c = t.bulk_insert(df)
+    for k, v in first:
+        rows[k] = {"ver": v, **{n: f"{n}={k}.{v}" for n in cols}}
+    _commit(c)
+
+    for op in ops:
+        if op[0] == "upsert":
+            batch = op[1]
+            df = spark.createDataFrame(
+                [
+                    (k, v, *[f"{n}={k}.{v}" for n in cols])
+                    for k, v in batch
+                ],
+                f"id long, ver long, "
+                f"{', '.join(n + ' string' for n in cols)}",
+            )
+            c = t.upsert(df)
+            best: dict[int, int] = {}
+            for k, v in batch:  # within-batch max(ver) wins
+                best[k] = max(best.get(k, -1), v)
+            for k, v in best.items():
+                if k not in rows or v >= rows[k]["ver"]:
+                    rows[k] = {
+                        "ver": v, **{n: f"{n}={k}.{v}" for n in cols}
+                    }
+            _commit(c)
+        elif op[0] == "rename":
+            old = cols[op[1] % len(cols)]
+            new = f"c{fresh}"
+            fresh += 1
+            c = t.alter_rename_column(old, new)
+            cols[cols.index(old)] = new
+            for r in rows.values():
+                r[new] = r.pop(old)
+            _commit(c)
+        elif op[0] == "add":
+            new = f"c{fresh}"
+            fresh += 1
+            c = t.alter_add_columns([(new, "string")])
+            cols.append(new)
+            for r in rows.values():
+                r[new] = None
+            _commit(c)
+        elif op[0] == "drop":
+            if len(cols) <= 1:
+                continue  # keep at least one payload column
+            victim = cols[op[1] % len(cols)]
+            c = t.alter_drop_column(victim)
+            cols.remove(victim)
+            for r in rows.values():
+                r.pop(victim, None)
+            _commit(c)
+        else:  # restore
+            idx = op[1] % len(history)
+            target, tcols, trows = history[idx]
+            c = t.restore(target)
+            cols[:] = list(tcols)
+            rows.clear()
+            rows.update(copy.deepcopy(trows))
+            _commit(c)
+
+    def engine_state(as_of=None):
+        snap = t.snapshot(as_of=as_of)
+        user = [f for f in snap.columns if f not in ("_commit_time",)]
+        return {
+            r["id"]: {n: r[n] for n in user if n != "id"}
+            for r in snap.collect()
+        }
+
+    expect = {
+        k: {"ver": r["ver"], **{n: r[n] for n in cols}}
+        for k, r in rows.items()
+    }
+    assert engine_state() == expect
+    # time-travel probe into the middle of the history
+    mid_commit, mcols, mrows = history[len(history) // 2]
+    expect_mid = {
+        k: {"ver": r["ver"], **{n: r[n] for n in mcols}}
+        for k, r in mrows.items()
+    }
+    assert engine_state(as_of=mid_commit) == expect_mid
