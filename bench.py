@@ -135,6 +135,8 @@ HEADLINE = [
     "join_tpch_q21",
     "text_bm25_search",
     "table_catalog_sync",
+    "join_tpch_q4",
+    "join_tpch_q12",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -204,6 +206,9 @@ PRINT_OMIT = {
     "join_tpch_q10",
     "text_dsir_importance",
     "sql_catalog_pruned_cte",
+    # retired with the 5th-6th r11 birth rows (q4/q12; joins still
+    # print q3/q5/q7/q8/q21 + the two new shapes)
+    "join_tpch_q18",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

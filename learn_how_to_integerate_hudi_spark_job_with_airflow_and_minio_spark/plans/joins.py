@@ -1187,3 +1187,93 @@ def join_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+@register(
+    "join_tpch_q4",
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R'
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking — adapted: no "
+    "commit/receipt dates in the testdata, so l_returnflag='R' stands "
+    "in for 'late line'): a quarter-windowed fact with a correlated "
+    "EXISTS against the bigger fact, compiled as one LEFT-SEMI join — "
+    "the lineitem side is pre-filtered to R-lines and deduped by the "
+    "semi itself (no count inflation), the orders side carries the "
+    "pushed date band; the quarter window makes the semi's probe side "
+    "a fraction of the table at any scale",
+)
+def join_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    late = t["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_tpch_q12",
+    oracle="""
+        SELECT l.l_returnflag AS shipgroup,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag IN ('R', 'A')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping-mode priority split — adapted: no "
+    "l_shipmode in the testdata, so l_returnflag IN ('R','A') stands "
+    "in for the two audited modes): year-banded, mode-filtered fact "
+    "joined to orders with BOTH conditional counts folded into one "
+    "pass (SUM of CASE, never two joins); the IN filter and date band "
+    "push into the lineitem scan, and the aggregate partial-combines "
+    "map-side to two rows per partition before the shuffle",
+)
+def join_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .where(
+            F.col("l_returnflag").isin("R", "A")
+            & (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_returnflag")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_returnflag").alias("shipgroup"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipgroup")
+    )
