@@ -5158,15 +5158,21 @@ class TableServices:
         ):
             spec = ", ".join(
                 # single quotes doubled: a value like o'brien must not
-                # break the statement (or smuggle SQL in)
-                "{} = '{}'".format(col, str(raw).replace("'", "''"))
-                for col, raw in zip(pf, tup)
-                if raw is not None
-            )
-            if spec:
-                spark.sql(
-                    f"ALTER TABLE {ident} DROP IF EXISTS PARTITION ({spec})"
+                # break the statement (or smuggle SQL in). A null
+                # component names the hive default-partition sentinel —
+                # OMITTING it would broaden the spec and drop every
+                # sibling partition under the non-null components.
+                "{} = '{}'".format(
+                    col,
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if raw is None
+                    else str(raw).replace("'", "''"),
                 )
+                for col, raw in zip(pf, tup)
+            )
+            spark.sql(
+                f"ALTER TABLE {ident} DROP IF EXISTS PARTITION ({spec})"
+            )
         t.meta.setdefault("catalog_sync", {})[ident] = latest
         write_json(posixpath.join(t.path, "_table.json"), t.meta)
         return [

@@ -198,3 +198,33 @@ def test_quoted_partition_value_drop(spark, tmp_path):
         assert rows_of(spark.table(ident), "k") == [(2,)]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_null_partition_drop_does_not_broaden(spark, tmp_path):
+    """A null partition component must name the hive default-partition
+    sentinel in the DROP spec — omitting it would broaden the spec and
+    drop every sibling partition."""
+    t = Table.create(
+        spark, str(tmp_path / "n"), key="k", precombine="seq",
+        table_name="n", partition_fields=["st"],
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, None, 1.0), (2, 1, "keep", 2.0)],
+            "k int, seq int, st string, amt double",
+        )
+    )
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        svc.sync_spark_catalog(ident, location=loc)
+        t.delete_partition({"st": None})
+        refreshed = svc.sync_spark_catalog(ident, location=loc)
+        assert refreshed == ["null"], refreshed
+        # the non-null sibling partition survives in the mirror
+        assert rows_of(spark.table(ident), "k", "st") == [(2, "keep")]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
