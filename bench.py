@@ -137,6 +137,7 @@ HEADLINE = [
     "table_catalog_sync",
     "join_tpch_q4",
     "join_tpch_q12",
+    "table_cdc_apply_feed",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -209,6 +210,9 @@ PRINT_OMIT = {
     # retired with the 5th-6th r11 birth rows (q4/q12; joins still
     # print q3/q5/q7/q8/q21 + the two new shapes)
     "join_tpch_q18",
+    # retired with the 7th r11 birth row (table_cdc_apply_feed; the
+    # kernel family keeps upsert/partial_update/merge/cdc rows printed)
+    "table_sql_drop_partition",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

@@ -2858,3 +2858,72 @@ def table_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (idents are uuid-unique; entries are session-scoped, files live
     # in the run's scratch dir)
     return spark.table(ident).select(*_COLS)
+
+
+@register(
+    "table_cdc_apply_feed",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                    AS BIGINT) AS _seq
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+    """,
+    doc="Debezium/DeltaStreamer CDC-feed apply (Table.apply_cdc_feed): "
+    "one event batch mixing creates (all orders, seq 1), updates "
+    "(mod-5, doubled price, seq 2) and deletes (mod-7, seq 3) folds "
+    "into the table in ONE commit — the batch resolves to the last "
+    "event per key in FEED order first (a mod-35 key whose history is "
+    "create→update→delete must delete; plain merge() would delete any "
+    "mixed key), then routes through the merge kernel. A second, LATE "
+    "batch of stale updates (seq 0) is applied and fully discarded by "
+    "precombine ordering — replay cannot clobber newer state. Window "
+    "shuffle over the BATCH only, merge over affected files only",
+)
+def table_cdc_apply_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_cdcfeed_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="_seq",
+        table_name="orders_cdcfeed",
+    )
+    creates = orders.withColumn("_seq", F.lit(1).cast("long")).withColumn(
+        "_op", F.lit("c")
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("_seq", F.lit(2).cast("long"))
+        .withColumn("_op", F.lit("u"))
+    )
+    deletes = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("_seq", F.lit(3).cast("long"))
+        .withColumn("_op", F.lit("D"))  # codes are case-insensitive
+    )
+    t.apply_cdc_feed(
+        creates.unionByName(updates).unionByName(deletes), op_col="_op"
+    )
+    # late replay: stale updates (seq 0) for mod-3 keys — all discarded
+    # by precombine ordering (restricted to undeleted keys: a late
+    # update for a deleted key would re-insert it, the documented
+    # CDC-applier caveat)
+    late = (
+        orders.where(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("_seq", F.lit(0).cast("long"))
+        .withColumn("_op", F.lit("u"))
+    )
+    t.apply_cdc_feed(late, op_col="_op")
+    return t.snapshot().drop(META_COL)

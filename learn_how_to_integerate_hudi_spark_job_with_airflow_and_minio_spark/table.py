@@ -1701,6 +1701,80 @@ class Table:
         finally:
             source.unpersist()
 
+    def apply_cdc_feed(self, events: DataFrame, op_col: str = "_op") -> str:
+        """Fold a Debezium/DeltaStreamer-shaped CDC event batch into the
+        table in ONE commit (the ingestion surface Hudi's DeltaStreamer
+        exposes for upstream-database change logs): each event row
+        carries the key, the payload columns, the table's precombine
+        ordering column, and ``op_col`` with a change code —
+        ``c/r/i/u`` (create/read-snapshot/insert/update → upsert) or
+        ``d`` (delete), case-insensitive.
+
+        The batch is first resolved to the LAST event per key — ordered
+        by precombine, ties broken toward delete (the safe side) — and
+        only then applied through :meth:`merge`. The pre-resolution is
+        semantically load-bearing: :meth:`merge` alone resolves a key
+        that is both flagged and unflagged to DELETE, but the CDC
+        contract is FEED ORDER — insert→update→delete must delete,
+        insert→delete→update must upsert the final payload. Events
+        older than the stored row's precombine are discarded by the
+        normal upsert ordering, so a late replay cannot clobber newer
+        state (caveat shared with every CDC applier: a late UPDATE for
+        a key whose DELETE already applied re-inserts it — retention of
+        delete markers upstream is the standard mitigation).
+
+        Cost: one window shuffle over the BATCH (never the table) +
+        the merge envelope (affected files only).
+        """
+        from pyspark.sql.window import Window as W
+
+        if op_col not in events.columns:
+            raise ValueError(f"events batch has no op column {op_col!r}")
+        ops = F.upper(F.col(op_col))
+        # bounded probe: fail loud on unknown change codes rather than
+        # silently treating them as upserts
+        bad = (
+            events.where(~ops.isin("C", "R", "I", "U", "D"))
+            .select(op_col)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"unknown CDC op code {bad[0][0]!r} — expected one of "
+                "c/r/i/u (upsert) or d (delete), any case"
+            )
+        w = W.partitionBy(self.key).orderBy(
+            F.col(self.precombine).desc(),
+            (ops == "D").cast("int").desc(),
+        )
+        last = (
+            events.withColumn("_cdc_rn", F.row_number().over(w))
+            .where(F.col("_cdc_rn") == 1)
+            .drop("_cdc_rn")
+        )
+        resolved = last.withColumn("_cdc_delete", ops == "D").drop(op_col)
+        if self.latest_commit() is not None:
+            # the engine's plain upsert is incoming-wins (Hudi's
+            # OverwriteWithLatest); CDC apply needs the COMPARED payload
+            # semantics (DefaultHoodieRecordPayload) — discard events at
+            # or below the STORED row's precombine so a late replay
+            # cannot clobber newer state. One column-pruned (key,
+            # precombine) scan of the snapshot per apply; equal
+            # precombine → incoming wins (idempotent self-replay).
+            stored = self.snapshot().select(
+                F.col(self.key), F.col(self.precombine).alias("_cdc_stored")
+            )
+            resolved = (
+                resolved.join(stored, self.key, "left")
+                .where(
+                    F.col("_cdc_stored").isNull()
+                    | (F.col(self.precombine) >= F.col("_cdc_stored"))
+                )
+                .drop("_cdc_stored")
+            )
+        return self.merge(resolved, delete_col="_cdc_delete")
+
     def _merge_with_deletes(
         self, source: DataFrame, flag, delete_col: str
     ) -> str:
@@ -2951,10 +3025,16 @@ class Table:
         # Spark's struct ordering ranks a null field below any non-null,
         # so a null-precombine row only wins if every row for the key is
         # null-precombined (then max _seq = last in batch order wins).
+        # internal tie-break column: a RESERVED name, never a plausible
+        # user column — the previous '_seq' silently clobbered a user
+        # precombine column of the same name (found by the CDC-feed
+        # query, r11; F.col() resolves by name against the FINAL plan,
+        # so the row struct stored the monotonic id as the user value)
+        tie = "__engine_batch_order"
         row = F.struct(*[F.col(c) for c in df.columns])
-        order = F.struct(F.col(self.precombine), F.col("_seq"))
+        order = F.struct(F.col(self.precombine), F.col(tie))
         return (
-            df.withColumn("_seq", F.monotonically_increasing_id())
+            df.withColumn(tie, F.monotonically_increasing_id())
             .groupBy(self.key)
             .agg(F.max_by(row, order).alias("_best"))
             .select("_best.*")

@@ -487,3 +487,21 @@ def test_batch_guard_survives_archive(spark, tpath):
     # archive path by checking an id only the archive can adjudicate
     assert t.insert(sdf(spark, [(1, 1, "y")]), batch_id="3") is None
     assert t.insert(sdf(spark, [(1, 1, "y")]), batch_id="99") is not None
+
+
+def test_user_column_named_seq_survives_upsert(spark, tmp_path):
+    """The batch-dedup tie-break once used '_seq' internally and
+    silently clobbered a user column of that name (stored the
+    monotonic id as the user value) — found via the CDC-feed query."""
+    t = Table.create(
+        spark, str(tmp_path / "s"), key="k", precombine="_seq",
+        table_name="s",
+    )
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 7, "b"), (2, 3, "c")],
+        "k int, _seq long, v string",
+    )
+    t.upsert(df)
+    assert rows_of(t.snapshot(), "k", "_seq", "v") == [
+        (1, 7, "b"), (2, 3, "c"),
+    ]
