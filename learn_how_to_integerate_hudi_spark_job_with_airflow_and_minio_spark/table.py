@@ -1730,30 +1730,60 @@ class Table:
 
         if op_col not in events.columns:
             raise ValueError(f"events batch has no op column {op_col!r}")
+        tie = "__engine_batch_order"
+        if tie in events.columns:
+            raise ValueError(f"{tie!r} is a reserved internal column")
         ops = F.upper(F.col(op_col))
-        # bounded probe: fail loud on unknown change codes rather than
-        # silently treating them as upserts
-        bad = (
-            events.where(~ops.isin("C", "R", "I", "U", "D"))
-            .select(op_col)
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise ValueError(
-                f"unknown CDC op code {bad[0][0]!r} — expected one of "
-                "c/r/i/u (upsert) or d (delete), any case"
+        # persist once: the probe below and the resolution/merge would
+        # otherwise re-evaluate a non-deterministic source lineage —
+        # rows the probe never saw could slip past the fail-loud gate
+        # (the same dual-evaluation hazard merge() persists against)
+        from pyspark import StorageLevel
+
+        events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # bounded probe: fail loud on unknown OR NULL change codes
+            # rather than silently treating them as upserts (a bare
+            # ~isin is NULL for a NULL code and where() drops it)
+            bad = (
+                events.where(
+                    ops.isNull() | ~ops.isin("C", "R", "I", "U", "D")
+                )
+                .select(op_col)
+                .limit(1)
+                .collect()
             )
-        w = W.partitionBy(self.key).orderBy(
-            F.col(self.precombine).desc(),
-            (ops == "D").cast("int").desc(),
+            if bad:
+                raise ValueError(
+                    f"unknown CDC op code {bad[0][0]!r} — expected one of "
+                    "c/r/i/u (upsert) or d (delete), any case"
+                )
+            return self._apply_cdc_resolved(events, op_col, ops, tie)
+        finally:
+            events.unpersist()
+
+    def _apply_cdc_resolved(self, events, op_col, ops, tie) -> str:
+        # last event per key, resolved with the SAME partial-
+        # aggregatable max_by shape as _dedup_batch (a row_number
+        # window would serialize a hot replication key on one task):
+        # order = (precombine, is_delete, batch order) — ties at equal
+        # precombine go to delete (the safe side), then to feed order,
+        # so equal-timestamp update pairs resolve deterministically.
+        row = F.struct(*[F.col(c) for c in events.columns])
+        order = F.struct(
+            F.col(self.precombine),
+            (ops == "D").cast("int"),
+            F.col(tie),
         )
         last = (
-            events.withColumn("_cdc_rn", F.row_number().over(w))
-            .where(F.col("_cdc_rn") == 1)
-            .drop("_cdc_rn")
+            events.withColumn(tie, F.monotonically_increasing_id())
+            .groupBy(self.key)
+            .agg(F.max_by(row, order).alias("_e"))
+            .select("_e.*")
         )
-        resolved = last.withColumn("_cdc_delete", ops == "D").drop(op_col)
+        resolved = last.withColumn(
+            "_cdc_delete", F.upper(F.col(op_col)) == "D"
+        ).drop(op_col)
         if self.latest_commit() is not None:
             # the engine's plain upsert is incoming-wins (Hudi's
             # OverwriteWithLatest); CDC apply needs the COMPARED payload
@@ -3031,6 +3061,11 @@ class Table:
         # query, r11; F.col() resolves by name against the FINAL plan,
         # so the row struct stored the monotonic id as the user value)
         tie = "__engine_batch_order"
+        if tie in df.columns:
+            # fail loud instead of moving the '_seq' clobber bug to a
+            # rarer name: withColumn would replace the user's values
+            # and the row struct resolves by name against the final plan
+            raise ValueError(f"{tie!r} is a reserved internal column")
         row = F.struct(*[F.col(c) for c in df.columns])
         order = F.struct(F.col(self.precombine), F.col(tie))
         return (
@@ -5167,11 +5202,14 @@ class TableServices:
         if synced is not None and exists and pf:
             if synced >= latest:
                 return []
-            if set(spark.table(ident).columns) != set(snap.columns):
-                # schema evolved (ADD/DROP/RENAME/type change) since the
+            if dict(spark.table(ident).dtypes) != dict(snap.dtypes):
+                # schema evolved (ADD/DROP/RENAME/TYPE change) since the
                 # mirror was created — the incremental insertInto path
-                # would silently drop new columns or fail analysis on
-                # retired ones; fall back to a full resync (fail-closed)
+                # would silently drop new columns, fail analysis on
+                # retired ones, or store-assign a widened type into the
+                # mirror's narrow column (ANSI overflow at best, a
+                # permanently narrowed mirror at worst) — name-AND-type
+                # compare, fall back to a full resync (fail-closed)
                 touched = None
             else:
                 touched = self._touched_partitions(synced, latest, pf)
@@ -5237,16 +5275,22 @@ class TableServices:
             set(touched) - present, key=lambda x: tuple(map(repr, x))
         ):
             spec = ", ".join(
-                # single quotes doubled: a value like o'brien must not
-                # break the statement (or smuggle SQL in). A null
-                # component names the hive default-partition sentinel —
-                # OMITTING it would broaden the spec and drop every
-                # sibling partition under the non-null components.
+                # backslashes doubled FIRST (Spark string literals
+                # process \-escapes by default: an unescaped trailing
+                # backslash eats the closing quote, an inner one
+                # corrupts the value into a silent IF EXISTS no-op),
+                # then single quotes doubled (o'brien must not break
+                # the statement or smuggle SQL in). A null component
+                # names the hive default-partition sentinel — OMITTING
+                # it would broaden the spec and drop every sibling
+                # partition under the non-null components.
                 "{} = '{}'".format(
                     col,
                     "__HIVE_DEFAULT_PARTITION__"
                     if raw is None
-                    else str(raw).replace("'", "''"),
+                    else str(raw)
+                    .replace("\\", "\\\\")
+                    .replace("'", "''"),
                 )
                 for col, raw in zip(pf, tup)
             )

@@ -228,3 +228,60 @@ def test_null_partition_drop_does_not_broaden(spark, tmp_path):
         assert rows_of(spark.table(ident), "k", "st") == [(2, "keep")]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_type_change_falls_back_to_full_sync(spark, tmp_path):
+    """ALTER COLUMN TYPE keeps the column-name set identical — the
+    name-only compare missed it and insertInto would store-assign a
+    widened value into the mirror's narrow column."""
+    t = Table.create(
+        spark, str(tmp_path / "ty"), key="k", precombine="seq",
+        table_name="ty", partition_fields=["st"],
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 1, "F", 10), (2, 1, "O", 20)],
+            "k int, seq int, st string, amt int",
+        )
+    )
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        svc.sync_spark_catalog(ident, location=loc)
+        t.alter_column_type("amt", "bigint")
+        t.upsert(
+            spark.createDataFrame(
+                [(3, 1, "F", 3_000_000_000)],
+                "k int, seq int, st string, amt bigint",
+            )
+        )
+        assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+        got = {r["k"]: r["amt"] for r in spark.table(ident).collect()}
+        assert got[3] == 3_000_000_000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_backslash_partition_value_drop(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "bs"), key="k", precombine="seq",
+        table_name="bs", partition_fields=["st"],
+    )
+    t.bulk_insert(
+        sdf(spark, [(1, 1, "C:\\data", 1.0), (2, 1, "plain", 2.0)])
+    )
+    svc = TableServices(t)
+    import uuid
+
+    ident = f"eng_sync_test_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        svc.sync_spark_catalog(ident, location=loc)
+        t.delete_partition({"st": "C:\\data"})
+        assert svc.sync_spark_catalog(ident, location=loc) == ["C:\\data"]
+        assert rows_of(spark.table(ident), "k") == [(2,)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")

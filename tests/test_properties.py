@@ -620,10 +620,12 @@ def test_rename_evolution_algebra(spark, tmp_path_factory, ops):
             for k, v in batch:  # within-batch max(ver) wins
                 best[k] = max(best.get(k, -1), v)
             for k, v in best.items():
-                if k not in rows or v >= rows[k]["ver"]:
-                    rows[k] = {
-                        "ver": v, **{n: f"{n}={k}.{v}" for n in cols}
-                    }
+                # vs the STORED row the engine upsert is INCOMING-WINS
+                # (Hudi OverwriteWithLatest) — precombine only resolves
+                # within the batch, so the batch winner always replaces
+                rows[k] = {
+                    "ver": v, **{n: f"{n}={k}.{v}" for n in cols}
+                }
             _commit(c)
         elif op[0] == "rename":
             old = cols[op[1] % len(cols)]

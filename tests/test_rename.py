@@ -505,3 +505,96 @@ def test_user_column_named_seq_survives_upsert(spark, tmp_path):
     assert rows_of(t.snapshot(), "k", "_seq", "v") == [
         (1, 7, "b"), (2, 3, "c"),
     ]
+
+
+def test_cdc_feed_basic_and_late_replay(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "cdc"), key="id", precombine="ver",
+        table_name="cdc",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a", "c"), (2, 1, "b", "c"), (3, 1, "x", "c"),
+            (2, 2, "b2", "u"),          # update after create
+            (3, 2, None, "d"),          # create -> delete ⇒ gone
+            (4, 1, "ghost", "d"),       # delete for unknown key: no-op
+        ],
+        "id long, ver long, val string, _op string",
+    )
+    t.apply_cdc_feed(ev)
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [
+        (1, 1, "a"), (2, 2, "b2"),
+    ]
+    # late replay below the stored precombine: fully discarded
+    late = spark.createDataFrame(
+        [(1, 0, "stale", "u"), (2, 0, None, "d")],
+        "id long, ver long, val string, _op string",
+    )
+    t.apply_cdc_feed(late)
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [
+        (1, 1, "a"), (2, 2, "b2"),
+    ]
+
+
+def test_cdc_feed_delete_then_update_upserts(spark, tmp_path):
+    """Feed order wins: insert→delete→update (increasing ver) must
+    upsert the final payload — plain merge() would resolve the mixed
+    key to DELETE."""
+    t = Table.create(
+        spark, str(tmp_path / "cdc2"), key="id", precombine="ver",
+        table_name="cdc2",
+    )
+    ev = spark.createDataFrame(
+        [(1, 1, "a", "c"), (1, 2, None, "d"), (1, 3, "back", "u")],
+        "id long, ver long, val string, _op string",
+    )
+    t.apply_cdc_feed(ev)
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 3, "back")]
+
+
+def test_cdc_feed_equal_precombine_deterministic(spark, tmp_path):
+    """Equal precombine: delete beats upsert (safe side); two upserts
+    resolve by FEED order (batch-order tie-break, not an arbitrary
+    window row)."""
+    t = Table.create(
+        spark, str(tmp_path / "cdc3"), key="id", precombine="ver",
+        table_name="cdc3",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "first", "c"), (1, 1, "second", "u"),  # same ver
+            (2, 1, "keep", "c"), (2, 1, None, "d"),       # delete wins
+        ],
+        "id long, ver long, val string, _op string",
+    )
+    t.apply_cdc_feed(ev)
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 1, "second")]
+
+
+def test_cdc_feed_rejects_null_and_unknown_ops(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "cdc4"), key="id", precombine="ver",
+        table_name="cdc4",
+    )
+    bad = spark.createDataFrame(
+        [(1, 1, "a", "x")], "id long, ver long, val string, _op string"
+    )
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        t.apply_cdc_feed(bad)
+    nul = spark.createDataFrame(
+        [(1, 1, "a", None)], "id long, ver long, val string, _op string"
+    )
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        t.apply_cdc_feed(nul)
+
+
+def test_reserved_internal_column_rejected(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "resv"), key="id", precombine="ver",
+        table_name="resv",
+    )
+    df = spark.createDataFrame(
+        [(1, 1, 7)], "id long, ver long, __engine_batch_order long"
+    )
+    with pytest.raises(ValueError, match="reserved internal column"):
+        t.upsert(df)
