@@ -738,6 +738,8 @@ def call_procedure(
       readable).
     - ``archive_commits(table[, keep_active])`` — fold old manifests
       into the archive (default keep_active 20).
+    - ``show_rollbacks(table[, limit])`` — the restore commits
+      (every rollback publishes ``action='restore'``), newest first.
     - ``show_archived_commits(table[, limit])`` — timeline rows
       already folded out of the active window.
     - ``commits_compare(table, other => '<name>')`` — commit-depth
@@ -755,7 +757,7 @@ def call_procedure(
         "show_savepoints", "create_savepoint", "delete_savepoint",
         "rollback_to_savepoint", "rollback_to_instant", "run_compaction",
         "run_clustering", "run_clean", "archive_commits",
-        "show_archived_commits", "commits_compare",
+        "show_archived_commits", "commits_compare", "show_rollbacks",
     }
     if name not in known:
         raise ValueError(f"unknown CALL procedure {name!r}")
@@ -772,6 +774,19 @@ def call_procedure(
         kw = _take("limit")
         limit = int(kw.get("limit", 10))
         return t.history_df().orderBy(F.desc("commit")).limit(limit)
+    if name == "show_rollbacks":
+        # Hudi's show_rollbacks: the timeline rows where the table was
+        # rolled back — every restore commit (rollback_to_savepoint /
+        # rollback_to_instant / RESTORE all publish action='restore'),
+        # newest first; manifest headers only
+        kw = _take("limit")
+        limit = int(kw.get("limit", 10))
+        return (
+            t.history_df()
+            .where(F.col("action") == "restore")
+            .orderBy(F.desc("commit"))
+            .limit(limit)
+        )
     if name == "show_archived_commits":
         # Hudi's show_archived_commits: timeline rows already folded
         # out of the active window by archive_commits — manifest

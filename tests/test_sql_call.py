@@ -345,3 +345,26 @@ def test_run_clustering_bucket_count_rejects_sizing_arg(spark, tmp_path):
             "target_records_per_file => 1000)",
             {"bt": t},
         )
+
+
+def test_show_rollbacks(spark, t):
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_dml import (
+        call_procedure,
+    )
+
+    tabs = {"t": t}
+    c1 = t.latest_commit()
+    assert (
+        call_procedure(spark, "CALL show_rollbacks(table => 't')", tabs)
+        .count()
+        == 0
+    )
+    call_procedure(
+        spark,
+        f"CALL rollback_to_instant(table => 't', instant_time => '{c1}')",
+        tabs,
+    )
+    rows = call_procedure(
+        spark, "CALL show_rollbacks(table => 't')", tabs
+    ).collect()
+    assert len(rows) == 1 and rows[0]["action"] == "restore"
