@@ -59,70 +59,76 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-11 window (stalest-green rule, standing rotation):
-# (0) the 4 round-10 late births that never had a driver row
-# (registered after the r10 rotation; staleness computed from
-# CORRECTNESS_r0{1..10}.json key sets);
-# (1) all 36 queries whose latest driver row dates from round 6;
-# (2) the 10 alphabetically-first round-7-stale agg_* rows, filling
-# to 50. After this round no query's latest driver row predates
-# round 7 except the remaining r7 rows themselves. The whole
-# catalog stays covered by tests/test_catalog_oracle.py every
-# round regardless of the window.
+# Round-12 window (stalest-green rule, standing rotation, per the r11
+# verdict's prescription):
+# (0) the 7 round-11 births that have never had a driver row
+# (registered after the r11 rotation; staleness computed from
+# CORRECTNESS_r0{1..11}.json key sets) — after this round ZERO
+# queries remain with no driver row ever;
+# (1) all 40 queries whose latest driver row dates from round 7;
+# (2) three round-8-stale rows filling to 50. The r11 verdict named
+# "the 3 alphabetically-first r8-stale rows (starting
+# decontaminate_substring_incremental)", which is internally
+# inconsistent (agg_* rows sort first); we take the judge-named
+# anchor plus the other two r8 rows whose ONLY driver row ever is
+# round 8 (decontaminate_incremental, agg_tpch_q6) — this also
+# covers both decontaminate_* r10→r11 bench regressors with fresh
+# driver rows. The whole catalog stays covered by
+# tests/test_catalog_oracle.py every round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 10 (post-rotation) - first driver row ever
-    "table_sql_delete_update_subquery",
-    "table_bucket_resize",
-    "table_sql_optimize_partition",
-    "table_auto_index_upsert",
-    # (1) latest driver row = round 6 (all 36)
-    "scalar_array_funcs",
-    "scalar_date_funcs",
-    "scalar_string_funcs",
-    "sim_matmul_topk",
-    "sim_topk_bruteforce",
-    "sql_catalog_attach",
-    "stream_foreachbatch_upsert",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_table_feed",
-    "stream_tumbling_window",
-    "table_clean_snapshot",
-    "table_compaction_snapshot",
-    "table_delete_snapshot",
-    "table_delete_where",
-    "table_merge_mixed",
-    "table_mor_compaction",
-    "table_mor_read_optimized",
-    "table_restore",
-    "table_update_where",
-    "text_bigram_logprob",
-    "text_bpe_token_count",
-    "text_chunk_sliding",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_quality",
-    "text_quality_classifier",
-    "text_redact_pii",
-    "text_token_stats",
-    "ts_anomaly_zscore",
-    "ts_ewma_grouped",
-    "ts_moving_median",
-    "win_rank_percent",
-    "win_running_sum",
-    "win_topk_per_group",
-    # (2) latest driver row = round 7 (alphabetical agg_* fill to 50)
-    "agg_approx_distinct",
-    "agg_bool",
-    "agg_corr_covar",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_exact_percentile",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_rollup",
+    # (0) born round 11 (post-rotation) - first driver row ever
+    "join_tpch_q4",
+    "join_tpch_q12",
+    "join_tpch_q21",
+    "table_catalog_sync",
+    "table_cdc_apply_feed",
+    "table_sql_rename_column",
+    "text_bm25_search",
+    # (1) latest driver row = round 7 (all 40)
+    "agg_string_agg",
+    "agg_variance_stddev",
+    "decontaminate_ngram_overlap",
+    "dedup_apply_keep_representative",
+    "dedup_semantic_incremental",
+    "explode_token_counts",
+    "fuzzy_match_pairs",
+    "join_tpch_q3",
+    "multimodal_frames",
+    "multimodal_resize",
+    "orderby_nulls_ordering",
+    "pandas_udf_scalar",
+    "q02_flagship_join",
+    "sample_domain_mix",
+    "scalar_case_coalesce",
+    "scalar_cast_chain",
+    "scalar_hash_funcs",
+    "scalar_json_funcs",
+    "scalar_levenshtein",
+    "scalar_math_funcs",
+    "scalar_regexp_extended",
+    "setop_all_variants",
+    "sim_ivf_cells",
+    "sim_ivf_probe",
+    "sim_lsh_ann",
+    "skew_salted_join",
+    "source_csv_roundtrip",
+    "stream_dedup_watermark",
+    "stream_multimodal_feed",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "table_cdc_changes",
+    "table_insert_overwrite_dynamic",
+    "table_mor_partitioned_pruning",
+    "table_schema_evolution",
+    "table_sql_merge_into",
+    "table_zorder_compaction",
+    "text_pack_sequences",
+    "text_tfidf_top_terms",
+    "win_first_last",
+    # (2) round-8-stale fill to 50 (see rationale above)
+    "decontaminate_substring_incremental",
+    "decontaminate_incremental",
+    "agg_tpch_q6",
 ]
 
 

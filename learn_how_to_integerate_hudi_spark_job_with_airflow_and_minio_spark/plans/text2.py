@@ -590,9 +590,9 @@ _BM25_QUERIES = [
         scored AS (
             SELECT tf.query_id, tf.doc_id,
                    CAST(round(
-                       ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
-                           / (df.df + 0.5) + 1.0)
-                       * ((tf.tf * 2.2)
+                       round(ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
+                                / (df.df + 0.5) + 1.0), 6)
+                       * ((tf.tf * CAST(2.2 AS DOUBLE))
                           / (tf.tf + 1.2 * (0.25 + 0.75
                              * (dl.dl / (CAST(n.total AS DOUBLE)
                                          / n.n_docs))))),
@@ -624,8 +624,9 @@ _BM25_QUERIES = [
     "the exploded token stream, so only matching postings survive the "
     "first join (at 100 TB the per-term posting lists, never the "
     "corpus, flow through tf/df aggregation); doc-length "
-    "normalization joins one COUNT-per-doc aggregate; per-term scores "
-    "rounded to 6dp and summed as DECIMAL so both engines rank "
+    "normalization joins one COUNT-per-doc aggregate; idf rounded to 6dp "
+    "before the product (ln is the one non-portable libm op), per-term "
+    "scores rounded to 6dp and summed as DECIMAL so both engines rank "
     "identical exact values (ties broken by doc_id); top-5 per query "
     "via one window",
 )
@@ -653,9 +654,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        + 1.0
+    # ln() is the one libm op with cross-engine ulp drift (BASELINE
+    # history) — round the idf itself to 6dp on BOTH sides so the later
+    # product-level round(.,6) never sees a boundary-tie seeded by ln.
+    idf = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        6,
     )
     tfn = (F.col("tf") * 2.2) / (
         F.col("tf")
