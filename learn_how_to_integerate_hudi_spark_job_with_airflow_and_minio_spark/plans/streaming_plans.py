@@ -186,7 +186,13 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             # batch_id = replay guard: a restart-replayed epoch is
             # recognized from the commit metadata and skipped, making
             # the sink exactly-once under at-least-once delivery
-            gold.upsert(batch_df.drop(META_COL), batch_id=str(epoch_id))
+            # sink_id scopes the replay guard to THIS query's checkpoint
+            # identity — a second query on the table never collides
+            gold.upsert(
+                batch_df.drop(META_COL),
+                batch_id=str(epoch_id),
+                sink_id="gold_feed",
+            )
 
     q = (
         src.read_stream()
@@ -581,6 +587,7 @@ def stream_multimodal_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "_h", "ahash"
                 ),
                 batch_id=str(epoch_id),
+                sink_id="ahash_feed",
             )
 
     q = (

@@ -1127,8 +1127,13 @@ class Table:
             vmaps = self._vintage_mappings(
                 self.current_files(), schema, None
             )
+            # a vintage is stale only when a column's PHYSICAL name is
+            # present and differs from the current name — a None entry
+            # means the column was ADDED after that vintage, and
+            # evolution-on-append (typed nulls) is the documented
+            # contract there, same as the batch path
             stale = any(
-                any(mp.get(n, n) != n for n in (mp or {}))
+                any(mp.get(n, n) not in (n, None) for n in (mp or {}))
                 for mp in (vmaps or {}).values()
             )
             if stale:
@@ -1151,6 +1156,7 @@ class Table:
         df: DataFrame,
         occ_retries: int = 0,
         batch_id: str | None = None,
+        sink_id: str | None = None,
     ) -> str | None:
         """Merge a batch: new keys inserted, existing keys replaced (K1/K2).
 
@@ -1164,6 +1170,18 @@ class Table:
         ids are monotone per streaming query, so the ≤ rule also
         covers a multi-batch replay window. Exactly-once per batch
         composes from at-least-once delivery + this guard.
+
+        ``sink_id``: scopes the replay guard to ONE streaming query's
+        checkpoint identity (Hudi scopes its checkpoint-in-metadata the
+        same way). Epoch ids from different queries are unrelated
+        sequences, so the guard only compares against commits stamped
+        with the SAME sink_id — two streaming queries writing one table
+        (distinct sink_ids) never skip each other's batches, and a
+        query restarted with a FRESH checkpoint directory (epoch ids
+        restart at 0) must use a new sink_id to avoid its real batches
+        being mistaken for replays. ``None`` (batch callers, legacy
+        manifests) is itself an identity: unscoped stamps only compare
+        with unscoped stamps.
 
         ``occ_retries``: optimistic concurrency for multi-writer upserts.
         The manifest publish is an ATOMIC exclusive create, so two
@@ -1191,7 +1209,9 @@ class Table:
         write path, ``create_hudi_tables.py:110,124``); reconciliation
         happens at read (:meth:`_merge_view`) or at compaction.
         """
-        if batch_id is not None and self._batch_already_applied(batch_id):
+        if batch_id is not None and self._batch_already_applied(
+            batch_id, sink_id
+        ):
             return None
         attempts = max(0, occ_retries) + 1
         for i in range(attempts):
@@ -1201,20 +1221,29 @@ class Table:
                     # the retry is O(batch) — no merge to re-run; close to
                     # Hudi 1.0's non-blocking concurrency for append-only
                     # delta writers
-                    return self._delta_write(df, batch_id=batch_id)
-                return self._merge_write(df, action="upsert", batch_id=batch_id)
+                    return self._delta_write(
+                        df, batch_id=batch_id, sink_id=sink_id
+                    )
+                return self._merge_write(
+                    df, action="upsert", batch_id=batch_id, sink_id=sink_id
+                )
             except RuntimeError as exc:
                 if "concurrent writer" not in str(exc) or i == attempts - 1:
                     raise
         raise AssertionError("unreachable")
 
-    def _batch_already_applied(self, batch_id: str) -> bool:
-        """True when a commit already carries this streaming batch id
-        (or a LATER one — epoch ids are monotone per query): the
-        micro-batch is a restart replay of work that durably published.
-        Walks the active timeline newest-first to the most recent
-        stamped id — O(1) manifest reads for an all-streaming table,
-        bounded by the archived horizon otherwise."""
+    def _batch_already_applied(
+        self, batch_id: str, sink_id: str | None = None
+    ) -> bool:
+        """True when a commit FROM THE SAME SINK already carries this
+        streaming batch id (or a LATER one — epoch ids are monotone per
+        query): the micro-batch is a restart replay of work that durably
+        published. Scoped per writer identity (``batch_sink`` in the
+        manifest; ``None``/absent is the unscoped-legacy identity) so
+        concurrent streaming queries never suppress each other. Walks
+        the active timeline newest-first to the most recent stamped id
+        for this sink — O(1) manifest reads for a single-sink streaming
+        table, bounded by the timeline otherwise."""
         def _cmp(last: str) -> bool:
             try:
                 return int(batch_id) <= int(last)
@@ -1222,8 +1251,9 @@ class Table:
                 return batch_id == last
 
         for c in reversed(self.commits()):
-            last = self._manifest(c).get("batch_id")
-            if last is not None:
+            m = self._manifest(c)
+            last = m.get("batch_id")
+            if last is not None and m.get("batch_sink") == sink_id:
                 return _cmp(last)
         # archive fallback: archive_timeline may have folded every
         # stamped manifest out of the active window — going blind there
@@ -1231,18 +1261,24 @@ class Table:
         arch = self._archived_manifests()
         for c in sorted(arch, reverse=True):
             last = arch[c].get("batch_id")
-            if last is not None:
+            if last is not None and arch[c].get("batch_sink") == sink_id:
                 return _cmp(last)
         return False
 
-    def _delta_write(self, df: DataFrame, batch_id: str | None = None) -> str:
+    def _delta_write(
+        self,
+        df: DataFrame,
+        batch_id: str | None = None,
+        sink_id: str | None = None,
+    ) -> str:
         self._validate_batch(df)
         df = self._gate_constraints(df)
         commit = self._next_commit()
         batch = self._dedup_batch(df).withColumn(META_COL, F.lit(commit))
         added = self._write_files(batch, commit, kind="delta")
         self._publish(
-            commit, "deltacommit", added, [], batch.schema, batch_id=batch_id
+            commit, "deltacommit", added, [], batch.schema,
+            batch_id=batch_id, sink_id=sink_id,
         )
         return commit
 
@@ -1251,6 +1287,7 @@ class Table:
         df: DataFrame,
         dedup_batch: bool = True,
         batch_id: str | None = None,
+        sink_id: str | None = None,
     ) -> str | None:
         """Append without merging into existing keys (Hudi 'insert' op).
 
@@ -1260,9 +1297,12 @@ class Table:
         is Hudi's own default (``hoodie.combine.before.insert=false``)
         and makes the commit a single map-only write job.
 
-        ``batch_id``: streaming replay guard — see :meth:`upsert`;
-        returns None (nothing written) for a replayed micro-batch."""
-        if batch_id is not None and self._batch_already_applied(batch_id):
+        ``batch_id`` / ``sink_id``: streaming replay guard scoped per
+        writer identity — see :meth:`upsert`; returns None (nothing
+        written) for a replayed micro-batch."""
+        if batch_id is not None and self._batch_already_applied(
+            batch_id, sink_id
+        ):
             return None
         self._validate_batch(df, need_precombine=dedup_batch)
         df = self._gate_constraints(df)
@@ -1271,7 +1311,8 @@ class Table:
         stamped = batch.withColumn(META_COL, F.lit(commit))
         added = self._write_files(stamped, commit)
         self._publish(
-            commit, "insert", added, [], stamped.schema, batch_id=batch_id
+            commit, "insert", added, [], stamped.schema,
+            batch_id=batch_id, sink_id=sink_id,
         )
         return commit
 
@@ -3076,7 +3117,11 @@ class Table:
         )
 
     def _merge_write(
-        self, df: DataFrame, action: str, batch_id: str | None = None
+        self,
+        df: DataFrame,
+        action: str,
+        batch_id: str | None = None,
+        sink_id: str | None = None,
     ) -> str:
         self._validate_batch(df)
         df = self._gate_constraints(df)
@@ -3099,7 +3144,8 @@ class Table:
                     removed = self._to_rel(affected)
         added = self._write_files(out, commit)
         self._publish(
-            commit, action, added, removed, out.schema, batch_id=batch_id
+            commit, action, added, removed, out.schema,
+            batch_id=batch_id, sink_id=sink_id,
         )
         return commit
 
@@ -3927,6 +3973,7 @@ class Table:
         schema: StructType | None,
         field_ids: dict[str, str] | None = None,
         batch_id: str | None = None,
+        sink_id: str | None = None,
     ) -> None:
         manifest_path = posixpath.join(self._commits_dir(), f"{commit}.json")
         ids_used: set[str] | None = None
@@ -3971,8 +4018,12 @@ class Table:
         if batch_id is not None:
             # streaming replay guard (Hudi's checkpoint-in-commit-metadata):
             # foreachBatch writers stamp the epoch id so a restart-replayed
-            # micro-batch is recognized and skipped (see upsert/insert)
+            # micro-batch is recognized and skipped (see upsert/insert);
+            # batch_sink scopes the guard to one query's checkpoint
+            # identity (absent = unscoped legacy/batch identity)
             manifest["batch_id"] = batch_id
+            if sink_id is not None:
+                manifest["batch_sink"] = sink_id
         # the write that fed this publish is fully materialized on disk —
         # release any batch blocks persisted for it (success OR race
         # failure: a retry re-runs the gate and re-persists)
@@ -5196,12 +5247,16 @@ class TableServices:
         if latest is None:
             raise ValueError("cannot sync an empty table")
         synced = (t.meta.get("catalog_sync") or {}).get(ident)
-        snap = t.snapshot().drop(META_COL)
         exists = spark.catalog.tableExists(ident)
+        if synced is not None and exists and synced >= latest:
+            # up-to-date mirror is a no-op for UNPARTITIONED tables too
+            # (r11-advice: this check lived inside the partitioned-only
+            # branch, so an up-to-date flat table re-ran the full CTAS
+            # on every sync call)
+            return []
+        snap = t.snapshot().drop(META_COL)
         touched: list[tuple] | None = None
         if synced is not None and exists and pf:
-            if synced >= latest:
-                return []
             if dict(spark.table(ident).dtypes) != dict(snap.dtypes):
                 # schema evolved (ADD/DROP/RENAME/TYPE change) since the
                 # mirror was created — the incremental insertInto path

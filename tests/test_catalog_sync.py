@@ -56,6 +56,31 @@ def test_full_then_noop(spark, synced):
     assert svc.sync_spark_catalog(ident, location=loc) == []
 
 
+def test_unpartitioned_up_to_date_is_noop(spark, tmp_path):
+    """r11-advice: the `synced >= latest` shortcut lived inside the
+    partitioned-only branch, so an up-to-date UNPARTITIONED table
+    re-ran the full-snapshot CTAS (and returned ["*"]) on every call."""
+    import uuid
+
+    t = Table.create(
+        spark, str(tmp_path / "t"), key="k", precombine="seq",
+        table_name="t",
+    )
+    t.bulk_insert(sdf(spark, [(1, 1, "F", 10.0), (2, 1, "O", 20.0)]))
+    svc = TableServices(t)
+    ident = f"eng_sync_flat_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "mirror")
+    try:
+        assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+        assert svc.sync_spark_catalog(ident, location=loc) == []
+        # new data still propagates after the no-op
+        t.upsert(sdf(spark, [(3, 1, "P", 30.0)]))
+        assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+        assert rows_of(spark.table(ident), "k") == [(1,), (2,), (3,)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
 def test_incremental_touches_only_changed_partitions(spark, synced):
     t, svc, ident, loc = synced
     svc.sync_spark_catalog(ident, location=loc)

@@ -335,6 +335,33 @@ def test_batch_id_insert_and_non_numeric(spark, tpath):
     assert len(t.commits()) == 2
 
 
+def test_batch_id_guard_is_scoped_per_sink(spark, tpath):
+    """r11-verdict medium advice: the guard was table-global, so a
+    SECOND streaming query writing the same table (its own epoch
+    sequence restarting at 0) had real micro-batches silently skipped.
+    Scoped per sink_id, the two queries never suppress each other,
+    while each sink's own replays are still caught — and the unscoped
+    (None) identity only compares with unscoped stamps."""
+    t = make_table(spark, tpath)
+    assert t.upsert(sdf(spark, [(1, 5, "a")]), batch_id="3",
+                    sink_id="qA") is not None
+    # a different query's epoch 0 is NOT a replay of qA's epoch 3
+    assert t.upsert(sdf(spark, [(2, 1, "b")]), batch_id="0",
+                    sink_id="qB") is not None
+    # nor is an unscoped batch writer's id 0
+    assert t.upsert(sdf(spark, [(3, 1, "c")]), batch_id="0") is not None
+    # but each identity's own replay window still holds
+    assert t.upsert(sdf(spark, [(1, 5, "a")]), batch_id="2",
+                    sink_id="qA") is None
+    assert t.upsert(sdf(spark, [(2, 1, "b")]), batch_id="0",
+                    sink_id="qB") is None
+    assert t.upsert(sdf(spark, [(3, 1, "c")]), batch_id="0") is None
+    assert len(t.commits()) == 3
+    assert rows_of(t.snapshot(), "id", "val") == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
 def test_batch_id_stamped_in_history(spark, tpath):
     t = make_table(spark, tpath)
     t.upsert(sdf(spark, [(1, 1, "a")]), batch_id="7")
