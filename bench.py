@@ -230,11 +230,11 @@ PRINT_OMIT = {
 # factor always reads this-round weather vs last round), so the
 # sentinel is only stamped when benching sf0.1.
 SENTINEL_REF = {
-    # re-stamped r11 from the BENCH_r10 driver medians (protocol: refs
+    # re-stamped r12 from the BENCH_r11 driver medians (protocol: refs
     # always come from the previous round's driver bench)
-    "q02_flagship_join": 0.57,
-    "win_topk_per_group": 0.36,
-    "text_quality": 0.29,
+    "q02_flagship_join": 0.65,
+    "win_topk_per_group": 0.29,
+    "text_quality": 0.33,
 }
 
 

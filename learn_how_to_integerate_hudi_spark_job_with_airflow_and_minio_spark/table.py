@@ -194,6 +194,7 @@ class Table:
         bucket_count: int = 0,
         auto_index: list[str] | None = None,
         pre_commit_validators: dict | None = None,
+        cdc_tombstone_hours: float | None = None,
     ) -> "Table":
         if table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be 'cow' or 'mor', got {table_type!r}")
@@ -256,6 +257,18 @@ class Table:
             # maintained async via the CALL/build services (covered-set
             # staleness is always correct either way).
             meta["auto_index"] = _validate_auto_index(auto_index, key)
+        if cdc_tombstone_hours is not None:
+            # CDC delete-marker retention window (hours): apply_cdc_feed
+            # records (key, precombine) of applied deletes in a sidecar
+            # and discards later-arriving upsert events at or below a
+            # retained tombstone — closing the re-insert-after-delete
+            # replay hazard every CDC applier shares. None (default) =
+            # legacy behavior, zero sidecar cost per apply.
+            if cdc_tombstone_hours <= 0:
+                raise ValueError(
+                    "cdc_tombstone_hours must be > 0 (or None to disable)"
+                )
+            meta["cdc_tombstone_hours"] = float(cdc_tombstone_hours)
         if pre_commit_validators:
             # Hudi pre-commit validator family
             # (hoodie.precommit.validators —
@@ -1760,9 +1773,15 @@ class Table:
         insert→delete→update must upsert the final payload. Events
         older than the stored row's precombine are discarded by the
         normal upsert ordering, so a late replay cannot clobber newer
-        state (caveat shared with every CDC applier: a late UPDATE for
-        a key whose DELETE already applied re-inserts it — retention of
-        delete markers upstream is the standard mitigation).
+        state. The remaining hazard every CDC applier shares — a late
+        UPDATE for a key whose DELETE already applied finds no stored
+        row and re-inserts it — is closed when the table was created
+        with ``cdc_tombstone_hours``: each apply records its deletes'
+        (key, precombine) in a ``_cdc_tombstones/`` sidecar, later
+        applies discard upsert events at or below a retained tombstone
+        (a genuinely NEWER re-insert still resurrects the key, which
+        is the CDC contract), and the cleaner prunes markers past the
+        window. Sidecar cost is O(deletes in window), never O(table).
 
         Cost: one window shuffle over the BATCH (never the table) +
         the merge envelope (affected files only).
@@ -1844,7 +1863,87 @@ class Table:
                 )
                 .drop("_cdc_stored")
             )
-        return self.merge(resolved, delete_col="_cdc_delete")
+        retain = self.meta.get("cdc_tombstone_hours")
+        if retain is not None:
+            tomb = self._retained_tombstones()
+            if tomb is not None:
+                # discard late upserts at or below a retained delete
+                # marker (<=, matching the batch resolver's tie-to-
+                # delete rule so a replayed equal-precombine
+                # update/delete pair resolves the same way across
+                # batches); deletes pass through — re-deleting a dead
+                # key is a no-op downstream
+                resolved = (
+                    resolved.join(tomb, self.key, "left")
+                    .where(
+                        F.col("_cdc_tomb").isNull()
+                        | F.col("_cdc_delete")
+                        | (F.col(self.precombine) > F.col("_cdc_tomb"))
+                    )
+                    .drop("_cdc_tomb")
+                )
+        commit = self.merge(resolved, delete_col="_cdc_delete")
+        if retain is not None:
+            self._record_tombstones(
+                resolved.where(F.col("_cdc_delete")).select(
+                    self.key, self.precombine
+                ),
+                commit,
+            )
+        return commit
+
+    def _cdc_tombstone_root(self) -> str:
+        return posixpath.join(self.path, "_cdc_tombstones")
+
+    def _retained_tombstones(self) -> DataFrame | None:
+        """Unexpired delete markers as (key, max precombine per key =
+        ``_cdc_tomb``), or None when no marker sidecars are in the
+        retention window. Expiry is decided from the sidecar DIRECTORY
+        name (``<utc-ts>_<commit>/``) — zero data reads for pruning."""
+        dirs = self._tombstone_dirs(expired=False)
+        if not dirs:
+            return None
+        return (
+            self.spark.read.parquet(*dirs)
+            .groupBy(self.key)
+            .agg(F.max(self.precombine).alias("_cdc_tomb"))
+        )
+
+    def _record_tombstones(self, dels: DataFrame, commit: str) -> None:
+        """Persist one sidecar of this apply's delete markers. Written
+        AFTER the merge publishes — a crash between the two leaves the
+        legacy (marker-less) semantics for those deletes, never a
+        marker for an unpublished delete."""
+        if dels.isEmpty():
+            return  # delete-free apply: no sidecar to read back later
+        stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S%f")
+        out = posixpath.join(
+            self._cdc_tombstone_root(), f"{stamp}_{commit}"
+        )
+        dels.write.mode("overwrite").parquet(out)
+
+    def _tombstone_dirs(self, expired: bool) -> list[str]:
+        """Sidecar directories inside (expired=False) or past
+        (expired=True) the retention window."""
+        retain = self.meta.get("cdc_tombstone_hours")
+        root = self._cdc_tombstone_root()
+        if retain is None or not self.fs.exists(root):
+            return []
+        from datetime import timedelta
+
+        cutoff = (
+            datetime.now(timezone.utc) - timedelta(hours=float(retain))
+        ).strftime("%Y%m%dT%H%M%S%f")
+        names = {
+            posixpath.relpath(p, root).split("/")[0]
+            for p in self.fs.list(root)
+        }
+        keep = [
+            posixpath.join(root, n)
+            for n in sorted(names)
+            if (n.split("_")[0] < cutoff) == expired
+        ]
+        return keep
 
     def _merge_with_deletes(
         self, source: DataFrame, flag, delete_col: str
@@ -4885,6 +4984,16 @@ class TableServices:
         never deleted, live or not.
         """
         t = self.t
+        # CDC delete markers past their own retention window (the
+        # tombstone window is set at create time, independent of this
+        # call's data retention) — name-based expiry, zero data reads.
+        # Pruned before the data-retention shortcuts: an idle table's
+        # markers must still age out.
+        tomb_deleted = []
+        for d in t._tombstone_dirs(expired=True):
+            for f in t.fs.list(d):
+                t.fs.delete(f)
+            tomb_deleted.append(posixpath.relpath(d, t.path))
         arch = t._archived_manifests()
         commits = sorted({*t.commits(), *arch})
         if retain_hours is not None:
@@ -4893,7 +5002,7 @@ class TableServices:
                     f"retain_hours must be >= 0, got {retain_hours}"
                 )
             if not commits:
-                return []
+                return tomb_deleted
             from datetime import timedelta
 
             cutoff = (
@@ -4909,7 +5018,7 @@ class TableServices:
             protected |= set(t.savepoints())
         else:
             if len(commits) <= retain_commits and not t.savepoints():
-                return []
+                return tomb_deleted
             protected = set(commits[-(retain_commits + 1):]) | set(
                 t.savepoints()
             )
@@ -4932,7 +5041,7 @@ class TableServices:
             if t.fs.exists(t._abs(p)):
                 t.fs.delete(t._abs(p))
                 deleted.append(p)
-        return deleted
+        return deleted + tomb_deleted
 
     def should_compact(
         self, max_delta_commits: int = 5, max_delta_row_ratio: float = 0.2
