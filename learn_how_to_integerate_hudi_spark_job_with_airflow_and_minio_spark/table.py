@@ -1128,15 +1128,27 @@ class Table:
         (COW) tables the feed is CDC-like: rewrites re-emit surviving
         rows; consumers dedup downstream on (key, max ``_commit_time``) —
         the same window kernel as Q10.
+
+        Renamed tables stream across the rename (r12): live files
+        written before a RENAME carry the old physical column name, so
+        the source becomes a union of one stream per NAME VINTAGE —
+        the stale vintages scan their fixed commit dirs under the
+        physical schema and alias back (the batch
+        :meth:`_scan_entry_group` contract), while the current+future
+        stream keeps the open ``data/*`` glob with the stale commit
+        dirs filtered out by a ``_metadata.file_path`` vintage
+        predicate (evaluated at file granularity). ``compact()`` is
+        still the zero-extra-branch path — it migrates files to
+        current names and collapses the union. Fail-closed is retained
+        only for the partitioned+renamed corner (hive partition
+        discovery needs one basePath per commit dir, which a stream's
+        open glob cannot express).
         """
         schema = self._schema()
         if schema is None:
             raise ValueError(f"table at {self.path} has no commits yet")
+        stale_maps: dict[str, dict[str, str | None]] = {}
         if self.meta.get("has_renames"):
-            # the file-source stream scans every commit dir under ONE
-            # schema — a live file written before a RENAME carries the
-            # old physical name and would stream typed nulls. Fail
-            # closed; compaction migrates the files to current names.
             vmaps = self._vintage_mappings(
                 self.current_files(), schema, None
             )
@@ -1145,22 +1157,73 @@ class Table:
             # means the column was ADDED after that vintage, and
             # evolution-on-append (typed nulls) is the documented
             # contract there, same as the batch path
-            stale = any(
-                any(mp.get(n, n) not in (n, None) for n in (mp or {}))
-                for mp in (vmaps or {}).values()
-            )
-            if stale:
+            stale_maps = {
+                v: mp
+                for v, mp in (vmaps or {}).items()
+                if any(mp.get(n, n) not in (n, None) for n in (mp or {}))
+            }
+            if stale_maps and (self.meta.get("partition_fields") or []):
                 raise ValueError(
-                    "read_stream on a renamed table whose live files "
-                    "predate the rename would surface nulls for the "
-                    "renamed column — run compact() first to migrate "
-                    "files to the current physical names"
+                    "read_stream on a PARTITIONED renamed table whose "
+                    "live files predate the rename is not supported — "
+                    "run compact() first to migrate files to the "
+                    "current physical names"
                 )
-        reader = self.spark.readStream.schema(schema)
-        for k, v in reader_options.items():
-            # e.g. maxFilesPerTrigger=1 to bound micro-batch size
-            reader = reader.option(k, v)
-        return reader.parquet(posixpath.join(self.path, "data", "*"))
+
+        def _reader(read_schema: StructType):
+            r = self.spark.readStream.schema(read_schema)
+            for k, v in reader_options.items():
+                # e.g. maxFilesPerTrigger=1 to bound micro-batch size
+                r = r.option(k, v)
+            return r
+
+        current = _reader(schema).parquet(
+            posixpath.join(self.path, "data", "*")
+        )
+        if not stale_maps:
+            return current
+        # exclude the fixed stale commit dirs from the open stream (a
+        # bounded isin over the pre-rename vintages; new commits always
+        # write current names and pass through)
+        vint = F.regexp_extract(
+            F.col("_metadata.file_path"), "/data/([^/]+)/", 1
+        )
+        out = current.where(~vint.isin(sorted(stale_maps))).select(
+            *[F.col(f.name) for f in schema.fields]
+        )
+        # one extra stream per distinct physical-name mapping, over an
+        # immutable brace glob of its commit dirs — ≤ #renames branches
+        from pyspark.sql.types import StructField
+
+        by_sig: dict[tuple, list[str]] = {}
+        sig_map: dict[tuple, dict[str, str | None]] = {}
+        for v, mp in stale_maps.items():
+            sig = tuple(sorted(mp.items()))
+            by_sig.setdefault(sig, []).append(v)
+            sig_map[sig] = mp
+        for sig, vints in sorted(by_sig.items()):
+            mp = sig_map[sig]
+            phys = StructType(
+                [
+                    StructField(
+                        mp.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                    if mp.get(f.name, f.name) is not None
+                ]
+            )
+            glob = posixpath.join(
+                self.path, "data", "{" + ",".join(sorted(vints)) + "}"
+            )
+            cols = []
+            for f in schema.fields:
+                pname = mp.get(f.name, f.name)
+                if pname is None:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(pname).alias(f.name))
+            out = out.unionByName(_reader(phys).parquet(glob).select(*cols))
+        return out
 
     # -- writes ----------------------------------------------------------
 

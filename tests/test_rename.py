@@ -237,11 +237,66 @@ def test_rename_compaction_migrates_physical_names(spark, tpath):
     t = make_table(spark, tpath)
     t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
     t.alter_rename_column("amt", "amount")
-    with pytest.raises(ValueError, match="compact"):
-        t.read_stream()  # pre-rename files would stream nulls
     TableServices(t).compact()
     assert rows_of(t.snapshot(), "id", "amount") == [(1, 10.0), (2, 20.0)]
-    t.read_stream()  # post-compaction every live file carries 'amount'
+    # post-compaction every live file carries 'amount': the stream is
+    # the plain single-source plan again (no vintage union branches)
+    assert "Union" not in t.read_stream()._jdf.queryExecution().logical().toString()
+
+
+def test_rename_stream_across_vintages(spark, tpath, tmp_path):
+    """r11 verdict item 6: read_stream on a renamed UNPARTITIONED table
+    whose live files predate the rename now streams — pre-rename files
+    scan under the physical name and alias back; post-rename commits
+    flow through the open glob; values arrive intact under the CURRENT
+    name (no typed-null leak from the stale vintage)."""
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    t.insert(
+        df_of(
+            spark,
+            [(3, 1, 30.0, "c")],
+            "id long, ver long, amount double, tag string",
+        ),
+        dedup_batch=False,
+    )
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("rn_stream_v")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(spark.table("rn_stream_v"), "id", "amount", "tag")
+        assert got == [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")]
+        # new commits after stream start flow through the open glob
+        t.insert(
+            df_of(
+                spark,
+                [(4, 1, 40.0, "d")],
+                "id long, ver long, amount double, tag string",
+            ),
+            dedup_batch=False,
+        )
+        q.processAllAvailable()
+        got = rows_of(spark.table("rn_stream_v"), "id", "amount", "tag")
+        assert got[-1] == (4, 40.0, "d") and len(got) == 4
+    finally:
+        q.stop()
+
+
+def test_rename_stream_partitioned_still_fails_closed(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "tp"), key="id", precombine="ver",
+        table_name="tp", partition_fields=["tag"],
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    with pytest.raises(ValueError, match="compact"):
+        t.read_stream()
 
 
 def test_rename_incremental_across_boundary(spark, tpath):
