@@ -138,6 +138,9 @@ HEADLINE = [
     "join_tpch_q4",
     "join_tpch_q12",
     "table_cdc_apply_feed",
+    # born round 12
+    "table_cdc_tombstone_replay",
+    "stream_rename_feed",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -213,6 +216,13 @@ PRINT_OMIT = {
     # retired with the 7th r11 birth row (table_cdc_apply_feed; the
     # kernel family keeps upsert/partial_update/merge/cdc rows printed)
     "table_sql_drop_partition",
+    # retired with the two r12 birth rows (table_cdc_tombstone_replay,
+    # stream_rename_feed; the CDC family now prints apply_feed +
+    # tombstone_replay, streams keep multimodal_feed + the new rename
+    # feed printed, so the slots come from the SQL-DML and clustering
+    # families, which keep merge/subquery-DML and optimize rows)
+    "table_sql_delete_partition_pred",
+    "table_small_file_clustering",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

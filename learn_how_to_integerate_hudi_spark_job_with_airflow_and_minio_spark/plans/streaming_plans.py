@@ -602,3 +602,59 @@ def stream_multimodal_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     hashes = idx.snapshot().select("media_id", F.col("ahash").alias("_h"))
     return M.ahash_pairs_from_hashes(hashes, max_hamming=1)
+
+
+from .common import dsum as _dsum  # noqa: E402 — module-tail extension
+from .common import sql_dsum as _sql_dsum  # noqa: E402
+
+
+@register(
+    "stream_rename_feed",
+    oracle=f"""
+        SELECT c_mktsegment AS segment, COUNT(*) AS n,
+               {_sql_dsum("c_acctbal")} AS total_balance
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="Structured-Streaming consumption ACROSS a column rename (r12): "
+    "half the customers land BEFORE c_acctbal is renamed to balance "
+    "(their files carry the old physical name), half after — "
+    "read_stream unions one fixed-glob stream per stale name vintage "
+    "(physical-schema scan aliased back) with the open-glob "
+    "current+future stream, so the aggregate sees every row under the "
+    "CURRENT name with values intact (a single-schema stream would "
+    "surface nulls for the pre-rename files). Decimal-exact balance "
+    "sum; the union is bounded by #renames, collapsing after "
+    "compact()",
+)
+def stream_rename_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..session import load_tables
+    from ..table import Table
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="engine_stream_ren_")
+    t = Table.create(
+        spark, path, key="c_custkey", precombine="c_custkey",
+        table_name="cust_ren_feed",
+    )
+    t.insert(cust.where(F.col("c_custkey") % 2 == 0), dedup_batch=False)
+    t.alter_rename_column("c_acctbal", "balance")
+    t.insert(
+        cust.where(F.col("c_custkey") % 2 != 0).withColumnRenamed(
+            "c_acctbal", "balance"
+        ),
+        dedup_batch=False,
+    )
+    agg = (
+        t.read_stream()
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("balance").alias("total_balance"),
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")

@@ -2927,3 +2927,70 @@ def table_cdc_apply_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.apply_cdc_feed(late, op_col="_op")
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_cdc_tombstone_replay",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, CAST(1 AS BIGINT) AS _seq
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+               o_totalprice * 3 AS o_totalprice, o_orderdate,
+               CAST(4 AS BIGINT) AS _seq
+        FROM orders WHERE o_orderkey % 49 = 0
+    """,
+    doc="CDC delete-marker retention (r12, cdc_tombstone_hours): after "
+    "a delete batch (mod-7 keys, seq 3) applies, a replayed batch "
+    "carries LATE updates for the deleted keys (seq 2 — below the "
+    "retained marker, and with NO stored row to compare against) plus "
+    "genuine re-inserts for the mod-49 subset (seq 4, above the "
+    "marker). The tombstone sidecar discards every late update — "
+    "without markers they would silently resurrect their keys — while "
+    "the newer re-inserts resurrect per the CDC feed-order contract. "
+    "Marker join is O(batch x retained deletes), sidecar write "
+    "O(deletes); the corpus never re-scans",
+)
+def table_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_cdctomb_")
+    t = Table.create(
+        spark,
+        path,
+        key="o_orderkey",
+        precombine="_seq",
+        table_name="orders_cdctomb",
+        cdc_tombstone_hours=24.0,
+    )
+    creates = orders.withColumn("_seq", F.lit(1).cast("long")).withColumn(
+        "_op", F.lit("c")
+    )
+    t.apply_cdc_feed(creates, op_col="_op")
+    deletes = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("_seq", F.lit(3).cast("long"))
+        .withColumn("_op", F.lit("d"))
+    )
+    t.apply_cdc_feed(deletes, op_col="_op")
+    # replay batch: late updates for EVERY deleted key (seq 2 < marker
+    # seq 3; the stored row is gone, so only the tombstone can reject
+    # them) + re-inserts for the mod-49 subset at seq 4 (> marker —
+    # they must resurrect; within the batch the re-insert also beats
+    # the same key's late update by precombine order)
+    late = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("o_orderstatus", F.lit("Z"))
+        .withColumn("_seq", F.lit(2).cast("long"))
+        .withColumn("_op", F.lit("u"))
+    )
+    reins = (
+        orders.where(F.col("o_orderkey") % 49 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("_seq", F.lit(4).cast("long"))
+        .withColumn("_op", F.lit("i"))
+    )
+    t.apply_cdc_feed(late.unionByName(reins), op_col="_op")
+    return t.snapshot().drop(META_COL)
