@@ -64,7 +64,9 @@ _GATE_WINDOW = 50
 # (0) the 7 round-11 births that have never had a driver row
 # (registered after the r11 rotation; staleness computed from
 # CORRECTNESS_r0{1..11}.json key sets) — after this round ZERO
-# queries remain with no driver row ever;
+# pre-r12 registrations remain with no driver row ever (the r12
+# births registered later this round queue for the front of the
+# r13 window per the standing rule);
 # (1) all 40 queries whose latest driver row dates from round 7;
 # (2) three round-8-stale rows filling to 50. The r11 verdict named
 # "the 3 alphabetically-first r8-stale rows (starting

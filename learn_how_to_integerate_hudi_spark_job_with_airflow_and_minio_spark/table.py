@@ -969,6 +969,38 @@ class Table:
         parts = e["path"].split("/")
         return parts[1] if len(parts) > 1 else None
 
+    def _mapping_scan_parts(
+        self,
+        schema: StructType,
+        mapping: dict[str, str | None],
+    ) -> tuple[StructType, list]:
+        """The two halves of a physical-name vintage scan, shared by the
+        batch (:meth:`_scan_entry_group`) and streaming
+        (:meth:`read_stream`) paths: the PHYSICAL read schema (columns
+        absent at the vintage omitted — never read physically: a
+        re-added name must not resurrect old bytes) and the projection
+        aliasing back to current names (absent columns as typed
+        nulls)."""
+        from pyspark.sql.types import StructField
+
+        phys = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+                if mapping.get(f.name, f.name) is not None
+            ]
+        )
+        cols = []
+        for f in schema.fields:
+            pname = mapping.get(f.name, f.name)
+            if pname is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(pname).alias(f.name))
+        return phys, cols
+
     def _scan_entry_group(
         self,
         paths: list[str],
@@ -994,16 +1026,8 @@ class Table:
             if identity:
                 reader = reader.schema(schema)
             else:
-                from pyspark.sql.types import StructField
-
-                phys = [
-                    StructField(
-                        mapping.get(f.name, f.name), f.dataType, f.nullable
-                    )
-                    for f in schema.fields
-                    if mapping.get(f.name, f.name) is not None
-                ]
-                reader = reader.schema(StructType(phys))
+                phys, alias_cols = self._mapping_scan_parts(schema, mapping)
+                reader = reader.schema(phys)
         df = reader.parquet(*paths)
         if with_file:
             # _metadata resolves on the scan relation, not through a
@@ -1012,13 +1036,7 @@ class Table:
                 "_file", _norm_file_path(F.col("_metadata.file_path"))
             )
         if schema is not None and not identity:
-            cols = []
-            for f in schema.fields:
-                pname = mapping.get(f.name, f.name)
-                if pname is None:
-                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-                else:
-                    cols.append(F.col(pname).alias(f.name))
+            cols = list(alias_cols)
             if with_file:
                 cols.append(F.col("_file"))
             df = df.select(*cols)
@@ -1184,44 +1202,35 @@ class Table:
             return current
         # exclude the fixed stale commit dirs from the open stream (a
         # bounded isin over the pre-rename vintages; new commits always
-        # write current names and pass through)
-        vint = F.regexp_extract(
-            F.col("_metadata.file_path"), "/data/([^/]+)/", 1
+        # write current names and pass through). The vintage is the
+        # file's PARENT directory name — this branch is unpartitioned-
+        # only (data/<commit>/part-*.parquet), and a segment split is
+        # immune to '/data/' appearing in the table's own root path (a
+        # bare regexp anchored on '/data/' matched the FIRST occurrence
+        # and silently disabled the exclusion for such roots)
+        vint = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -2
         )
         out = current.where(~vint.isin(sorted(stale_maps))).select(
             *[F.col(f.name) for f in schema.fields]
         )
         # one extra stream per distinct physical-name mapping, over an
         # immutable brace glob of its commit dirs — ≤ #renames branches
-        from pyspark.sql.types import StructField
-
         by_sig: dict[tuple, list[str]] = {}
         sig_map: dict[tuple, dict[str, str | None]] = {}
         for v, mp in stale_maps.items():
             sig = tuple(sorted(mp.items()))
             by_sig.setdefault(sig, []).append(v)
             sig_map[sig] = mp
-        for sig, vints in sorted(by_sig.items()):
-            mp = sig_map[sig]
-            phys = StructType(
-                [
-                    StructField(
-                        mp.get(f.name, f.name), f.dataType, f.nullable
-                    )
-                    for f in schema.fields
-                    if mp.get(f.name, f.name) is not None
-                ]
-            )
+        # repr key: a signature may hold None physical names (column
+        # added after the vintage) and tuple comparison of None vs str
+        # throws — order only needs to be deterministic
+        for sig in sorted(by_sig, key=repr):
+            mp, vints = sig_map[sig], by_sig[sig]
+            phys, cols = self._mapping_scan_parts(schema, mp)
             glob = posixpath.join(
                 self.path, "data", "{" + ",".join(sorted(vints)) + "}"
             )
-            cols = []
-            for f in schema.fields:
-                pname = mp.get(f.name, f.name)
-                if pname is None:
-                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-                else:
-                    cols.append(F.col(pname).alias(f.name))
             out = out.unionByName(_reader(phys).parquet(glob).select(*cols))
         return out
 
@@ -1927,32 +1936,47 @@ class Table:
                 .drop("_cdc_stored")
             )
         retain = self.meta.get("cdc_tombstone_hours")
-        if retain is not None:
-            tomb = self._retained_tombstones()
-            if tomb is not None:
-                # discard late upserts at or below a retained delete
-                # marker (<=, matching the batch resolver's tie-to-
-                # delete rule so a replayed equal-precombine
-                # update/delete pair resolves the same way across
-                # batches); deletes pass through — re-deleting a dead
-                # key is a no-op downstream
-                resolved = (
-                    resolved.join(tomb, self.key, "left")
-                    .where(
-                        F.col("_cdc_tomb").isNull()
-                        | F.col("_cdc_delete")
-                        | (F.col(self.precombine) > F.col("_cdc_tomb"))
-                    )
-                    .drop("_cdc_tomb")
+        if retain is None:
+            return self.merge(resolved, delete_col="_cdc_delete")
+        tomb = self._retained_tombstones()
+        if tomb is not None:
+            # discard late upserts at or below a retained delete
+            # marker (<=, matching the batch resolver's tie-to-
+            # delete rule so a replayed equal-precombine
+            # update/delete pair resolves the same way across
+            # batches); deletes pass through — re-deleting a dead
+            # key is a no-op downstream
+            resolved = (
+                resolved.join(tomb, self.key, "left")
+                .where(
+                    F.col("_cdc_tomb").isNull()
+                    | F.col("_cdc_delete")
+                    | (F.col(self.precombine) > F.col("_cdc_tomb"))
                 )
-        commit = self.merge(resolved, delete_col="_cdc_delete")
-        if retain is not None:
-            self._record_tombstones(
-                resolved.where(F.col("_cdc_delete")).select(
-                    self.key, self.precombine
-                ),
-                commit,
+                .drop("_cdc_tomb")
             )
+        # pin this apply's delete markers BEFORE the merge (one bounded
+        # job over the persisted events): the count doubles as the
+        # empty-check, and the sidecar write after publish reads the
+        # materialized rows instead of re-running the resolution
+        # pipeline (window + snapshot scan + marker scan) a third time
+        from pyspark import StorageLevel
+
+        dels = (
+            resolved.where(F.col("_cdc_delete"))
+            .select(self.key, self.precombine)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            n_dels = dels.count()
+            commit = self.merge(resolved, delete_col="_cdc_delete")
+            if n_dels:
+                # written AFTER the merge publishes — a crash between
+                # the two leaves marker-less (legacy) semantics for
+                # those deletes, never a marker for an unpublished one
+                self._record_tombstones(dels, commit)
+        finally:
+            dels.unpersist()
         return commit
 
     def _cdc_tombstone_root(self) -> str:
@@ -1976,9 +2000,8 @@ class Table:
         """Persist one sidecar of this apply's delete markers. Written
         AFTER the merge publishes — a crash between the two leaves the
         legacy (marker-less) semantics for those deletes, never a
-        marker for an unpublished delete."""
-        if dels.isEmpty():
-            return  # delete-free apply: no sidecar to read back later
+        marker for an unpublished delete. Caller pre-checks emptiness
+        (delete-free applies write no sidecar)."""
         stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S%f")
         out = posixpath.join(
             self._cdc_tombstone_root(), f"{stamp}_{commit}"
@@ -5047,6 +5070,12 @@ class TableServices:
         never deleted, live or not.
         """
         t = self.t
+        if retain_hours is not None and retain_hours < 0:
+            # validated before ANY mutation (incl. tombstone pruning) —
+            # a rejected call must have no side effects
+            raise ValueError(
+                f"retain_hours must be >= 0, got {retain_hours}"
+            )
         # CDC delete markers past their own retention window (the
         # tombstone window is set at create time, independent of this
         # call's data retention) — name-based expiry, zero data reads.
@@ -5060,10 +5089,6 @@ class TableServices:
         arch = t._archived_manifests()
         commits = sorted({*t.commits(), *arch})
         if retain_hours is not None:
-            if retain_hours < 0:
-                raise ValueError(
-                    f"retain_hours must be >= 0, got {retain_hours}"
-                )
             if not commits:
                 return tomb_deleted
             from datetime import timedelta
@@ -5429,10 +5454,12 @@ class TableServices:
         t = self.t
         spark = t.spark
         if catalog is not None:
-            if "." in ident:
-                raise ValueError(
-                    "pass either catalog= or a qualified ident, not both"
-                )
+            # prepend only — ident keeps its (db.)table parts, so the
+            # session/HMS catalog's required namespace is expressible:
+            # catalog='spark_catalog', ident='default.t' →
+            # spark_catalog.default.t (a dot-in-ident guard here made
+            # the documented HMS target unreachable: spark_catalog
+            # rejects an empty namespace)
             ident = f"{catalog}.{ident}"
         pf = list(t.meta.get("partition_fields") or [])
         latest = t.latest_commit()

@@ -83,9 +83,12 @@ def test_sync_qualified_catalog_target(spark, synced):
         t.delete_partition({"st": "O"})
         assert svc.sync_spark_catalog(q, location=loc) == ["O"]
         assert rows_of(spark.table(q), "k") == [(1,), (3,), (4,)]
-        # catalog= param composes the same qualified ident
-        with pytest.raises(ValueError, match="not both"):
-            svc.sync_spark_catalog(q, catalog="spark_catalog")
+        # catalog= prepends, composing the same qualified ident — the
+        # session catalog NEEDS the db part (it rejects an empty
+        # namespace), so the param must accept a dotted ident
+        assert svc.sync_spark_catalog(
+            f"default.{ident}", catalog="spark_catalog"
+        ) == []
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {q}")
 

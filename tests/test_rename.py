@@ -288,6 +288,76 @@ def test_rename_stream_across_vintages(spark, tpath, tmp_path):
         q.stop()
 
 
+def test_rename_stream_table_rooted_under_data_dir(spark, tmp_path):
+    """r12 review: the stale-dir exclusion matched the FIRST '/data/'
+    in the file path, so a table whose own root contains a 'data'
+    segment never excluded stale commit dirs from the open-glob stream
+    — pre-rename files were read twice (once aliased correctly, once
+    under the current schema as a typed-null phantom row). The vintage
+    is now the file's parent directory name."""
+    t = Table.create(
+        spark, str(tmp_path / "data" / "tbl"), key="id", precombine="ver",
+        table_name="under_data",
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_rename_column("amt", "amount")
+    t.insert(
+        df_of(
+            spark,
+            [(2, 1, 20.0, "b")],
+            "id long, ver long, amount double, tag string",
+        ),
+        dedup_batch=False,
+    )
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("rn_under_data")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(spark.table("rn_under_data"), "id", "amount")
+        assert got == [(1, 10.0), (2, 20.0)]  # no phantom (1, None)
+    finally:
+        q.stop()
+
+
+def test_rename_stream_two_vintages_with_added_column(spark, tpath, tmp_path):
+    """r12 review: two stale vintages whose mappings differ at a None
+    (column-added-later) entry crashed read_stream's deterministic
+    ordering (tuple comparison of None vs str). Layout: v1 file
+    (amt, no extra), add column, v2 file (amt, extra), rename amt →
+    amount — two distinct stale signatures, one with extra→None."""
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.alter_add_columns([("extra", "double")])
+    t.insert(
+        spark.createDataFrame(
+            [(2, 1, 20.0, "b", 2.5)],
+            "id long, ver long, amt double, tag string, extra double",
+        ),
+        dedup_batch=False,
+    )
+    t.alter_rename_column("amt", "amount")
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("rn_two_vint")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(
+            spark.table("rn_two_vint"), "id", "amount", "extra"
+        )
+        assert got == [(1, 10.0, None), (2, 20.0, 2.5)]
+    finally:
+        q.stop()
+
+
 def test_rename_stream_partitioned_still_fails_closed(spark, tmp_path):
     t = Table.create(
         spark, str(tmp_path / "tp"), key="id", precombine="ver",
