@@ -141,6 +141,11 @@ HEADLINE = [
     # born round 12
     "table_cdc_tombstone_replay",
     "stream_rename_feed",
+    "join_tpch_q2",
+    "join_tpch_q9",
+    "join_tpch_q11",
+    "join_tpch_q16",
+    "join_tpch_q20",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -223,6 +228,18 @@ PRINT_OMIT = {
     # families, which keep merge/subquery-DML and optimize rows)
     "table_sql_delete_partition_pred",
     "table_small_file_clustering",
+    # retired with the five r12 TPC-H completions (q2/q9/q11/q16/q20 —
+    # all 22 TPC-H shapes now print or are family-covered; joins keep
+    # q3/q5/q7/q8/q21 + the r11 q4/q12 (still accruing driver rows) +
+    # the five new shapes printed; SQL-DML keeps
+    # merge_into/subquery-DML/insert_overwrite, kernel keeps
+    # upsert/partial_update/cdc + bootstrap via BENCH_SELF, pack
+    # family keeps chunk_spans printed)
+    "table_bootstrap_upsert",
+    "text_pack_bin_stats",
+    "table_sql_merge_by_source",
+    "table_sql_alter_column_type",
+    "table_sql_show_partitions",
 }
 
 # Drift sentinel (r6 verdict item 8): three fixed, code-stable,

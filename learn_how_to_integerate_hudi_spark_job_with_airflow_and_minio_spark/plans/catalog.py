@@ -187,6 +187,7 @@ def _load_all() -> None:
         text2,
         text3,
         timeseries,
+        tpch2,
         windows,
     )
 

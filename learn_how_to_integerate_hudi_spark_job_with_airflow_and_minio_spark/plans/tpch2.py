@@ -1,0 +1,454 @@
+"""TPC-H completions Q2 / Q9 / Q11 / Q16 / Q20 (r12).
+
+The testdata has no ``partsupp`` table, so these five shapes — the only
+TPC-H queries the catalog was missing — run over a DERIVED partsupp:
+the dbgen association formula (each part supplied by 4 suppliers at
+``(p_partkey + i*(S/4 + (p_partkey-1)/S)) mod S + 1``) plus
+deterministic integer-arithmetic availqty/supplycost, computed
+IDENTICALLY by the Spark plan and the DuckDB oracle from the part and
+supplier tables alone. Every derived value is integer math or one
+IEEE division of identical integers, so both engines materialize
+bit-identical rows — the oracle contract needs no partsupp file.
+
+Scale notes (100 TB contract): the derivation is a map-side explode of
+``part`` (4x|part| rows, zero shuffle, never persisted); supplier /
+nation / region are broadcast-size dims; each query keeps the classic
+TPC-H plan shape — one fact shuffle at most, partial aggregation
+before joins where the spec allows.
+
+Reference scope: the reference engine ships no TPC-H queries; these
+extend the catalog's relational coverage to all 22 TPC-H shapes
+(SURVEY §2 extension mandate, adapted to the trimmed testdata
+columns — adaptations noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .catalog import register
+from .common import as_double, dec, sql_as_double, sql_dsum
+
+# DuckDB-side derived partsupp (CTE text; `part`/`supplier` are the
+# driver-registered views). Integer ops only — `//` is BIGINT division.
+_PS_SQL = """
+        ps AS (
+            SELECT p.p_partkey AS ps_partkey,
+                   (p.p_partkey
+                    + i.i * (s.cnt // 4 + (p.p_partkey - 1) // s.cnt))
+                       % s.cnt + 1 AS ps_suppkey,
+                   (p.p_partkey * 7 + i.i * 11) % 9999 + 1 AS ps_availqty,
+                   CAST((p.p_partkey * 31 + i.i * 17) % 20000 + 100
+                        AS DOUBLE) / 100.0 AS ps_supplycost
+            FROM part p
+            CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM supplier) s
+            CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS i) i
+        )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp as a DataFrame — the Spark twin of ``_PS_SQL``.
+
+    ``S`` (the supplier count) is a driver-side scalar from one count
+    over the supplier dim (metadata-plane at any SF) embedded as a
+    literal, so the derivation itself is a shuffle-free projection:
+    explode(4) over part, integer expressions only. The one float,
+    ps_supplycost, is a single IEEE division of identical integers on
+    both engines — bit-exact."""
+    t = load_tables(spark, sf_dir, "part", "supplier")
+    s_cnt = t["supplier"].count()
+    return (
+        t["part"]
+        .select(
+            F.col("p_partkey"),
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in range(4)])
+            ).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                f"(p_partkey + i * ({s_cnt} DIV 4 "
+                f"+ (p_partkey - 1) DIV {s_cnt})) % {s_cnt} + 1"
+            ).alias("ps_suppkey"),
+            F.expr("(p_partkey * 7 + i * 11) % 9999 + 1").alias(
+                "ps_availqty"
+            ),
+            F.expr(
+                "CAST((p_partkey * 31 + i * 17) % 20000 + 100 AS DOUBLE)"
+                " / 100.0"
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@register(
+    "join_tpch_q2",
+    oracle=f"""
+        WITH {_PS_SQL},
+        eligible AS (
+            SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+                   s.s_acctbal, s.s_name, n.n_name
+            FROM ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+                         AND r.r_name = 'EUROPE'
+        ),
+        mn AS (
+            SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+            FROM eligible GROUP BY ps_partkey
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name,
+               e.ps_partkey AS p_partkey, e.ps_suppkey, e.ps_supplycost
+        FROM eligible e
+        JOIN mn ON mn.ps_partkey = e.ps_partkey
+               AND e.ps_supplycost = mn.min_cost
+        JOIN part p ON p.p_partkey = e.ps_partkey
+                   AND p.p_size = 15 AND p.p_type = 'ECONOMY'
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey,
+                 e.ps_suppkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 (minimum-cost supplier): the correlated MIN subquery "
+    "decorrelated into a per-part MIN over the region-eligible "
+    "partsupp, equality-joined back (min and candidates are the SAME "
+    "derived doubles on both engines, so the equality is exact). "
+    "Adaptations: no p_mfgr/s_address/s_phone/s_comment in testdata — "
+    "projection trimmed to the surviving columns; ps_suppkey added to "
+    "the ORDER BY tail so the LIMIT-100 cut is a total order (the "
+    "official key can tie at the boundary). Plan: region→nation→"
+    "supplier broadcast into the derived ps (map-side), per-part MIN "
+    "partial-aggregates before its join, part filter pushed to the "
+    "part scan, TakeOrderedAndProject for the top-100 — no full sort. "
+    "No hints on part/supplier/ps (all SF-proportional): only the "
+    "5-row region dim is broadcast-hinted, AQE picks the rest",
+)
+def join_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "part", "supplier", "nation", "region")
+    eligible = (
+        _partsupp(spark, sf_dir)
+        .join(
+            t["supplier"]
+            .join(
+                t["nation"].join(
+                    F.broadcast(
+                        t["region"].where(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name"),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", "s_acctbal", "s_name", "n_name"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_acctbal", "s_name", "n_name",
+        )
+    )
+    mn = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    sized = (
+        t["part"]
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    return (
+        eligible.join(
+            mn,
+            (eligible["ps_partkey"] == mn["ps_partkey"])
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .drop(mn["ps_partkey"])
+        .join(sized, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "ps_suppkey", "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+            "ps_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "join_tpch_q9",
+    oracle=f"""
+        WITH {_PS_SQL}
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {sql_dsum(
+                   "l.l_extendedprice * (1 - l.l_discount)"
+                   " - ps.ps_supplycost * l.l_quantity"
+               )} AS sum_profit
+        FROM lineitem l
+        JOIN ps ON ps.ps_partkey = l.l_partkey
+               AND ps.ps_suppkey = l.l_suppkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%gear%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 (product-type profit by nation and year): "
+    "profit = extendedprice*(1-discount) - supplycost*quantity per "
+    "matched lineitem, decimal-exact per-term (both factors are "
+    "identical doubles on both engines; the difference rounds through "
+    "DECIMAL(18,6) before the order-independent sum). Adaptation: "
+    "p_name LIKE '%gear%' stands in for the official '%green%' color "
+    "filter (testdata vocabulary). Plan: part filter and the derived "
+    "ps broadcast-join the part-filtered lineitem (ps is 4x|part| — "
+    "dim-sized), supplier/nation broadcast, ONE fact shuffle on "
+    "l_orderkey for the orders join, partial agg before the final "
+    "(nation, year) exchange",
+)
+def join_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    gear = (
+        t["part"]
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = (
+        t["lineitem"]
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+        .join(gear, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            _partsupp(spark, sf_dir),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(as_double(F.sum(dec(profit, 6))).alias("sum_profit"))
+    )
+
+
+@register(
+    "join_tpch_q11",
+    oracle=f"""
+        WITH {_PS_SQL},
+        innation AS (
+            SELECT ps.ps_partkey,
+                   CAST(ps.ps_supplycost * ps.ps_availqty
+                        AS DECIMAL(18,2)) AS v
+            FROM ps
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+                         AND n.n_name = 'NATION_1'
+        ),
+        tot AS (SELECT SUM(v) AS t FROM innation)
+        SELECT ps_partkey, {sql_as_double("SUM(v)")} AS value
+        FROM innation CROSS JOIN tot
+        GROUP BY ps_partkey, tot.t
+        HAVING SUM(v) * 1000 > t
+    """,
+    doc="TPC-H Q11 (important stock identification): per-part "
+    "supplycost*availqty value for one nation's suppliers, kept when "
+    "above 1/1000 of the nation total (the official 0.0001/SF "
+    "fraction, integer-scaled: SUM*1000 > total compares exact "
+    "decimals — a 0.001 float literal would round differently across "
+    "engines). Plan: nation-filtered supplier broadcast into the "
+    "derived ps, per-part partial agg, the grand total is ONE "
+    "broadcast scalar — no second scan of the fact (the agg output is "
+    "reused for both branches)",
+)
+def join_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "nation")
+    n1 = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].where(F.col("n_name") == "NATION_1")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )  # nation side broadcast (25 rows fixed); supplier itself unhinted
+    innation = (
+        _partsupp(spark, sf_dir)
+        .join(n1, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            dec(
+                F.col("ps_supplycost") * F.col("ps_availqty"), 2
+            ).alias("v"),
+        )
+    )
+    per_part = innation.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    tot = per_part.agg(F.sum("sv").alias("t"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .where(F.col("sv") * 1000 > F.col("t"))
+        .select("ps_partkey", as_double(F.col("sv")).alias("value"))
+    )
+
+
+@register(
+    "join_tpch_q16",
+    oracle=f"""
+        WITH {_PS_SQL}
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#4'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 (part/supplier relationship): distinct supplier "
+    "count per (brand, type, size) bucket, excluding one brand, one "
+    "type prefix, non-listed sizes, and a NOT-IN supplier subquery. "
+    "Adaptation: testdata supplier has no s_comment, so negative "
+    "account balance stands in for the 'Customer Complaints' "
+    "exclusion — the anti-join shape is identical. Plan: the "
+    "filtered part dim broadcasts into the derived ps, the excluded "
+    "suppliers are a broadcast anti-join (both dim-sized), one "
+    "exchange for the distinct-count aggregate",
+)
+def join_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "part", "supplier")
+    parts = (
+        t["part"]
+        .where(
+            (F.col("p_brand") != "Brand#4")
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(parts, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            bad,
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "join_tpch_q20",
+    oracle=f"""
+        WITH {_PS_SQL},
+        qty AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = 'ASIA'
+        JOIN ps ON ps.ps_suppkey = s.s_suppkey
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+                   AND p.p_name LIKE 'red%'
+        JOIN qty ON qty.l_partkey = ps.ps_partkey
+                AND qty.l_suppkey = ps.ps_suppkey
+        WHERE CAST(ps.ps_availqty AS DECIMAL(18,2)) * 2 > sq
+    """,
+    doc="TPC-H Q20 (potential part promotion): suppliers in one region "
+    "(adapted from the official single nation — the trimmed testdata "
+    "spreads suppliers thin, region keeps the result non-degenerate) "
+    "holding more than half a year's shipped quantity of a "
+    "name-prefixed part — the official nested IN subqueries "
+    "decorrelated into a per-(part, supplier) quantity aggregate "
+    "joined against the derived ps, with the half-threshold compared "
+    "integer-scaled in exact decimals (availqty*2 > sum(qty), no 0.5 "
+    "float). Plan: the year-windowed shipdate filter is pushed to the "
+    "lineitem scan and the (partkey, suppkey) agg partial-aggregates "
+    "before its shuffle — the only fact exchange; supplier, nation, "
+    "part, and ps all broadcast; DISTINCT collapses multi-part "
+    "qualification dim-side",
+)
+def join_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    qty = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity", 2)).alias("sq"))
+    )
+    n3 = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(
+                        t["region"].where(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    red = (
+        t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(n3, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(red, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(dec("ps_availqty", 2) * 2 > F.col("sq"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
