@@ -1147,6 +1147,16 @@ class Table:
         rows; consumers dedup downstream on (key, max ``_commit_time``) —
         the same window kernel as Q10.
 
+        Partitioned tables (r12): a file-source stream cannot run hive
+        partition discovery (it needs one basePath per commit dir, and
+        its own directory inference asserts against the multi-commit
+        layout), so the stream reads the DATA columns only
+        (``recursiveFileLookup`` disables inference) and reconstitutes
+        each partition column from the file's ``col=val`` path segment
+        — the same parse Spark's discovery performs (hive default-
+        partition sentinel → null, %-escapes decoded), cast to the
+        declared type. File-granular, zero extra I/O.
+
         Renamed tables stream across the rename (r12): live files
         written before a RENAME carry the old physical column name, so
         the source becomes a union of one stream per NAME VINTAGE —
@@ -1157,14 +1167,17 @@ class Table:
         dirs filtered out by a ``_metadata.file_path`` vintage
         predicate (evaluated at file granularity). ``compact()`` is
         still the zero-extra-branch path — it migrates files to
-        current names and collapses the union. Fail-closed is retained
-        only for the partitioned+renamed corner (hive partition
-        discovery needs one basePath per commit dir, which a stream's
-        open glob cannot express).
+        current names and collapses the union.
         """
+        import re as _re
+
         schema = self._schema()
         if schema is None:
             raise ValueError(f"table at {self.path} has no commits yet")
+        pf = list(self.meta.get("partition_fields") or [])
+        pfset = set(pf)
+        data_fields = [f for f in schema.fields if f.name not in pfset]
+        data_schema = StructType(data_fields)
         stale_maps: dict[str, dict[str, str | None]] = {}
         if self.meta.get("has_renames"):
             vmaps = self._vintage_mappings(
@@ -1180,58 +1193,87 @@ class Table:
                 for v, mp in (vmaps or {}).items()
                 if any(mp.get(n, n) not in (n, None) for n in (mp or {}))
             }
-            if stale_maps and (self.meta.get("partition_fields") or []):
-                raise ValueError(
-                    "read_stream on a PARTITIONED renamed table whose "
-                    "live files predate the rename is not supported — "
-                    "run compact() first to migrate files to the "
-                    "current physical names"
-                )
 
         def _reader(read_schema: StructType):
             r = self.spark.readStream.schema(read_schema)
+            if pf:
+                # hive layout: partition values live in dir names, not
+                # file bytes — recursive lookup stops the source's own
+                # partition inference (which asserts on the commit-dir
+                # prefix); the columns are parsed from the path below
+                r = r.option("recursiveFileLookup", "true")
             for k, v in reader_options.items():
                 # e.g. maxFilesPerTrigger=1 to bound micro-batch size
                 r = r.option(k, v)
             return r
 
-        current = _reader(schema).parquet(
-            posixpath.join(self.path, "data", "*")
-        )
+        def _pcol(f: StructField):
+            raw = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                "/" + _re.escape(f.name) + "=([^/]+)/",
+                1,
+            )
+            return (
+                F.when(raw == "", F.lit(None))
+                .when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                .otherwise(
+                    F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+
+        def _branch(glob: str, mapping):
+            if mapping is None:
+                rs = data_schema
+                alias = [F.col(f.name) for f in data_fields]
+            else:
+                rs, alias = self._mapping_scan_parts(data_schema, mapping)
+            by_name = dict(zip((f.name for f in data_fields), alias))
+            cols = [
+                _pcol(f) if f.name in pfset else by_name[f.name]
+                for f in schema.fields
+            ]
+            return _reader(rs).parquet(glob), cols
+
+        open_glob = posixpath.join(self.path, "data", "*")
+        current, cur_cols = _branch(open_glob, None)
         if not stale_maps:
-            return current
+            if not pf:
+                return current  # plain single-source stream, unchanged
+            return current.select(*cur_cols)
         # exclude the fixed stale commit dirs from the open stream (a
         # bounded isin over the pre-rename vintages; new commits always
         # write current names and pass through). The vintage is the
-        # file's PARENT directory name — this branch is unpartitioned-
-        # only (data/<commit>/part-*.parquet), and a segment split is
-        # immune to '/data/' appearing in the table's own root path (a
-        # bare regexp anchored on '/data/' matched the FIRST occurrence
-        # and silently disabled the exclusion for such roots)
-        vint = F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -2
-        )
-        out = current.where(~vint.isin(sorted(stale_maps))).select(
-            *[F.col(f.name) for f in schema.fields]
-        )
+        # first segment after the table's OWN data dir — taking the
+        # LAST '/data/' split is immune to '/data/' appearing in the
+        # table's root path, and partition values cannot smuggle the
+        # pattern (their '/' is %-escaped by the hive layout)
+        vint = F.split(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/data/"), -1
+            ),
+            "/",
+        ).getItem(0)
+        out = current.where(~vint.isin(sorted(stale_maps))).select(*cur_cols)
         # one extra stream per distinct physical-name mapping, over an
-        # immutable brace glob of its commit dirs — ≤ #renames branches
+        # immutable brace glob of its commit dirs — ≤ #renames branches.
+        # repr key: a signature may hold None physical names (column
+        # added after the vintage) and tuple comparison of None vs str
+        # throws — order only needs to be deterministic
         by_sig: dict[tuple, list[str]] = {}
         sig_map: dict[tuple, dict[str, str | None]] = {}
         for v, mp in stale_maps.items():
             sig = tuple(sorted(mp.items()))
             by_sig.setdefault(sig, []).append(v)
             sig_map[sig] = mp
-        # repr key: a signature may hold None physical names (column
-        # added after the vintage) and tuple comparison of None vs str
-        # throws — order only needs to be deterministic
         for sig in sorted(by_sig, key=repr):
             mp, vints = sig_map[sig], by_sig[sig]
-            phys, cols = self._mapping_scan_parts(schema, mp)
             glob = posixpath.join(
                 self.path, "data", "{" + ",".join(sorted(vints)) + "}"
             )
-            out = out.unionByName(_reader(phys).parquet(glob).select(*cols))
+            branch_df, branch_cols = _branch(glob, mp)
+            out = out.unionByName(branch_df.select(*branch_cols))
         return out
 
     # -- writes ----------------------------------------------------------

@@ -358,15 +358,74 @@ def test_rename_stream_two_vintages_with_added_column(spark, tpath, tmp_path):
         q.stop()
 
 
-def test_rename_stream_partitioned_still_fails_closed(spark, tmp_path):
+def test_stream_partitioned_table(spark, tmp_path):
+    """r12: read_stream on a PARTITIONED table was broken outright —
+    the explicit schema carried the partition column, which hive
+    layout stores in the dir name, not the file, and the file source's
+    own partition inference asserted on the multi-commit prefix
+    (FAILED_READ_FILE). The stream now reads data columns only and
+    reconstitutes partition values from the col=val path segment,
+    including the null (__HIVE_DEFAULT_PARTITION__) sentinel."""
+    t = Table.create(
+        spark, str(tmp_path / "tps"), key="id", precombine="ver",
+        table_name="tps", partition_fields=["tag"],
+    )
+    t.bulk_insert(
+        df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b"),
+                      (3, 1, 30.0, None)])
+    )
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("part_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(spark.table("part_stream_t"), "id", "amt", "tag")
+        assert got == [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, None)]
+        # new commits stream through, partition value intact
+        t.insert(df_of(spark, [(4, 1, 40.0, "c")]), dedup_batch=False)
+        q.processAllAvailable()
+        got = rows_of(spark.table("part_stream_t"), "id", "tag")
+        assert (4, "c") in got and len(got) == 4
+    finally:
+        q.stop()
+
+
+def test_rename_stream_partitioned_across_vintages(spark, tmp_path):
+    """r12: the partitioned+renamed corner streams too — the stale
+    vintage scans under the physical DATA-column name while the
+    partition column comes from the path on every branch."""
     t = Table.create(
         spark, str(tmp_path / "tp"), key="id", precombine="ver",
         table_name="tp", partition_fields=["tag"],
     )
     t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
     t.alter_rename_column("amt", "amount")
-    with pytest.raises(ValueError, match="compact"):
+    t.insert(
+        spark.createDataFrame(
+            [(2, 1, 20.0, "b")],
+            "id long, ver long, amount double, tag string",
+        ),
+        dedup_batch=False,
+    )
+    q = (
         t.read_stream()
+        .writeStream.format("memory")
+        .queryName("part_rn_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(
+            spark.table("part_rn_stream_t"), "id", "amount", "tag"
+        )
+        assert got == [(1, 10.0, "a"), (2, 20.0, "b")]
+    finally:
+        q.stop()
 
 
 def test_rename_incremental_across_boundary(spark, tpath):
