@@ -1150,12 +1150,16 @@ class Table:
         Partitioned tables (r12): a file-source stream cannot run hive
         partition discovery (it needs one basePath per commit dir, and
         its own directory inference asserts against the multi-commit
-        layout), so the stream reads the DATA columns only
-        (``recursiveFileLookup`` disables inference) and reconstitutes
-        each partition column from the file's ``col=val`` path segment
-        — the same parse Spark's discovery performs (hive default-
-        partition sentinel → null, %-escapes decoded), cast to the
-        declared type. File-granular, zero extra I/O.
+        layout), so the stream disables inference
+        (``recursiveFileLookup``) and reconstitutes each partition
+        column as COALESCE(file bytes, ``col=val`` path segment) — the
+        path parse mirrors Spark's discovery (hive default-partition
+        sentinel → null, %-escapes decoded, declared-type cast,
+        anchored to the table's own commit-dir layout so a look-alike
+        segment in the table's root path cannot shadow it), and the
+        file-bytes leg keeps rows written before a partition-spec
+        evolution exact (they carry the column physically, with no
+        dir). File-granular, zero extra I/O.
 
         Renamed tables stream across the rename (r12): live files
         written before a RENAME carry the old physical column name, so
@@ -1176,8 +1180,15 @@ class Table:
             raise ValueError(f"table at {self.path} has no commits yet")
         pf = list(self.meta.get("partition_fields") or [])
         pfset = set(pf)
-        data_fields = [f for f in schema.fields if f.name not in pfset]
-        data_schema = StructType(data_fields)
+        # the table-relative part of each file path, anchored on the
+        # COMMIT-DIR pattern (/data/<20-digit id>[-hash]/) rather than
+        # a bare '/data/' — a table root ending in .../data (or
+        # containing col=val segments) must not shadow the table's own
+        # layout (r12 review: '/data/data/' overlap defeated a split,
+        # and a root '/st=prod/' segment shadowed the partition parse)
+        _commit_pat = "/data/([0-9]{20}[^/]*)/"
+        _file_path = F.col("_metadata.file_path")
+        rel = F.regexp_extract(_file_path, "/data/[0-9]{20}[^/]*/(.*)$", 1)
         stale_maps: dict[str, dict[str, str | None]] = {}
         if self.meta.get("has_renames"):
             vmaps = self._vintage_mappings(
@@ -1207,31 +1218,37 @@ class Table:
                 r = r.option(k, v)
             return r
 
-        def _pcol(f: StructField):
+        def _pcol(f: StructField, from_file):
+            # anchored to the table-relative path; coalesced with the
+            # column's FILE bytes — files written before a partition-
+            # spec evolution carry the value physically with no
+            # col=val dir (the batch path's documented contract)
             raw = F.regexp_extract(
-                F.col("_metadata.file_path"),
-                "/" + _re.escape(f.name) + "=([^/]+)/",
-                1,
+                rel, "(?:^|/)" + _re.escape(f.name) + "=([^/]+)/", 1
             )
-            return (
+            parsed = (
                 F.when(raw == "", F.lit(None))
                 .when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
                 .otherwise(
                     F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
                 )
                 .cast(f.dataType)
-                .alias(f.name)
             )
+            return F.coalesce(from_file, parsed).alias(f.name)
 
         def _branch(glob: str, mapping):
+            # full schema read: hive-layout files surface partition
+            # columns as typed nulls (no inference under recursive
+            # lookup), pre-spec-evolution files surface real bytes
             if mapping is None:
-                rs = data_schema
-                alias = [F.col(f.name) for f in data_fields]
+                rs = schema
+                alias = [F.col(f.name) for f in schema.fields]
             else:
-                rs, alias = self._mapping_scan_parts(data_schema, mapping)
-            by_name = dict(zip((f.name for f in data_fields), alias))
+                rs, alias = self._mapping_scan_parts(schema, mapping)
+            by_name = dict(zip((f.name for f in schema.fields), alias))
             cols = [
-                _pcol(f) if f.name in pfset else by_name[f.name]
+                _pcol(f, by_name[f.name]) if f.name in pfset
+                else by_name[f.name]
                 for f in schema.fields
             ]
             return _reader(rs).parquet(glob), cols
@@ -1244,17 +1261,9 @@ class Table:
             return current.select(*cur_cols)
         # exclude the fixed stale commit dirs from the open stream (a
         # bounded isin over the pre-rename vintages; new commits always
-        # write current names and pass through). The vintage is the
-        # first segment after the table's OWN data dir — taking the
-        # LAST '/data/' split is immune to '/data/' appearing in the
-        # table's root path, and partition values cannot smuggle the
-        # pattern (their '/' is %-escaped by the hive layout)
-        vint = F.split(
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/data/"), -1
-            ),
-            "/",
-        ).getItem(0)
+        # write current names and pass through). Anchored on the
+        # commit-dir pattern, like `rel` above
+        vint = F.regexp_extract(_file_path, _commit_pat, 1)
         out = current.where(~vint.isin(sorted(stale_maps))).select(*cur_cols)
         # one extra stream per distinct physical-name mapping, over an
         # immutable brace glob of its commit dirs — ≤ #renames branches.

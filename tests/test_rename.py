@@ -394,6 +394,74 @@ def test_stream_partitioned_table(spark, tmp_path):
         q.stop()
 
 
+def test_stream_table_rooted_under_data_with_lookalike_segments(
+    spark, tmp_path
+):
+    """r12 second review: the vintage predicate and partition parse
+    must anchor on the table's OWN commit-dir layout. A root ending in
+    .../data/data made '/data/' splits pick the wrong segment
+    (adjacent overlap), and a root containing a 'tag=prod' segment
+    shadowed the hive partition parse — both now keyed on the
+    /data/<20-digit-commit>/ pattern."""
+    root = tmp_path / "data" / "data" / "tag=prod" / "tbl"
+    t = Table.create(
+        spark, str(root), key="id", precombine="ver",
+        table_name="lookalike", partition_fields=["tag"],
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_rename_column("amt", "amount")
+    t.insert(
+        spark.createDataFrame(
+            [(3, 1, 30.0, "c")],
+            "id long, ver long, amount double, tag string",
+        ),
+        dedup_batch=False,
+    )
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("lookalike_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(
+            spark.table("lookalike_stream"), "id", "amount", "tag"
+        )
+        # no phantom double-reads, no 'prod' shadow values
+        assert got == [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")]
+    finally:
+        q.stop()
+
+
+def test_stream_partition_spec_evolution_reads_file_bytes(spark, tmp_path):
+    """r12 second review: rows written BEFORE alter_partition_spec
+    carry the partition column in the file bytes with no col=val dir —
+    the stream's coalesce(file bytes, path parse) must surface the
+    real values, matching the batch contract, not typed nulls."""
+    t = Table.create(
+        spark, str(tmp_path / "pse"), key="id", precombine="ver",
+        table_name="pse",
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    t.alter_partition_spec(["tag"])
+    t.insert(df_of(spark, [(3, 1, 30.0, "c")]), dedup_batch=False)
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("pse_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = rows_of(spark.table("pse_stream"), "id", "tag")
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        q.stop()
+
+
 def test_rename_stream_partitioned_across_vintages(spark, tmp_path):
     """r12: the partitioned+renamed corner streams too — the stale
     vintage scans under the physical DATA-column name while the
