@@ -1803,6 +1803,23 @@ class Table:
             field_ids=self._field_ids(as_of=as_of)
             if self.meta.get("has_renames") else None,
         )
+        if self.meta.get("cdc_tombstone_hours") is not None:
+            # CDC delete markers recorded by commits AFTER the restore
+            # target describe deletes that are no longer part of the
+            # table's logical history — left in place they would keep
+            # discarding legitimate post-restore events for the
+            # resurrected keys. Sidecar names carry their commit
+            # (<ts>_<commit>), so this is name-based file surgery.
+            root = self._cdc_tombstone_root()
+            if self.fs.exists(root):
+                names = {
+                    posixpath.relpath(p, root).split("/")[0]
+                    for p in self.fs.list(root)
+                }
+                for n in sorted(names):
+                    if n.split("_", 1)[-1] > as_of:
+                        for f in self.fs.list(posixpath.join(root, n)):
+                            self.fs.delete(f)
         return commit
 
     # -- savepoints ----------------------------------------------------

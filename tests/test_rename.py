@@ -946,6 +946,32 @@ def test_cdc_tombstone_cleaner_prunes_expired(spark, tmp_path):
     assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 3, "ghost")]
 
 
+def test_cdc_tombstone_dropped_on_restore(spark, tmp_path):
+    """restore() to a commit BEFORE a CDC delete must drop that
+    delete's tombstone sidecar — the delete is no longer part of the
+    table's logical history, and a retained marker would keep
+    discarding legitimate post-restore events for the resurrected
+    key."""
+    t = Table.create(
+        spark, str(tmp_path / "cdcr"), key="id", precombine="ver",
+        table_name="cdcr", cdc_tombstone_hours=24.0,
+    )
+    c1 = t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 1, "a", "c")], "id long, ver long, val string, _op string"
+    ))
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 9, None, "d")], "id long, ver long, val string, _op string"
+    ))
+    assert rows_of(t.snapshot(), "id") == []
+    t.restore(c1)
+    assert rows_of(t.snapshot(), "id", "val") == [(1, "a")]
+    # the marker (ver 9) is gone: an update BELOW it now applies
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 3, "after", "u")], "id long, ver long, val string, _op string"
+    ))
+    assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 3, "after")]
+
+
 def test_cdc_feed_rejects_null_and_unknown_ops(spark, tmp_path):
     t = Table.create(
         spark, str(tmp_path / "cdc4"), key="id", precombine="ver",
