@@ -366,10 +366,11 @@ def _subquery_frame(
     tag = f"__dml_src_{_uuid.uuid4().hex[:10]}"
     prev = None
     try:
-        if any(
-            v.name == name and v.isTemporary
-            for v in spark.catalog.listTables()
-        ):
+        # single-name catalog probe — the previous listTables() scan
+        # was O(entire session catalog) per statement; a long-lived
+        # session accumulates unbounded temp views (measured flat at
+        # 300 views, but the scan has no business growing with them)
+        if spark.catalog.getTable(name).isTemporary:
             prev = spark.table(name)  # eager analysis pins the old plan
     except Exception:
         prev = None
