@@ -317,8 +317,22 @@ def main() -> None:
     # (first-repeat outlier). Uniform warm-up makes median-of-N measure
     # the steady-state plan for every family at the cost of one extra
     # pass (~1/4 more wall-clock).
+    # Per-query scratch isolation (r12, extends the r9 start-of-run
+    # hygiene): each query's mkdtemp'd tables land in their own subdir,
+    # DELETED right after that query's timings. ~100 table-building
+    # rows otherwise accumulate gigabytes of never-synced pages across
+    # the suite, and the kernel's background writeback taxes the
+    # write-heavy rows that happen to run LATE in the list (measured:
+    # the same subquery-DML row reads ~3.0 s in a 5-row targeted probe
+    # but 3.8-4.3 s normalized at position ~95 of the full suite,
+    # reproduced across three rounds). Deleting a query's dirty files
+    # immediately drops their pages without writeback, keeping the I/O
+    # context flat from the first row to the last.
     errors: dict[str, str] = {}
     for name in names:
+        qscratch = os.path.join(scratch, f"q_{name}")
+        os.makedirs(qscratch, exist_ok=True)
+        _tf.tempdir = qscratch
         runs = []
         try:
             spark.catalog.clearCache()
@@ -333,6 +347,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
+        finally:
+            _tf.tempdir = scratch
+            shutil.rmtree(qscratch, ignore_errors=True)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
