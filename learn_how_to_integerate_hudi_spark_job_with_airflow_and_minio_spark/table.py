@@ -1798,28 +1798,19 @@ class Table:
         # the field-id map is restored WITH the schema (a rename after
         # as_of must roll back too, or the restored old name would be
         # mistaken for a fresh column and read as null from its own files)
+        # the restore target is stamped into the manifest so the CDC
+        # tombstone read path can recompute the LOGICAL lineage: markers
+        # recorded by rolled-back commits must stop guarding (they would
+        # discard legitimate post-restore events for resurrected keys),
+        # but the sidecars themselves are NOT deleted — a forward
+        # re-restore reinstates their protection, a crash cannot tear
+        # them, and history stays auditable like the manifests
         self._publish(
             commit, "restore", added, removed, self._schema(as_of=as_of),
             field_ids=self._field_ids(as_of=as_of)
             if self.meta.get("has_renames") else None,
+            extra={"restore_target": as_of},
         )
-        if self.meta.get("cdc_tombstone_hours") is not None:
-            # CDC delete markers recorded by commits AFTER the restore
-            # target describe deletes that are no longer part of the
-            # table's logical history — left in place they would keep
-            # discarding legitimate post-restore events for the
-            # resurrected keys. Sidecar names carry their commit
-            # (<ts>_<commit>), so this is name-based file surgery.
-            root = self._cdc_tombstone_root()
-            if self.fs.exists(root):
-                names = {
-                    posixpath.relpath(p, root).split("/")[0]
-                    for p in self.fs.list(root)
-                }
-                for n in sorted(names):
-                    if n.split("_", 1)[-1] > as_of:
-                        for f in self.fs.list(posixpath.join(root, n)):
-                            self.fs.delete(f)
         return commit
 
     # -- savepoints ----------------------------------------------------
@@ -2050,14 +2041,58 @@ class Table:
     def _cdc_tombstone_root(self) -> str:
         return posixpath.join(self.path, "_cdc_tombstones")
 
+    def _restored_lineage(self) -> set[str] | None:
+        """The commit ids in the table's LOGICAL history, or None when
+        no restore ever happened (every commit is in lineage — the
+        common case, zero extra cost). A restore commit rolls the
+        running lineage back to the lineage AS OF its target and then
+        appends itself, so rolled-back commits drop out, a forward
+        re-restore brings them back, and nested restores compose.
+        Legacy restore manifests without a ``restore_target`` stamp
+        fall back to a non-rolling append (conservative: markers stay
+        active, the pre-r12 behavior)."""
+        arch = self._archived_manifests()
+        commits = sorted({*self.commits(), *arch})
+        if not any(
+            (arch.get(c) or self._manifest(c)).get("action") == "restore"
+            for c in commits
+        ):
+            return None
+        lineage_at: dict[str, tuple[str, ...]] = {}
+        cur: tuple[str, ...] = ()
+        for c in commits:
+            m = arch.get(c) or self._manifest(c)
+            if m.get("action") == "restore":
+                tgt = m.get("restore_target")
+                if tgt is not None:
+                    cur = lineage_at.get(
+                        tgt, tuple(x for x in cur if x <= tgt)
+                    )
+            cur = (*cur, c)
+            lineage_at[c] = cur
+        return set(cur)
+
     def _retained_tombstones(self) -> DataFrame | None:
         """Unexpired delete markers as (key, max precombine per key =
         ``_cdc_tomb``), or None when no marker sidecars are in the
         retention window. Expiry is decided from the sidecar DIRECTORY
-        name (``<utc-ts>_<commit>/``) — zero data reads for pruning."""
+        name (``<utc-ts>_<commit>/``) — zero data reads for pruning.
+        Markers whose commit was rolled back by a restore are filtered
+        by the lineage walk (read-side, non-destructive); unknown name
+        shapes stay active (the safe side for a protection feature)."""
         dirs = self._tombstone_dirs(expired=False)
         if not dirs:
             return None
+        lineage = self._restored_lineage()
+        if lineage is not None:
+            dirs = [
+                d
+                for d in dirs
+                if posixpath.basename(d).split("_", 1)[-1] in lineage
+                or "_" not in posixpath.basename(d)
+            ]
+            if not dirs:
+                return None
         return (
             self.spark.read.parquet(*dirs)
             .groupBy(self.key)
@@ -4227,6 +4262,7 @@ class Table:
         field_ids: dict[str, str] | None = None,
         batch_id: str | None = None,
         sink_id: str | None = None,
+        extra: dict | None = None,
     ) -> None:
         manifest_path = posixpath.join(self._commits_dir(), f"{commit}.json")
         ids_used: set[str] | None = None
@@ -4277,6 +4313,12 @@ class Table:
             manifest["batch_id"] = batch_id
             if sink_id is not None:
                 manifest["batch_sink"] = sink_id
+        if extra:
+            # action-specific metadata (e.g. a restore commit's target,
+            # consumed by the lineage walk) — merged last, reserved
+            # keys must not be shadowed
+            for k, v in extra.items():
+                manifest.setdefault(k, v)
         # the write that fed this publish is fully materialized on disk —
         # release any batch blocks persisted for it (success OR race
         # failure: a retry re-runs the gate and re-persists)

@@ -946,12 +946,15 @@ def test_cdc_tombstone_cleaner_prunes_expired(spark, tmp_path):
     assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 3, "ghost")]
 
 
-def test_cdc_tombstone_dropped_on_restore(spark, tmp_path):
-    """restore() to a commit BEFORE a CDC delete must drop that
-    delete's tombstone sidecar — the delete is no longer part of the
-    table's logical history, and a retained marker would keep
-    discarding legitimate post-restore events for the resurrected
-    key."""
+def test_cdc_tombstone_inactive_after_restore(spark, tmp_path):
+    """restore() to a commit BEFORE a CDC delete must deactivate that
+    delete's marker — the delete left the table's logical history, and
+    a still-active marker would discard legitimate post-restore events
+    for the resurrected key. Deactivation is READ-SIDE (the lineage
+    walk): the sidecar files survive, so the prune is crash-atomic and
+    reversible."""
+    import os
+
     t = Table.create(
         spark, str(tmp_path / "cdcr"), key="id", precombine="ver",
         table_name="cdcr", cdc_tombstone_hours=24.0,
@@ -965,11 +968,66 @@ def test_cdc_tombstone_dropped_on_restore(spark, tmp_path):
     assert rows_of(t.snapshot(), "id") == []
     t.restore(c1)
     assert rows_of(t.snapshot(), "id", "val") == [(1, "a")]
-    # the marker (ver 9) is gone: an update BELOW it now applies
+    # the sidecar is NOT deleted (audit parity with manifests)...
+    assert os.listdir(t._cdc_tombstone_root())
+    # ...but the marker (ver 9) no longer guards: an update BELOW it
+    # applies against the restored stored row
     t.apply_cdc_feed(spark.createDataFrame(
         [(1, 3, "after", "u")], "id long, ver long, val string, _op string"
     ))
     assert rows_of(t.snapshot(), "id", "ver", "val") == [(1, 3, "after")]
+
+
+def test_cdc_tombstone_in_lineage_survives_restore(spark, tmp_path):
+    """Keep-boundary: a marker recorded AT OR BEFORE the restore
+    target stays active — that delete was never rolled back. Guards
+    the strict '>' boundary of the lineage semantics."""
+    t = Table.create(
+        spark, str(tmp_path / "cdck"), key="id", precombine="ver",
+        table_name="cdck", cdc_tombstone_hours=24.0,
+    )
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 1, "a", "c"), (2, 1, "b", "c")],
+        "id long, ver long, val string, _op string",
+    ))
+    c_del = t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 9, None, "d")], "id long, ver long, val string, _op string"
+    ))
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(2, 2, "b2", "u")], "id long, ver long, val string, _op string"
+    ))
+    t.restore(c_del)  # rolls back only the id=2 update
+    assert rows_of(t.snapshot(), "id", "val") == [(2, "b")]
+    # id=1's delete is in the restored lineage: its marker still
+    # discards a late update below ver 9
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 3, "ghost", "u")], "id long, ver long, val string, _op string"
+    ))
+    assert rows_of(t.snapshot(), "id", "val") == [(2, "b")]
+
+
+def test_cdc_tombstone_roundtrip_restore_reinstates(spark, tmp_path):
+    """A forward re-restore (undoing a rollback) reinstates the
+    rolled-back delete's protection — possible only because the
+    sidecar was never deleted (r12 third-review finding)."""
+    t = Table.create(
+        spark, str(tmp_path / "cdcrr"), key="id", precombine="ver",
+        table_name="cdcrr", cdc_tombstone_hours=24.0,
+    )
+    c1 = t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 1, "a", "c")], "id long, ver long, val string, _op string"
+    ))
+    c2 = t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 9, None, "d")], "id long, ver long, val string, _op string"
+    ))
+    t.restore(c1)   # mistake
+    t.restore(c2)   # undo: key 1 is dead again
+    assert rows_of(t.snapshot(), "id") == []
+    # the delete is back in lineage, so its marker guards again
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 3, "ghost", "u")], "id long, ver long, val string, _op string"
+    ))
+    assert rows_of(t.snapshot(), "id") == []
 
 
 def test_cdc_feed_rejects_null_and_unknown_ops(spark, tmp_path):
