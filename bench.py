@@ -242,26 +242,33 @@ PRINT_OMIT = {
     "table_sql_show_partitions",
 }
 
-# Drift sentinel (r6 verdict item 8): three fixed, code-stable,
-# shape-diverse queries (join, window, map-only text), each stamped
-# with the ratio of its MAIN-LOOP median to the previous round's
-# driver-bench median. Same-day VM weather moves unchanged queries
-# 20-30% on this box; the stamped geometric-mean factor lets
-# round-over-round comparisons normalize that out before reading
-# per-query deltas. Ratios are taken from the main loop (not a
-# separate first pass) so the sentinel reflects the exact weather the
-# other rows were measured under — a dedicated cold pre-pass measured
-# 1.3-2x high from session-start JIT/IO effects that one warm-up
-# repeat doesn't cover. Refs are sf0.1 medians from the PREVIOUS
-# round's driver bench (BENCH_r09 — re-stamped each round so the
-# factor always reads this-round weather vs last round), so the
-# sentinel is only stamped when benching sf0.1.
+# Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):
+# FOUR fixed, code-stable, shape-diverse queries (join, window,
+# map-only text, scan-heavy aggregate), each stamped with the ratio of
+# its MAIN-LOOP median to the previous round's driver-bench median.
+# Same-day VM weather moves unchanged queries 20-30% on this box; the
+# stamped factor lets round-over-round comparisons normalize that out
+# before reading per-query deltas. The factor is the MEDIAN of the
+# component ratios (r13 change): in r12 win_topk_per_group alone read
+# 1.87x in an otherwise ~1.05 window — machine-state for that exchange
+# shape — and under a geomean one pathological component skews the
+# whole correction; the median of 4 tolerates one outlier. Ratios are
+# taken from the main loop (not a separate first pass) so the sentinel
+# reflects the exact weather the other rows were measured under — a
+# dedicated cold pre-pass measured 1.3-2x high from session-start
+# JIT/IO effects that one warm-up repeat doesn't cover. Refs are sf0.1
+# medians from the PREVIOUS round's driver bench (re-stamped each
+# round so the factor always reads this-round weather vs last round),
+# so the sentinel is only stamped when benching sf0.1. The printed
+# line carries the per-component ratios as an array in THIS dict's
+# order (full named detail in BENCH_SELF.json).
 SENTINEL_REF = {
-    # re-stamped r12 from the BENCH_r11 driver medians (protocol: refs
+    # re-stamped r13 from the BENCH_r12 driver medians (protocol: refs
     # always come from the previous round's driver bench)
-    "q02_flagship_join": 0.65,
-    "win_topk_per_group": 0.29,
-    "text_quality": 0.33,
+    "q02_flagship_join": 0.62,
+    "win_topk_per_group": 0.42,
+    "text_quality": 0.36,
+    "agg_tpch_q1": 1.28,
 }
 
 
@@ -356,7 +363,7 @@ def main() -> None:
 
     drift_sentinel: dict[str, object] = {}
     if abs(sf - 0.1) < 1e-9:
-        import math
+        import statistics
 
         ratios = []
         for name, ref in SENTINEL_REF.items():
@@ -369,9 +376,10 @@ def main() -> None:
             }
             ratios.append(timings[name] / ref)
         if ratios:
-            drift_sentinel["factor"] = round(
-                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
-            )
+            # MEDIAN, not geomean (r13): one machine-state-sensitive
+            # component must not skew the whole correction.
+            drift_sentinel["factor"] = round(statistics.median(ratios), 3)
+            drift_sentinel["ratios"] = [round(r, 3) for r in ratios]
 
     result = {
         "metric": "headline_total",
@@ -432,6 +440,9 @@ def main() -> None:
     del printed["drift_sentinel"]
     if drift_sentinel:
         printed["drift"] = drift_sentinel.get("factor")
+        # per-component ratios, in SENTINEL_REF order (r12 verdict item
+        # 3: the judge reads these to spot a single skewed component)
+        printed["drift_ratios"] = drift_sentinel.get("ratios")
     line = json.dumps(printed, separators=(",", ":"))
     # Future-proofing: as the headline set grows the line will one day
     # outgrow the window again — degrade by omitting the FASTEST rows

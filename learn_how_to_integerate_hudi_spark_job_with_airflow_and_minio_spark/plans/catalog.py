@@ -59,78 +59,70 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-12 window (stalest-green rule, standing rotation, per the r11
-# verdict's prescription):
-# (0) the 7 round-11 births that have never had a driver row
-# (registered after the r11 rotation; staleness computed from
-# CORRECTNESS_r0{1..11}.json key sets) — after this round ZERO
-# pre-r12 registrations remain with no driver row ever (the r12
-# births registered later this round queue for the front of the
-# r13 window per the standing rule);
-# (1) all 40 queries whose latest driver row dates from round 7;
-# (2) three round-8-stale rows filling to 50. The r11 verdict named
-# "the 3 alphabetically-first r8-stale rows (starting
-# decontaminate_substring_incremental)", which is internally
-# inconsistent (agg_* rows sort first); we take the judge-named
-# anchor plus the other two r8 rows whose ONLY driver row ever is
-# round 8 (decontaminate_incremental, agg_tpch_q6) — this also
-# covers both decontaminate_* r10→r11 bench regressors with fresh
-# driver rows. The whole catalog stays covered by
-# tests/test_catalog_oracle.py every round regardless of the window.
+# Round-13 window (standing rotation, per the r12 verdict's prescription):
+# (0) the 7 round-12 births that have never had a driver row (registered
+#     after the r12 rotation: the CDC tombstone replay, the rename-feed
+#     stream, and the five derived-partsupp TPC-H shapes);
+# (1) the 43 alphabetically-first of the 47 rows whose latest driver row
+#     dates from round 8 — i.e. all of them EXCEPT the alphabetically-last
+#     four (table_sql_ctas, table_sql_ddl_lifecycle,
+#     table_sql_merge_by_source, table_sql_merge_evolution), which lead
+#     the r14 fill per the verdict. Staleness computed from
+#     CORRECTNESS_r0{1..12}.json key sets. The whole catalog stays covered
+#     by tests/test_catalog_oracle.py every round regardless of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 11 (post-rotation) - first driver row ever
-    "join_tpch_q4",
-    "join_tpch_q12",
-    "join_tpch_q21",
-    "table_catalog_sync",
-    "table_cdc_apply_feed",
-    "table_sql_rename_column",
-    "text_bm25_search",
-    # (1) latest driver row = round 7 (all 40)
-    "agg_string_agg",
-    "agg_variance_stddev",
-    "decontaminate_ngram_overlap",
-    "dedup_apply_keep_representative",
-    "dedup_semantic_incremental",
-    "explode_token_counts",
-    "fuzzy_match_pairs",
-    "join_tpch_q3",
-    "multimodal_frames",
-    "multimodal_resize",
-    "orderby_nulls_ordering",
-    "pandas_udf_scalar",
-    "q02_flagship_join",
-    "sample_domain_mix",
-    "scalar_case_coalesce",
-    "scalar_cast_chain",
-    "scalar_hash_funcs",
-    "scalar_json_funcs",
-    "scalar_levenshtein",
-    "scalar_math_funcs",
-    "scalar_regexp_extended",
-    "setop_all_variants",
-    "sim_ivf_cells",
-    "sim_ivf_probe",
-    "sim_lsh_ann",
-    "skew_salted_join",
-    "source_csv_roundtrip",
-    "stream_dedup_watermark",
-    "stream_multimodal_feed",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "table_cdc_changes",
-    "table_insert_overwrite_dynamic",
-    "table_mor_partitioned_pruning",
-    "table_schema_evolution",
-    "table_sql_merge_into",
-    "table_zorder_compaction",
-    "text_pack_sequences",
-    "text_tfidf_top_terms",
-    "win_first_last",
-    # (2) round-8-stale fill to 50 (see rationale above)
-    "decontaminate_substring_incremental",
-    "decontaminate_incremental",
-    "agg_tpch_q6",
+    # (0) born round 12 (post-rotation) - first driver row ever
+    "table_cdc_tombstone_replay",
+    "stream_rename_feed",
+    "join_tpch_q2",
+    "join_tpch_q9",
+    "join_tpch_q11",
+    "join_tpch_q16",
+    "join_tpch_q20",
+    # (1) latest driver row = round 8 (43 alphabetically-first of 47)
+    "agg_arg_minmax",
+    "agg_filter_clause",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_group_stats",
+    "dedup_minhash_estimate_contract",
+    "incremental_pipeline_gold",
+    "join_anti",
+    "join_asof",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_bands",
+    "join_semi",
+    "join_tpch_q13",
+    "join_tpch_q15",
+    "join_tpch_q17",
+    "join_tpch_q18",
+    "join_tpch_q19",
+    "join_tpch_q22",
+    "join_tpch_q5",
+    "join_tpch_q7",
+    "multimodal_meta",
+    "pandas_grouped_map_rank",
+    "pipeline_llm_corpus_gold",
+    "q01_projection_alias",
+    "q03_distinct_orderby",
+    "q04_minmax_agg",
+    "q05_topk",
+    "q06_latest_per_key",
+    "q07_sql_transformer",
+    "sample_exact_k_per_stratum",
+    "scalar_bitwise_funcs",
+    "setop_union_intersect_except",
+    "sim_ivf_recall",
+    "skew_salted_agg",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "sql_catalog_auto_pruned_join",
+    "sql_catalog_pruned_select",
+    "sql_catalog_time_travel",
+    "sql_session_statement_pipeline",
+    "table_mor_sql_merge_into",
+    "table_sql_call_procedures",
 ]
 
 

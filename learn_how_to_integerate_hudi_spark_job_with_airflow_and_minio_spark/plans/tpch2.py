@@ -152,9 +152,14 @@ def join_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal", "s_name", "n_name",
         )
     )
+    # The aggregate side is derived FROM `eligible`, so joining on
+    # eligible["ps_partkey"] == mn["ps_partkey"] would lean on Spark's
+    # dataset-id disambiguation of a self-join ("trivially true equals
+    # predicate" warning). Renaming the aggregate key removes the
+    # ambiguity entirely — the join is between distinct column names.
     mn = eligible.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
-    )
+    ).withColumnRenamed("ps_partkey", "mn_partkey")
     sized = (
         t["part"]
         .where((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
@@ -163,10 +168,10 @@ def join_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eligible.join(
             mn,
-            (eligible["ps_partkey"] == mn["ps_partkey"])
+            (F.col("ps_partkey") == F.col("mn_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .drop(mn["ps_partkey"])
+        .drop("mn_partkey")
         .join(sized, F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name",
