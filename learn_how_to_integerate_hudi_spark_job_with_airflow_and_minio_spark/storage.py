@@ -63,6 +63,25 @@ class LocalFS:
         if os.path.exists(path):
             os.remove(path)
 
+    def rmdir(self, path: str) -> None:
+        """Remove a directory tree that is (believed) emptied of files.
+
+        Bottom-up ``os.rmdir`` of EMPTY dirs only — a file that
+        appeared concurrently makes its branch a silent no-op rather
+        than data loss (``shutil.rmtree`` would take it)."""
+        if not os.path.isdir(path):
+            return
+        for root, dirs, _files in os.walk(path, topdown=False):
+            for d in dirs:
+                try:
+                    os.rmdir(os.path.join(root, d))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(path)
+        except OSError:
+            pass
+
 
 class S3FS:
     """boto3-backed control-plane I/O for s3:// and s3a:// paths.
@@ -135,6 +154,9 @@ class S3FS:
     def delete(self, path: str) -> None:
         b, k = self._split(path)
         self.client.delete_object(Bucket=b, Key=k)
+
+    def rmdir(self, path: str) -> None:
+        """No-op: S3 prefixes don't exist apart from their objects."""
 
 
 def fs_for(path: str):

@@ -242,6 +242,13 @@ class Table:
             # _gate_constraints
             "constraints": constraints or {},
             "created_at": _utcnow(),
+            # tables created at or after r13 stamp this: restore()
+            # always drops a flag marker, so _restored_lineage's
+            # no-restore fast path is ONE exists() check instead of an
+            # O(active timeline) manifest walk per tombstone-guarded
+            # apply. Legacy tables (key absent) keep the full walk —
+            # their pre-flag restores left no marker.
+            "restore_flagged": True,
         }
         if index_type:
             meta["index_type"] = index_type
@@ -1172,6 +1179,16 @@ class Table:
         predicate (evaluated at file granularity). ``compact()`` is
         still the zero-extra-branch path — it migrates files to
         current names and collapses the union.
+
+        ``reader_options`` apply PER BRANCH: on a renamed table the
+        source is a union of one file stream per name vintage, and
+        Spark evaluates rate-limit options independently in each, so
+        e.g. ``maxFilesPerTrigger=N`` bounds a micro-batch at
+        ``(1 + #stale_vintages) × N`` files, not N. Un-renamed tables
+        (the common case) have exactly one branch and the options mean
+        what they say; callers rate-limiting a renamed table should
+        divide by the branch count (``compact()`` collapses the union
+        back to one branch).
         """
         import re as _re
 
@@ -1293,6 +1310,7 @@ class Table:
         occ_retries: int = 0,
         batch_id: str | None = None,
         sink_id: str | None = None,
+        legacy_sink_fallback: bool = False,
     ) -> str | None:
         """Merge a batch: new keys inserted, existing keys replaced (K1/K2).
 
@@ -1317,7 +1335,13 @@ class Table:
         restart at 0) must use a new sink_id to avoid its real batches
         being mistaken for replays. ``None`` (batch callers, legacy
         manifests) is itself an identity: unscoped stamps only compare
-        with unscoped stamps.
+        with unscoped stamps. A pipeline UPGRADING from unscoped to a
+        sink_id keeps replay protection across the boundary either by
+        starting a fresh checkpoint (the default recommendation) or by
+        passing ``legacy_sink_fallback=True`` for the first post-
+        upgrade run — see :meth:`_batch_already_applied` for why the
+        fallback is opt-in (it is unsafe for a genuinely NEW query
+        joining a table with legacy stamps).
 
         ``occ_retries``: optimistic concurrency for multi-writer upserts.
         The manifest publish is an ATOMIC exclusive create, so two
@@ -1346,7 +1370,7 @@ class Table:
         happens at read (:meth:`_merge_view`) or at compaction.
         """
         if batch_id is not None and self._batch_already_applied(
-            batch_id, sink_id
+            batch_id, sink_id, legacy_sink_fallback=legacy_sink_fallback
         ):
             return None
         attempts = max(0, occ_retries) + 1
@@ -1369,7 +1393,10 @@ class Table:
         raise AssertionError("unreachable")
 
     def _batch_already_applied(
-        self, batch_id: str, sink_id: str | None = None
+        self,
+        batch_id: str,
+        sink_id: str | None = None,
+        legacy_sink_fallback: bool = False,
     ) -> bool:
         """True when a commit FROM THE SAME SINK already carries this
         streaming batch id (or a LATER one — epoch ids are monotone per
@@ -1379,26 +1406,58 @@ class Table:
         concurrent streaming queries never suppress each other. Walks
         the active timeline newest-first to the most recent stamped id
         for this sink — O(1) manifest reads for a single-sink streaming
-        table, bounded by the timeline otherwise."""
+        table, bounded by the timeline otherwise.
+
+        ``legacy_sink_fallback`` (upgrade escape hatch): a pipeline
+        that stamped epochs UNSCOPED (no sink_id) and then upgrades to
+        a scoped identity loses replay protection exactly at the
+        upgrade boundary — the scoped lookup misses the pre-upgrade
+        stamps, so a restart replaying a pre-upgrade epoch applies it
+        twice. With the flag set, a scoped lookup that finds NO stamp
+        for this sink anywhere (active + archive) compares against the
+        newest UNSCOPED stamp once; after the first scoped commit
+        publishes, the fallback never triggers again. Opt-in because
+        it is only safe when the unscoped stamps belong to THE SAME
+        logical stream: a genuinely new query (fresh epoch counter)
+        joining a table with legacy stamps would have its real epochs
+        suppressed — data loss, the worse failure. Default off =
+        documented alternative: upgrading sink identity starts a fresh
+        checkpoint."""
         def _cmp(last: str) -> bool:
             try:
                 return int(batch_id) <= int(last)
             except (TypeError, ValueError):
                 return batch_id == last
 
+        newest_unscoped: str | None = None
+        want_unscoped = legacy_sink_fallback and sink_id is not None
         for c in reversed(self.commits()):
             m = self._manifest(c)
             last = m.get("batch_id")
-            if last is not None and m.get("batch_sink") == sink_id:
+            if last is None:
+                continue
+            if m.get("batch_sink") == sink_id:
                 return _cmp(last)
+            if want_unscoped and newest_unscoped is None and m.get(
+                "batch_sink"
+            ) is None:
+                newest_unscoped = last
         # archive fallback: archive_timeline may have folded every
         # stamped manifest out of the active window — going blind there
         # would re-apply a replayed epoch. One consolidated read.
         arch = self._archived_manifests()
         for c in sorted(arch, reverse=True):
             last = arch[c].get("batch_id")
-            if last is not None and arch[c].get("batch_sink") == sink_id:
+            if last is None:
+                continue
+            if arch[c].get("batch_sink") == sink_id:
                 return _cmp(last)
+            if want_unscoped and newest_unscoped is None and arch[c].get(
+                "batch_sink"
+            ) is None:
+                newest_unscoped = last
+        if newest_unscoped is not None:
+            return _cmp(newest_unscoped)
         return False
 
     def _delta_write(
@@ -1793,6 +1852,12 @@ class Table:
         target = {e["path"]: e for e in self.current_files(as_of=as_of)}
         current = {e["path"]: e for e in self.current_files()}
         commit = self._next_commit()
+        # drop the has-restore marker BEFORE publishing (crash between
+        # the two costs one wasted lineage walk, never a missed one) —
+        # lets _restored_lineage answer "no restore ever" without
+        # reading any manifest
+        if not self.fs.exists(self._restore_flag_path()):
+            write_json(self._restore_flag_path(), {"ts": _utcnow()})
         added = [target[p] for p in sorted(set(target) - set(current))]
         removed = sorted(set(current) - set(target))
         # the field-id map is restored WITH the schema (a rename after
@@ -2041,16 +2106,28 @@ class Table:
     def _cdc_tombstone_root(self) -> str:
         return posixpath.join(self.path, "_cdc_tombstones")
 
+    def _restore_flag_path(self) -> str:
+        """Marker dropped by the first restore() ever (underscore
+        prefix keeps it invisible to :meth:`commits`)."""
+        return posixpath.join(self._commits_dir(), "_has_restore.json")
+
     def _restored_lineage(self) -> set[str] | None:
         """The commit ids in the table's LOGICAL history, or None when
-        no restore ever happened (every commit is in lineage — the
-        common case, zero extra cost). A restore commit rolls the
-        running lineage back to the lineage AS OF its target and then
-        appends itself, so rolled-back commits drop out, a forward
-        re-restore brings them back, and nested restores compose.
-        Legacy restore manifests without a ``restore_target`` stamp
-        fall back to a non-rolling append (conservative: markers stay
-        active, the pre-r12 behavior)."""
+        no restore ever happened. For ``restore_flagged`` tables
+        (created ≥ r13) the no-restore common case is ONE exists()
+        check on the flag marker restore() drops — zero manifest
+        reads; legacy tables fall back to scanning the timeline for a
+        restore action (their pre-flag restores left no marker). A
+        restore commit rolls the running lineage back to the lineage
+        AS OF its target and then appends itself, so rolled-back
+        commits drop out, a forward re-restore brings them back, and
+        nested restores compose. Legacy restore manifests without a
+        ``restore_target`` stamp fall back to a non-rolling append
+        (conservative: markers stay active, the pre-r12 behavior)."""
+        if self.meta.get("restore_flagged") and not self.fs.exists(
+            self._restore_flag_path()
+        ):
+            return None
         arch = self._archived_manifests()
         commits = sorted({*self.commits(), *arch})
         if not any(
@@ -2113,7 +2190,15 @@ class Table:
 
     def _tombstone_dirs(self, expired: bool) -> list[str]:
         """Sidecar directories inside (expired=False) or past
-        (expired=True) the retention window."""
+        (expired=True) the retention window.
+
+        Expiry compares the directory-name UTC stamp lexically against
+        the window cutoff (fixed ``%Y%m%dT%H%M%S%f`` format — lexical
+        == chronological). A clock-skewed writer stamping a FUTURE
+        timestamp therefore keeps its markers alive PAST their window
+        (over-retention: replays stay guarded longer) but can never
+        expire them prematurely — the safe direction for a protection
+        feature. Unparseable names sort high for the same reason."""
         retain = self.meta.get("cdc_tombstone_hours")
         root = self._cdc_tombstone_root()
         if retain is None or not self.fs.exists(root):
@@ -5195,6 +5280,10 @@ class TableServices:
         for d in t._tombstone_dirs(expired=True):
             for f in t.fs.list(d):
                 t.fs.delete(f)
+            # drop the emptied directory too (LocalFS; S3 prefixes
+            # vanish with their objects) — leftovers would accumulate
+            # and a same-named future sidecar dir would collide
+            t.fs.rmdir(d)
             tomb_deleted.append(posixpath.relpath(d, t.path))
         arch = t._archived_manifests()
         commits = sorted({*t.commits(), *arch})
@@ -5517,6 +5606,37 @@ class TableServices:
             return None
         return self.compact()
 
+    def _canonical_sync_key(self, ident: str) -> str:
+        """Resolve ``ident`` to its fully-qualified catalog.db.table
+        spelling for use as the sync-watermark key, so every spelling
+        of one physical mirror shares a watermark. Quoted identifiers
+        (backticks) are left as-is — a dot inside a quoted part would
+        defeat the split, and an exotic spelling merely falls back to
+        per-spelling tracking (redundant re-sync, never wrong data)."""
+        if "`" in ident:
+            return ident
+        parts = ident.split(".")
+        if len(parts) >= 3:
+            return ident
+        spark = self.t.spark
+        if len(parts) == 2:
+            return f"{spark.catalog.currentCatalog()}.{ident}"
+        return (
+            f"{spark.catalog.currentCatalog()}."
+            f"{spark.catalog.currentDatabase()}.{ident}"
+        )
+
+    def _advance_sync_watermark(
+        self, key: str, ident: str, latest: str
+    ) -> None:
+        """Record ``latest`` as synced under the canonical key,
+        migrating any legacy raw-spelling entry."""
+        t = self.t
+        m = t.meta.setdefault("catalog_sync", {})
+        m.pop(ident, None)
+        m[key] = latest
+        write_json(posixpath.join(t.path, "_table.json"), t.meta)
+
     def sync_spark_catalog(
         self, ident: str, location: str | None = None,
         catalog: str | None = None,
@@ -5575,7 +5695,16 @@ class TableServices:
         latest = t.latest_commit()
         if latest is None:
             raise ValueError("cannot sync an empty table")
-        synced = (t.meta.get("catalog_sync") or {}).get(ident)
+        # The watermark key is the CANONICAL (catalog.db.table) spelling
+        # — 'default.t' and 'spark_catalog.default.t' address the same
+        # physical mirror, and keying on the raw spelling would track
+        # independent synced commits for it (one spelling's syncs leave
+        # the other's watermark stale → redundant full/incremental
+        # re-syncs; r12 advice). A pre-canonicalization watermark under
+        # the raw spelling is honored once and migrated on write.
+        key = self._canonical_sync_key(ident)
+        sync_map = t.meta.get("catalog_sync") or {}
+        synced = sync_map.get(key, sync_map.get(ident))
         exists = spark.catalog.tableExists(ident)
         if synced is not None and exists and synced >= latest:
             # up-to-date mirror is a no-op for UNPARTITIONED tables too
@@ -5604,14 +5733,12 @@ class TableServices:
             if location is not None:
                 w = w.option("path", location)
             w.saveAsTable(ident)
-            t.meta.setdefault("catalog_sync", {})[ident] = latest
-            write_json(posixpath.join(t.path, "_table.json"), t.meta)
+            self._advance_sync_watermark(key, ident, latest)
             return ["*"]
         if not touched:
             # commits landed but touched no data files (pure metadata
             # commits) — nothing to rewrite, just advance the watermark
-            t.meta.setdefault("catalog_sync", {})[ident] = latest
-            write_json(posixpath.join(t.path, "_table.json"), t.meta)
+            self._advance_sync_watermark(key, ident, latest)
             return []
         cond = F.lit(False)
         for tup in touched:
@@ -5681,8 +5808,7 @@ class TableServices:
             spark.sql(
                 f"ALTER TABLE {ident} DROP IF EXISTS PARTITION ({spec})"
             )
-        t.meta.setdefault("catalog_sync", {})[ident] = latest
-        write_json(posixpath.join(t.path, "_table.json"), t.meta)
+        self._advance_sync_watermark(key, ident, latest)
         return [
             "/".join("null" if r is None else r for r in tup)
             for tup in sorted(

@@ -347,3 +347,40 @@ def test_backslash_partition_value_drop(spark, tmp_path):
         assert rows_of(spark.table(ident), "k") == [(2,)]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_watermark_key_canonicalized_across_spellings(spark, synced):
+    """r12 advice: 'x' and 'default.x' (and 'spark_catalog.default.x')
+    address the same physical mirror, so they must share ONE sync
+    watermark — syncing via one spelling must leave the others
+    up-to-date (no redundant full resync)."""
+    t, svc, ident, loc = synced
+    assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+    assert svc.sync_spark_catalog(f"default.{ident}") == []
+    assert svc.sync_spark_catalog(f"spark_catalog.default.{ident}") == []
+    # the stored key is the canonical spelling
+    assert list(t.meta["catalog_sync"]) == [
+        f"spark_catalog.default.{ident}"
+    ]
+    # and incremental attribution works through a different spelling:
+    # a partition-touching commit synced via the qualified name
+    t.upsert(sdf(spark, [(1, 2, "F", 11.0)]))
+    assert svc.sync_spark_catalog(f"default.{ident}") == ["F"]
+    assert svc.sync_spark_catalog(ident) == []
+
+
+def test_watermark_legacy_raw_key_honored_and_migrated(spark, synced):
+    """A pre-canonicalization watermark stored under the raw spelling
+    is honored (incremental, not full resync) and migrated to the
+    canonical key on the next advancing sync."""
+    t, svc, ident, loc = synced
+    assert svc.sync_spark_catalog(ident, location=loc) == ["*"]
+    # simulate a legacy meta: watermark keyed by the raw spelling
+    wm = t.meta["catalog_sync"].pop(f"spark_catalog.default.{ident}")
+    t.meta["catalog_sync"][ident] = wm
+    t.upsert(sdf(spark, [(2, 2, "O", 21.0)]))
+    # honored: O(changed partitions), not ["*"]
+    assert svc.sync_spark_catalog(ident, location=loc) == ["O"]
+    assert list(t.meta["catalog_sync"]) == [
+        f"spark_catalog.default.{ident}"
+    ]

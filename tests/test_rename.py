@@ -1057,3 +1057,143 @@ def test_reserved_internal_column_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved internal column"):
         t.upsert(df)
+
+
+def test_restore_flag_fast_path(spark, tmp_path):
+    """r12 advice: on a never-restored r13+ table the lineage probe is
+    ONE exists() check — zero manifest/archive reads per
+    tombstone-guarded apply. Legacy tables (no ``restore_flagged``
+    meta) keep the full timeline walk, since their pre-flag restores
+    left no marker."""
+    t = Table.create(
+        spark, str(tmp_path / "rff"), key="id", precombine="ver",
+        table_name="rff", cdc_tombstone_hours=24.0,
+    )
+    c1 = t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 1, "a", "c")], "id long, ver long, val string, _op string"
+    ))
+    # fast path: no restore ever -> None, and NO manifest reads
+    reads = []
+    orig = type(t)._manifest
+    orig_arch = type(t)._archived_manifests
+    type(t)._manifest = lambda self, c: reads.append(c) or orig(self, c)
+    type(t)._archived_manifests = (
+        lambda self: reads.append("arch") or orig_arch(self)
+    )
+    try:
+        assert t._restored_lineage() is None
+        assert reads == []
+    finally:
+        type(t)._manifest = orig
+        type(t)._archived_manifests = orig_arch
+    # after a restore the flag exists and the walk runs for real
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 9, None, "d")], "id long, ver long, val string, _op string"
+    ))
+    t.restore(c1)
+    assert t.fs.exists(t._restore_flag_path())
+    lineage = t._restored_lineage()
+    assert lineage is not None and c1 in lineage
+    # legacy table (meta key absent): fast path must NOT trigger
+    t.meta.pop("restore_flagged")
+    assert t._restored_lineage() is not None
+
+
+def test_cdc_tombstone_clock_skew_over_retains(spark, tmp_path):
+    """r12 verdict item 6: a writer with a skewed (future) clock keeps
+    its markers alive PAST the window — over-retention, never
+    premature expiry. The future-stamped sidecar must stay active,
+    never be classified expired, and survive clean()."""
+    import os
+    import shutil
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    t = Table.create(
+        spark, str(tmp_path / "cdcfs"), key="id", precombine="ver",
+        table_name="cdcfs", cdc_tombstone_hours=1.0,
+    )
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 1, "a", "c")], "id long, ver long, val string, _op string"
+    ))
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 5, None, "d")], "id long, ver long, val string, _op string"
+    ))
+    root = t._cdc_tombstone_root()
+    (name,) = os.listdir(root)
+    stamp, commit = name.split("_", 1)
+    future = f"29990101T000000000000_{commit}"
+    shutil.move(os.path.join(root, name), os.path.join(root, future))
+    assert t._tombstone_dirs(expired=True) == []
+    assert any(future in d for d in t._tombstone_dirs(expired=False))
+    removed = TableServices(t).clean()
+    assert not any(future in r for r in removed)
+    assert os.path.isdir(os.path.join(root, future))
+    # and it still guards: the late update stays dead
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 3, "ghost", "u")], "id long, ver long, val string, _op string"
+    ))
+    assert rows_of(t.snapshot(), "id") == []
+
+
+def test_clean_removes_emptied_tombstone_dirs(spark, tmp_path):
+    """r12 advice: clean() must drop the emptied sidecar DIRECTORY,
+    not just its files — leftovers accumulate on disk."""
+    import os
+    import shutil
+
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        TableServices,
+    )
+
+    t = Table.create(
+        spark, str(tmp_path / "cdcrm"), key="id", precombine="ver",
+        table_name="cdcrm", cdc_tombstone_hours=1.0,
+    )
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 1, "a", "c")], "id long, ver long, val string, _op string"
+    ))
+    t.apply_cdc_feed(spark.createDataFrame(
+        [(1, 5, None, "d")], "id long, ver long, val string, _op string"
+    ))
+    root = t._cdc_tombstone_root()
+    (name,) = os.listdir(root)
+    aged = f"20200101T000000000000_{name.split('_', 1)[1]}"
+    shutil.move(os.path.join(root, name), os.path.join(root, aged))
+    TableServices(t).clean()
+    assert not os.path.exists(os.path.join(root, aged))
+
+
+def test_legacy_sink_fallback_bridges_upgrade(spark, tpath):
+    """r12 advice: a pipeline that stamped epochs UNSCOPED and then
+    upgrades to a sink_id loses replay protection at the boundary.
+    With legacy_sink_fallback=True, a scoped lookup that finds no
+    scoped stamp compares against the newest unscoped stamp ONCE;
+    after the first scoped commit the fallback never fires again.
+    Default stays off (a genuinely new query must not be suppressed
+    by legacy stamps)."""
+    t = make_table(spark, tpath)
+    # pre-upgrade: unscoped epochs 4 and 5 durably published
+    assert t.upsert(sdf(spark, [(1, 1, "a")]), batch_id="4") is not None
+    assert t.upsert(sdf(spark, [(2, 1, "b")]), batch_id="5") is not None
+    # restart replays epoch 5 under the upgraded (scoped) identity:
+    # default = applied twice (documented; fresh checkpoint expected)
+    # fallback = recognized as a replay of the unscoped stamp
+    assert t.upsert(sdf(spark, [(2, 1, "b")]), batch_id="5",
+                    sink_id="qA", legacy_sink_fallback=True) is None
+    # a NEW epoch under the scoped identity applies and stamps it
+    assert t.upsert(sdf(spark, [(3, 1, "c")]), batch_id="6",
+                    sink_id="qA", legacy_sink_fallback=True) is not None
+    # from now on the scoped stamp wins; its own replays are caught
+    assert t.upsert(sdf(spark, [(3, 1, "c")]), batch_id="6",
+                    sink_id="qA", legacy_sink_fallback=True) is None
+    # ...and the fallback does NOT leak across to other sinks: a new
+    # query with its own epoch counter (default, no fallback) applies
+    assert t.upsert(sdf(spark, [(4, 1, "d")]), batch_id="0",
+                    sink_id="qB") is not None
+    assert len(t.commits()) == 4
+    assert rows_of(t.snapshot(), "id", "val") == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    ]
