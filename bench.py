@@ -49,6 +49,7 @@ HEADLINE = [
     "text_repetition_gopher",
     "table_incremental_between",
     "table_bootstrap_upsert",
+    "table_bootstrap_partitioned",
     "text_dsir_importance",
     "funnel_steps",
     "skyline_pareto_2d",
@@ -240,6 +241,11 @@ PRINT_OMIT = {
     "table_sql_merge_by_source",
     "table_sql_alter_column_type",
     "table_sql_show_partitions",
+    # retired with the r13 birth row (table_bootstrap_partitioned) +
+    # the printed per-component drift ratios: q4/q12 got their driver
+    # rows in the r12 gate and the joins family keeps 8+ printed rows
+    "join_tpch_q4",
+    "join_tpch_q12",
 }
 
 # Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):

@@ -2994,3 +2994,43 @@ def table_cdc_tombstone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.apply_cdc_feed(late.unionByName(reins), op_col="_op")
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_bootstrap_partitioned",
+    oracle=_UPSERTED_SQL,
+    doc="hive-partitioned metadata-only bootstrap (r13, lifting the v1 "
+    "unpartitioned restriction; the reference's own layout is "
+    "hive-partitioned, create_hudi_tables.py:151-155): a "
+    "status-partitioned parquet dir is adopted in place — each "
+    "external manifest entry carries the partition dict parsed from "
+    "its col=val path segment plus footer key stats, so partition "
+    "pruning and the partition-local upsert rewrite work over files "
+    "the engine never wrote. The mod-5 update batch MOVES rows across "
+    "partitions (status -> 'U'): survivors of affected external files "
+    "rewrite into managed hive dirs, untouched partitions' externals "
+    "stay adopted, and the snapshot still equals source-with-updates",
+)
+def table_bootstrap_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import posixpath
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="engine_bsp_")
+    src = posixpath.join(scratch, "src")
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    # build the hive-partitioned source OUTSIDE the engine (plain Spark
+    # write) — the bootstrap subject is a pre-existing foreign layout
+    orders.write.partitionBy("o_orderstatus").parquet(src)
+    t = Table.bootstrap(
+        spark,
+        posixpath.join(scratch, "tbl"),
+        src,
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_bootstrap_part",
+        partition_fields=["o_orderstatus"],
+    )
+    t.upsert(_update_batch(orders))
+    return t.snapshot().select(*_COLS)

@@ -63,6 +63,13 @@ class LocalFS:
         if os.path.exists(path):
             os.remove(path)
 
+    def move(self, src: str, dst: str) -> None:
+        """Rename a file or directory tree (index-payload migration)."""
+        import shutil
+
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+
     def rmdir(self, path: str) -> None:
         """Remove a directory tree that is (believed) emptied of files.
 
@@ -157,6 +164,27 @@ class S3FS:
 
     def rmdir(self, path: str) -> None:
         """No-op: S3 prefixes don't exist apart from their objects."""
+
+    def move(self, src: str, dst: str) -> None:
+        """Server-side copy + delete, object by object (no native S3
+        rename). Prefix move when ``src`` lists multiple objects."""
+        sb, sk = self._split(src)
+        objs = self.list(src)
+        pairs = (
+            [(src, dst)]
+            if [src] == objs or not objs
+            else [
+                (o, dst.rstrip("/") + o[len(src.rstrip("/")):])
+                for o in objs
+            ]
+        )
+        for s, d in pairs:
+            b1, k1 = self._split(s)
+            b2, k2 = self._split(d)
+            self.client.copy_object(
+                Bucket=b2, Key=k2, CopySource={"Bucket": b1, "Key": k1}
+            )
+            self.client.delete_object(Bucket=b1, Key=k1)
 
 
 def fs_for(path: str):

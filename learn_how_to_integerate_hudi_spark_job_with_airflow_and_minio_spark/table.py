@@ -307,6 +307,7 @@ class Table:
         precombine: str,
         table_name: str | None = None,
         max_records_per_file: int = 0,
+        partition_fields: list[str] | None = None,
     ) -> "Table":
         """Metadata-only bootstrap (Hudi ``METADATA_ONLY`` bootstrap
         analog): turn an EXISTING directory of parquet files into an
@@ -324,9 +325,30 @@ class Table:
         the bootstrap commit via a read-time null-coalesce (the source
         files have no physical meta column).
 
-        v1 restrictions: unpartitioned tables; ``read_stream`` only sees
-        engine-managed files (externals predate the stream).
+        ``partition_fields`` (r13, lifting the v1 restriction): adopt a
+        HIVE-PARTITIONED source layout (``col=val/.../*.parquet`` under
+        ``source_dir`` — the reference's own hive_style layout,
+        create_hudi_tables.py:151-155) as a partitioned engine table.
+        Each file's partition values are parsed from its path segments
+        into the manifest ``partition`` dict + min==max stats — the
+        same entry shape managed writes produce — so partition pruning,
+        insert_overwrite(dynamic) attribution, and catalog sync work
+        over the adopted files with zero rewrite. Partition values live
+        ONLY in dir names, so the key/precombine columns must be data
+        columns (footer stats need bytes). The parse fails loud on a
+        file whose segments don't carry exactly the declared fields —
+        a non-uniform layout silently mis-pruned is worse than a
+        refused bootstrap.
+
+        ``read_stream`` streams externals too (r13): they form the
+        bootstrap commit's vintage branch over the source glob. The
+        source dir is adopted READ-ONLY — files added to it after
+        bootstrap are not table data, but a file stream's glob cannot
+        distinguish them, so mutating the source after bootstrap breaks
+        the streaming contract (document-level requirement, same as
+        Hudi's bootstrap assumption).
         """
+        src_root = source_dir.rstrip("/")
         src_fs = fs_for(source_dir)
         files = sorted(p for p in src_fs.list(source_dir) if p.endswith(".parquet"))
         if not files and source_dir.endswith(".parquet") and src_fs.exists(source_dir):
@@ -338,6 +360,22 @@ class Table:
         missing = [c for c in (key, precombine) if c not in src_schema.fieldNames()]
         if missing:
             raise ValueError(f"bootstrap source lacks required column(s) {missing}")
+        pf = list(partition_fields or [])
+        if pf:
+            bad = [c for c in pf if c not in src_schema.fieldNames()]
+            if bad:
+                raise ValueError(
+                    f"partition field(s) {bad} not discovered in the "
+                    f"source layout under {source_dir}"
+                )
+            overlap = [c for c in (key, precombine) if c in pf]
+            if overlap:
+                raise ValueError(
+                    f"key/precombine column(s) {overlap} cannot be "
+                    "partition fields in a bootstrapped table: partition "
+                    "values live only in directory names, and the "
+                    "bootstrap stats pass reads file footers"
+                )
         t = cls.create(
             spark,
             path,
@@ -345,21 +383,48 @@ class Table:
             precombine=precombine,
             table_name=table_name,
             max_records_per_file=max_records_per_file,
+            partition_fields=pf or None,
         )
         commit = t._next_commit()
         stats = t._collect_stats(files, src_schema, [key, precombine])
-        entries = [
-            {
+        entries = []
+        for p in files:
+            entry = {
                 "path": p,
                 "external": True,
                 **stats.get(p, {"rows": None, "stats": {}}),
             }
-            for p in files
-        ]
+            if pf:
+                from urllib.parse import unquote
+
+                entry["partition"] = {}
+                rel_file = p[len(src_root):].lstrip("/")
+                for seg in rel_file.split("/")[:-1]:
+                    if "=" not in seg:
+                        continue
+                    c, v = seg.split("=", 1)
+                    if c not in pf:
+                        continue
+                    raw = unquote(v)
+                    entry["partition"][c] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+                    pv = _parse_partition_value(c, v, src_schema)
+                    if pv is not None:
+                        entry["stats"][c] = [pv, pv]
+                if set(entry["partition"]) != set(pf):
+                    raise ValueError(
+                        f"source file {p} does not carry the declared "
+                        f"partition fields {pf} in its path segments — "
+                        "the bootstrap source must be a uniform "
+                        "hive-style layout"
+                    )
+            entries.append(entry)
         schema = StructType(
             [*src_schema.fields, StructField(META_COL, StringType(), True)]
         )
         t.meta["bootstrap_commit"] = commit
+        t.meta["bootstrap_source"] = src_root
         write_json(posixpath.join(path.rstrip("/"), "_table.json"), t.meta)
         t._publish(commit, "bootstrap", entries, [], schema)
         return t
@@ -862,9 +927,16 @@ class Table:
         # commits (compaction collapses it to 1); each branch is still a
         # plain pruned parquet scan with full filter pushdown. Name
         # vintages align with commit dirs, so renames add NO extra
-        # branches here.
+        # branches here. External (bootstrapped) files of a PARTITIONED
+        # source (r13) scan as one extra group whose basePath is the
+        # bootstrap source root — their partition columns come from the
+        # source's own hive dirs, and the missing meta column surfaces
+        # as null for the coalesce below.
+        ext = [e for e in entries if e.get("external")]
         by_commit: dict[str, list[str]] = {}
         for e in entries:
+            if e.get("external"):
+                continue
             rel = e["path"]  # data/<commit>/...
             commit_dir = "/".join(rel.split("/")[:2])
             by_commit.setdefault(commit_dir, []).append(self._abs(rel))
@@ -881,6 +953,23 @@ class Table:
                 mapping,
             )
             out = part if out is None else out.unionByName(part)
+        bc = self.meta.get("bootstrap_commit")
+        if ext:
+            for paths, mapping in self._group_by_mapping(
+                ext, vmaps, abs_paths=False
+            ):
+                part = self._scan_entry_group(
+                    paths,
+                    self.meta.get("bootstrap_source"),
+                    schema,
+                    with_file,
+                    mapping,
+                )
+                out = part if out is None else out.unionByName(part)
+            if bc and schema is not None and META_COL in schema.fieldNames():
+                out = out.withColumn(
+                    META_COL, F.coalesce(F.col(META_COL), F.lit(bc))
+                )
         return out
 
     # -- rename-aware scan plumbing (Iceberg-style field identity) ------
@@ -1235,13 +1324,16 @@ class Table:
                 r = r.option(k, v)
             return r
 
-        def _pcol(f: StructField, from_file):
-            # anchored to the table-relative path; coalesced with the
-            # column's FILE bytes — files written before a partition-
-            # spec evolution carry the value physically with no
-            # col=val dir (the batch path's documented contract)
+        def _pcol(f: StructField, from_file, rel_expr=None):
+            # anchored to the table-relative path (or, for the external
+            # bootstrap branch, the source-relative path); coalesced
+            # with the column's FILE bytes — files written before a
+            # partition-spec evolution carry the value physically with
+            # no col=val dir (the batch path's documented contract)
             raw = F.regexp_extract(
-                rel, "(?:^|/)" + _re.escape(f.name) + "=([^/]+)/", 1
+                rel if rel_expr is None else rel_expr,
+                "(?:^|/)" + _re.escape(f.name) + "=([^/]+)/",
+                1,
             )
             parsed = (
                 F.when(raw == "", F.lit(None))
@@ -1253,7 +1345,7 @@ class Table:
             )
             return F.coalesce(from_file, parsed).alias(f.name)
 
-        def _branch(glob: str, mapping):
+        def _branch(glob: str, mapping, rel_expr=None):
             # full schema read: hive-layout files surface partition
             # columns as typed nulls (no inference under recursive
             # lookup), pre-spec-evolution files surface real bytes
@@ -1264,18 +1356,50 @@ class Table:
                 rs, alias = self._mapping_scan_parts(schema, mapping)
             by_name = dict(zip((f.name for f in schema.fields), alias))
             cols = [
-                _pcol(f, by_name[f.name]) if f.name in pfset
+                _pcol(f, by_name[f.name], rel_expr)
+                if f.name in pfset
                 else by_name[f.name]
                 for f in schema.fields
             ]
             return _reader(rs).parquet(glob), cols
 
+        # external (bootstrapped) files form the bootstrap commit's own
+        # vintage branch over the SOURCE glob (r13, lifting the v1
+        # "externals predate the stream" restriction): their partition
+        # columns parse against the source root (no commit-dir anchor),
+        # and the missing meta column coalesces to the bootstrap commit
+        # like the batch path. Tables bootstrapped pre-r13 lack the
+        # recorded source root and keep the v1 behavior.
+        bsrc = self.meta.get("bootstrap_source")
+        bc = self.meta.get("bootstrap_commit")
+        ext_branch = None
+        if bsrc and bc:
+            ext_map = stale_maps.pop(bc, None)
+            ext_rel = F.regexp_extract(
+                _file_path,
+                _re.escape(bsrc.split("://")[-1].rstrip("/")) + "/(.*)$",
+                1,
+            )
+            ext_glob = (
+                bsrc
+                if bsrc.endswith(".parquet")
+                else posixpath.join(bsrc, "*")
+            )
+            ext_df, ext_cols = _branch(ext_glob, ext_map, ext_rel)
+            ext_branch = ext_df.select(*ext_cols)
+            if META_COL in schema.fieldNames():
+                ext_branch = ext_branch.withColumn(
+                    META_COL, F.coalesce(F.col(META_COL), F.lit(bc))
+                )
+
         open_glob = posixpath.join(self.path, "data", "*")
         current, cur_cols = _branch(open_glob, None)
-        if not stale_maps:
+        if not stale_maps and ext_branch is None:
             if not pf:
                 return current  # plain single-source stream, unchanged
             return current.select(*cur_cols)
+        if not stale_maps:
+            return current.select(*cur_cols).unionByName(ext_branch)
         # exclude the fixed stale commit dirs from the open stream (a
         # bounded isin over the pre-rename vintages; new commits always
         # write current names and pass through). Anchored on the
@@ -1300,6 +1424,8 @@ class Table:
             )
             branch_df, branch_cols = _branch(glob, mp)
             out = out.unionByName(branch_df.select(*branch_cols))
+        if ext_branch is not None:
+            out = out.unionByName(ext_branch)
         return out
 
     # -- writes ----------------------------------------------------------
@@ -3114,10 +3240,15 @@ class Table:
         Structural columns (key, precombine, partition fields, the meta
         column) are refused — bucket hashing, hive dir names, and the
         merge kernel all bind to them by name. Columns covered by a
-        named index (secondary / expression / auto_index spec) are
-        refused fail-closed: the index payloads key on the column name,
-        so rename would silently orphan them — drop the index first,
-        rename, recreate (Hudi's own contract).
+        named index MIGRATE with the rename (r13): the secondary-index
+        payload relocates under the new name (its (value, file) content
+        is name-independent), expression-index metas get the identifier
+        rewritten, and auto_index specs update — pruning stays exact
+        through the rename with no manual drop/rebuild. The one
+        fail-closed case left: an expression index whose expr contains
+        string literals (identifier rewrite could corrupt a literal).
+        Record/bucket/bloom indexes key on the (structural) table key
+        and are unaffected by definition.
         """
         schema = self._schema()
         if schema is None:
@@ -3141,20 +3272,38 @@ class Table:
             raise ValueError(f"column {new!r} already exists")
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
+        # Index coverage migrates WITH the rename (r13, lifting the r12
+        # fail-closed refusal): the payloads are name-KEYED but name-
+        # INDEPENDENT in content — a secondary index stores (value,
+        # file) pairs whatever the column is called, and an expression
+        # index is keyed by its own name — so the rename relocates the
+        # sidecars/meta under the new name instead of forcing a manual
+        # drop+rebuild. Migration runs AFTER the commit publishes: a
+        # crash between the two leaves an orphaned old-name payload,
+        # which every pruner treats as absent (no pruning, never wrong
+        # pruning — the index staleness contract).
+        migrations: list = []
         if self.fs.exists(self._secondary_index_paths(old)[1]):
-            raise ValueError(
-                f"column {old!r} is covered by a secondary index — "
-                "DROP INDEX first, rename, then recreate it"
-            )
+            migrations.append(("secondary", old))
+        word = re.compile(rf"\b{re.escape(old)}\b")
         for e in self._expression_indexes():
-            if re.search(rf"\b{re.escape(old)}\b", e.get("expr") or ""):
-                raise ValueError(
-                    f"column {old!r} appears in expression index "
-                    f"{e.get('name')!r} — drop it first"
-                )
-        for spec in self.meta.get("auto_index") or []:
+            expr = e.get("expr") or ""
+            if word.search(expr):
+                if "'" in expr:
+                    # identifier rewrite inside an expr holding string
+                    # literals could corrupt a literal that happens to
+                    # contain the word — the one case that stays
+                    # fail-closed
+                    raise ValueError(
+                        f"column {old!r} appears in expression index "
+                        f"{e.get('name')!r} whose expression contains "
+                        "string literals — drop and recreate it around "
+                        "the rename"
+                    )
+                migrations.append(("expression", e["name"]))
+        for spec in list(self.meta.get("auto_index") or []):
             # parse the spec like the maintenance loop does — a raw
-            # substring test would spuriously refuse unrelated columns
+            # substring test would spuriously match unrelated columns
             # whose name happens to appear inside the spec text
             spec_col = (
                 self.key
@@ -3162,10 +3311,7 @@ class Table:
                 else str(spec)[len("secondary_index("):-1].strip()
             )
             if spec_col == old:
-                raise ValueError(
-                    f"column {old!r} appears in auto_index spec "
-                    f"{spec!r} — remove the spec first"
-                )
+                migrations.append(("auto_index", spec))
         word = re.compile(rf"\b{re.escape(old)}\b")
         for cname, cexpr in (self.meta.get("constraints") or {}).items():
             if word.search(str(cexpr)):
@@ -3202,12 +3348,35 @@ class Table:
         # check forever — restore-safe because the mappings themselves
         # are derived from the timeline, not from this flag
         self.meta["has_renames"] = True
+        if any(kind == "auto_index" for kind, _ in migrations):
+            self.meta["auto_index"] = [
+                f"secondary_index({new})"
+                if spec != "record_index"
+                and str(spec)[len("secondary_index("):-1].strip() == old
+                else spec
+                for spec in self.meta["auto_index"]
+            ]
         write_json(posixpath.join(self.path, "_table.json"), self.meta)
         commit = self._next_commit()
         self._publish(
             commit, "alter_rename_column", [], [], new_schema,
             field_ids=new_ids,
         )
+        for kind, ref in migrations:
+            if kind == "secondary":
+                odir, ometa = self._secondary_index_paths(old)
+                ndir, nmeta = self._secondary_index_paths(new)
+                if self.fs.exists(odir):
+                    self.fs.move(odir, ndir)
+                m = read_json(ometa)
+                m["column"] = new
+                write_json(nmeta, m)
+                self.fs.delete(ometa)
+            elif kind == "expression":
+                _, mpath = self._expression_index_paths(ref)
+                m = read_json(mpath)
+                m["expr"] = word.sub(new, m["expr"])
+                write_json(mpath, m)
         return commit
 
     def partial_update(self, df: DataFrame) -> str:

@@ -2258,3 +2258,154 @@ def test_auto_index_typo_column_rejected_at_spec_time(spark, tpath, tmp_path):
         t.upsert(df_of(spark, [(2, 1, "b")]))
     # the commit IS there; retrying would duplicate — snapshot shows it
     assert t.snapshot().count() == 2
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, ver long, val string, st string"
+    )
+
+
+def test_bootstrap_partitioned_layout(spark, tmp_path):
+    """r12 verdict item 4: bootstrap adopts a HIVE-PARTITIONED source
+    in place — partition values parse from the col=val path segments
+    into the manifest partition dict + stats, so pruning / incremental
+    / partition-local upsert rewrite all work with zero copy."""
+    src = str(tmp_path / "psrc")
+    _pdf(
+        spark,
+        [(i, 1, f"v{i}", ["F", "O", "P"][i % 3]) for i in range(90)],
+    ).repartition(3).write.partitionBy("st").parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "ptbl"), src, key="id", precombine="ver",
+        partition_fields=["st"],
+    )
+    assert not os.path.exists(os.path.join(t.path, "data"))
+    snap = t.snapshot()
+    assert snap.count() == 90
+    # partition values surface typed from the source's own hive dirs
+    assert rows_of(snap.where("id = 4"), "id", "st") == [(4, "O")]
+    assert {r["_commit_time"] for r in snap.collect()} == {
+        t.meta["bootstrap_commit"]
+    }
+    # every external entry carries the parsed partition dict
+    entries = t.current_files()
+    assert entries and all(
+        e.get("external") and e["partition"]["st"] in ("F", "O", "P")
+        for e in entries
+    )
+    # manifest-level partition pruning: only F files are scanned
+    f_files = [e for e in entries if e["partition"]["st"] == "F"]
+    pruned = t.snapshot(filters={"st": "F"})
+    assert sorted({r["st"] for r in pruned.collect()}) == ["F"]
+    assert pruned.count() == 30
+    # upsert rewrites ONLY the affected partition's file(s)
+    t.upsert(_pdf(spark, [(4, 2, "v4b", "O")]))
+    snap2 = t.snapshot()
+    assert snap2.count() == 90
+    got = {r["id"]: (r["ver"], r["val"], r["st"]) for r in snap2.collect()}
+    assert got[4] == (2, "v4b", "O") and got[3] == (1, "v3", "F")
+    live_ext = [e for e in t.current_files() if e.get("external")]
+    # F/P partitions' externals all survive; at least one O file retired
+    assert {e["partition"]["st"] for e in live_ext} >= {"F", "P"}
+    assert len(live_ext) < len(entries)
+    # incremental window picks up exactly the upserted key
+    assert rows_of(
+        t.incremental(t.meta["bootstrap_commit"]), "id"
+    ) == [(4,)]
+
+
+def test_bootstrap_partitioned_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "pv")
+    _pdf(spark, [(1, 1, "a", "F")]).write.partitionBy("st").parquet(src)
+    with _pytest.raises(ValueError, match="cannot be partition fields"):
+        Table.bootstrap(
+            spark, str(tmp_path / "pv1"), src, key="st", precombine="ver",
+            partition_fields=["st"],
+        )
+    with _pytest.raises(ValueError, match="not discovered"):
+        Table.bootstrap(
+            spark, str(tmp_path / "pv2"), src, key="id", precombine="ver",
+            partition_fields=["nope"],
+        )
+    # non-uniform layout (a file outside any col=val dir) fails loud —
+    # either at Spark's own discovery (CONFLICTING_DIRECTORY_STRUCTURES)
+    # or at the engine's per-file segment check, never a silent adopt
+    src2 = str(tmp_path / "pv3src")
+    _pdf(spark, [(1, 1, "a", "F")]).write.partitionBy("st").parquet(src2)
+    spark.createDataFrame(
+        [(2, 1)], "id long, ver long"
+    ).write.mode("append").parquet(src2 + "/stray")
+    with _pytest.raises(Exception, match="uniform hive-style|CONFLICTING"):
+        Table.bootstrap(
+            spark, str(tmp_path / "pv3"), src2, key="id", precombine="ver",
+            partition_fields=["st"],
+        )
+
+
+def test_bootstrap_stream_unpartitioned(spark, tmp_path):
+    """r12 verdict item 4: read_stream sees EXTERNAL (bootstrapped)
+    files — they form the bootstrap commit's vintage branch over the
+    source glob, meta column coalesced to the bootstrap commit — and
+    managed commits written after bootstrap stream through the open
+    glob alongside."""
+    src = str(tmp_path / "bs_src")
+    df_of(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1).write.parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "bs_tbl"), src, key="id", precombine="ver"
+    )
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("bs_stream_u")
+        .option("checkpointLocation", str(tmp_path / "ckpt_u"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("bs_stream_u")
+        assert rows_of(got, "id", "val") == [(1, "a"), (2, "b")]
+        bc = t.meta["bootstrap_commit"]
+        assert {r["_commit_time"] for r in got.collect()} == {bc}
+        # a post-bootstrap upsert streams through the managed glob
+        t.upsert(df_of(spark, [(3, 1, "c")]))
+        q.processAllAvailable()
+        got = rows_of(spark.table("bs_stream_u"), "id", "val")
+        assert (3, "c") in got and len(got) == 3
+    finally:
+        q.stop()
+
+
+def test_bootstrap_stream_partitioned(spark, tmp_path):
+    """Streaming over a PARTITIONED bootstrap: partition columns
+    reconstitute from the SOURCE-relative col=val segments (no
+    commit-dir anchor on external paths)."""
+    src = str(tmp_path / "bsp_src")
+    _pdf(
+        spark, [(1, 1, "a", "F"), (2, 1, "b", "O")]
+    ).coalesce(1).write.partitionBy("st").parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "bsp_tbl"), src, key="id", precombine="ver",
+        partition_fields=["st"],
+    )
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("bs_stream_p")
+        .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("bs_stream_p")
+        assert rows_of(got, "id", "val", "st") == [
+            (1, "a", "F"), (2, "b", "O"),
+        ]
+        t.upsert(_pdf(spark, [(3, 1, "c", "P")]))
+        q.processAllAvailable()
+        got = rows_of(spark.table("bs_stream_p"), "id", "st")
+        assert (3, "P") in got and len(got) == 3
+    finally:
+        q.stop()
