@@ -54,6 +54,7 @@ HEADLINE = [
     "funnel_steps",
     "skyline_pareto_2d",
     "table_partial_update",
+    "table_mor_partial_update",
     "dedup_incremental_lsh",
     "dedup_remove_spans",
     "sim_quantized_topk",

@@ -3034,3 +3034,58 @@ def table_bootstrap_partitioned(
     )
     t.upsert(_update_batch(orders))
     return t.snapshot().select(*_COLS)
+
+
+@register(
+    "table_mor_partial_update",
+    oracle="""
+        SELECT o_orderkey,
+               o_custkey,
+               CASE WHEN o_orderkey % 4 = 1 THEN 'P'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000,
+               CAST(NULL AS BIGINT)  AS o_custkey,
+               'N'                   AS o_orderstatus,
+               CAST(NULL AS DOUBLE)  AS o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_orderkey % 100 = 17
+    """,
+    doc="partial-column upsert on MERGE_ON_READ (r13, lifting the r12 "
+    "COW-only limitation): the column merge resolves at WRITE time "
+    "against the merge view of the affected files — winners and new "
+    "keys append as FULL-ROW deltas the unchanged O(1)-column merge "
+    "view picks by newest commit; no base file is rewritten. Same "
+    "batch shape and oracle as table_partial_update: NULL price keeps "
+    "the old value, omitted o_custkey survives, new keys insert with "
+    "nulls. Cost: O(affected files) read + O(batch) delta write",
+)
+def table_mor_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    path = tempfile.mkdtemp(prefix="engine_morpu_")
+    t = Table.create(
+        spark, path, key="o_orderkey", precombine="o_orderdate",
+        table_name="orders_morpu", table_type="mor",
+    )
+    t.bulk_insert(orders)
+    updates = orders.where(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.lit("P").alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 8 == 1, F.col("o_totalprice") + 1000.0
+        ).alias("o_totalprice"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 100 == 17).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_orderdate",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    t.partial_update(updates.unionByName(inserts))
+    return t.snapshot().drop(META_COL)

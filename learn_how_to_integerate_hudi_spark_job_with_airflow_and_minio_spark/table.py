@@ -3402,15 +3402,19 @@ class Table:
         only. The column merge is a single key-equi join between the
         affected rows and the (deduped) batch: at 100 TB both sides
         shuffle on the key once, and the batch side is usually the small
-        one (AQE broadcasts it). COW only: a MOR read-side merge would
-        need a per-column coalesce across the whole delta chain, which
-        breaks the O(1)-column merge view — documented limitation.
+        one (AQE broadcasts it).
+
+        MOR tables (r13, lifting the r12 COW-only limitation): the
+        column merge resolves at WRITE time against the merge view of
+        the affected files — never read-side, so the O(1)-column merge
+        view is untouched. Winning matched rows and new keys append as
+        FULL-ROW deltas (newest commit, so the unchanged merge view
+        picks them); losing matched rows are simply not emitted (the
+        stored winner already lives in the base/delta chain — no
+        rewrite obligation on MOR). Cost: O(affected files) read +
+        O(batch) delta write — the read the COW path pays too, minus
+        its O(affected) rewrite.
         """
-        if self.table_type == "mor":
-            raise ValueError(
-                "partial_update requires a COPY_ON_WRITE table: the MOR "
-                "read path merges whole rows (newest wins), not columns"
-            )
         self._validate_batch(df)
         df = self._gate_constraints(df)
         commit = self._next_commit()
@@ -3436,12 +3440,21 @@ class Table:
             aff_rows = self._read_entries(
                 self._affected_entries(candidates, affected)
             )
-            survivors = aff_rows.join(keys, self.key, "left_anti")
+            if self.table_type == "mor":
+                # current value per affected key = the merge view over
+                # the affected files (every version of an affected key
+                # lives in an affected file, by definition of affected)
+                aff_rows = self._merge_view(aff_rows)
+                survivors = None  # nothing rewrites, nothing retires
+            else:
+                survivors = aff_rows.join(keys, self.key, "left_anti")
+                removed = self._to_rel(affected)
             matched_old = aff_rows.join(keys, self.key, "left_semi")
-            removed = self._to_rel(affected)
         else:
             survivors = None
             matched_old = self._read_entries([]).limit(0)
+            if self.table_type == "mor" and "_deleted" in matched_old.columns:
+                matched_old = matched_old.drop("_deleted")
         # One full-outer join on the key merges columns: batch-carried
         # columns coalesce (batch non-null wins), omitted columns come
         # from the old row (null for brand-new keys).
@@ -3469,7 +3482,9 @@ class Table:
             & F.coalesce(new_pc >= old_pc, old_pc.isNull())
         )
         merged_cols = []
-        table_cols = [f.name for f in table_schema.fields]
+        table_cols = [
+            f.name for f in table_schema.fields if f.name != "_deleted"
+        ]
         for c in table_cols:
             if c == self.key:
                 merged_cols.append(
@@ -3498,14 +3513,29 @@ class Table:
                 merged_cols.append(
                     F.when(batch_wins, F.col(f"_n.{c}")).alias(c)
                 )
-        merged = o.join(n, F.col(f"_o.{self.key}") == F.col(f"_n.{self.key}"), "full_outer").select(*merged_cols)
+        joined = o.join(
+            n, F.col(f"_o.{self.key}") == F.col(f"_n.{self.key}"),
+            "full_outer",
+        )
+        if self.table_type == "mor":
+            # losers drop (the stored winner stays in the chain);
+            # winners + new keys append as full-row deltas
+            merged = joined.where(batch_wins).select(*merged_cols)
+        else:
+            merged = joined.select(*merged_cols)
         out = (
             merged
             if survivors is None
             else survivors.unionByName(merged, allowMissingColumns=True)
         )
-        added = self._write_files(out, commit)
-        self._publish(commit, "partial_update", added, removed, out.schema)
+        if self.table_type == "mor":
+            added = self._write_files(out, commit, kind="delta")
+            self._publish(commit, "partial_update", added, [], out.schema)
+        else:
+            added = self._write_files(out, commit)
+            self._publish(
+                commit, "partial_update", added, removed, out.schema
+            )
         return commit
 
     # -- write internals -------------------------------------------------

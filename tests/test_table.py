@@ -1016,11 +1016,74 @@ def test_partial_update_older_precombine_loses(spark, tpath):
     assert {r["id"]: r["val"] for r in t.snapshot().collect()}[1] == "v9"
 
 
-def test_partial_update_rejected_on_mor(spark, tpath):
+def test_partial_update_mor_resolves_at_write(spark, tpath):
+    """r13 (lifting the r12 COW-only limitation): MOR partial_update
+    resolves the column merge at WRITE time against the merge view of
+    the affected files and appends full-row deltas — the O(1)-column
+    read-side merge view is untouched, no base file rewrites, losing
+    (older-precombine) batch rows are not emitted at all."""
     t = make_table(spark, tpath, table_type="mor")
-    t.upsert(df_of(spark, [(1, 1, "a")]))
-    with pytest.raises(ValueError, match="COPY_ON_WRITE"):
-        t.partial_update(df_of(spark, [(1, 2, "b")]))
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 5, "a", 10.0), (2, 5, "b", 20.0), (3, 5, "c", 30.0)],
+            "id long, ver long, val string, score double",
+        )
+    )
+    # a delta on top: the write-time resolution must see the CHAIN's
+    # winner (id=1's ver-6 value), not just the base file
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 6, "a6", 11.0)],
+            "id long, ver long, val string, score double",
+        )
+    )
+    before = {e["path"] for e in t.current_files()}
+    t.partial_update(
+        spark.createDataFrame(
+            [(1, 7, "a7"), (2, 3, "late"), (9, 1, "new")],
+            "id long, ver long, val string",
+        )
+    )
+    # append-only: every pre-existing file stays live, and everything
+    # added is a DELTA file
+    after = {e["path"]: e for e in t.current_files()}
+    assert before <= set(after)
+    assert after.keys() - before and all(
+        after[p].get("kind") == "delta" for p in after.keys() - before
+    )
+    assert rows_of(t.snapshot(), "id", "ver", "val", "score") == [
+        (1, 7, "a7", 11.0),   # updated val, chain-winner score kept
+        (2, 5, "b", 20.0),    # older batch row discarded whole
+        (3, 5, "c", 30.0),    # untouched
+        (9, 1, "new", None),  # new key: omitted col null
+    ]
+    # compaction folds the partial deltas without changing the view
+    TableServices(t).compact()
+    assert rows_of(t.snapshot(), "id", "ver", "val", "score") == [
+        (1, 7, "a7", 11.0), (2, 5, "b", 20.0),
+        (3, 5, "c", 30.0), (9, 1, "new", None),
+    ]
+
+
+def test_partial_update_mor_after_delete_reinserts(spark, tpath):
+    """A partial update on a tombstoned key must behave like COW's
+    absent-key case: plain insert with nulls for omitted columns (the
+    merge view excludes deleted keys from the stored side)."""
+    t = make_table(spark, tpath, table_type="mor")
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, "a", 10.0)],
+            "id long, ver long, val string, score double",
+        )
+    )
+    t.delete(spark.createDataFrame([(1,)], "id long"))
+    assert t.snapshot().count() == 0
+    t.partial_update(
+        spark.createDataFrame([(1, 2, "back")], "id long, ver long, val string")
+    )
+    assert rows_of(t.snapshot(), "id", "ver", "val", "score") == [
+        (1, 2, "back", None)
+    ]
 
 
 def test_partial_update_on_empty_table_inserts(spark, tpath):
