@@ -3015,7 +3015,6 @@ def table_bootstrap_partitioned(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import posixpath
-    import shutil
 
     scratch = tempfile.mkdtemp(prefix="engine_bsp_")
     src = posixpath.join(scratch, "src")

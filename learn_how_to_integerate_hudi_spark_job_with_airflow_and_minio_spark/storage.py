@@ -167,17 +167,20 @@ class S3FS:
 
     def move(self, src: str, dst: str) -> None:
         """Server-side copy + delete, object by object (no native S3
-        rename). Prefix move when ``src`` lists multiple objects."""
-        sb, sk = self._split(src)
-        objs = self.list(src)
-        pairs = (
-            [(src, dst)]
-            if [src] == objs or not objs
-            else [
-                (o, dst.rstrip("/") + o[len(src.rstrip("/")):])
-                for o in objs
+        rename). A single object moves as itself; otherwise ``src`` is
+        treated as a DIRECTORY and listed with a trailing '/' so that
+        sibling keys sharing the raw prefix (``secondary_tag_meta.json``
+        or a second index ``secondary_tagx/`` next to
+        ``secondary_tag/``) are never swept along. Nothing to move is a
+        no-op, never a NoSuchKey copy."""
+        src = src.rstrip("/")
+        dst = dst.rstrip("/")
+        if self.exists(src):
+            pairs = [(src, dst)]
+        else:
+            pairs = [
+                (o, dst + o[len(src):]) for o in self.list(src + "/")
             ]
-        )
         for s, d in pairs:
             b1, k1 = self._split(s)
             b2, k2 = self._split(d)

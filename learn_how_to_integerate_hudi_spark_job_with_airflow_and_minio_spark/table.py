@@ -356,7 +356,19 @@ class Table:
             files = [source_dir]
         if not files:
             raise ValueError(f"no parquet files to bootstrap under {source_dir}")
-        src_schema = spark.read.parquet(source_dir).schema
+        # schema probe: partitioned sources need Spark's own hive
+        # discovery (col=val dirs → typed partition columns);
+        # unpartitioned sources read recursively instead — fs.list
+        # adopts files at ANY depth, and a plain directory read can't
+        # even infer a schema when every file sits in a subdirectory
+        if partition_fields:
+            src_schema = spark.read.parquet(source_dir).schema
+        else:
+            src_schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(source_dir)
+                .schema
+            )
         missing = [c for c in (key, precombine) if c not in src_schema.fieldNames()]
         if missing:
             raise ValueError(f"bootstrap source lacks required column(s) {missing}")
@@ -1311,13 +1323,17 @@ class Table:
                 if any(mp.get(n, n) not in (n, None) for n in (mp or {}))
             }
 
-        def _reader(read_schema: StructType):
+        def _reader(read_schema: StructType, recursive: bool):
             r = self.spark.readStream.schema(read_schema)
-            if pf:
+            if recursive:
                 # hive layout: partition values live in dir names, not
                 # file bytes — recursive lookup stops the source's own
                 # partition inference (which asserts on the commit-dir
-                # prefix); the columns are parsed from the path below
+                # prefix); the columns are parsed from the path below.
+                # The EXTERNAL bootstrap branch forces this too: the
+                # batch bootstrap adopts files at ANY depth under the
+                # source root (fs.list is recursive), so a depth-1 glob
+                # would silently stream a subset (r13 review finding)
                 r = r.option("recursiveFileLookup", "true")
             for k, v in reader_options.items():
                 # e.g. maxFilesPerTrigger=1 to bound micro-batch size
@@ -1345,7 +1361,7 @@ class Table:
             )
             return F.coalesce(from_file, parsed).alias(f.name)
 
-        def _branch(glob: str, mapping, rel_expr=None):
+        def _branch(glob: str, mapping, rel_expr=None, recursive=None):
             # full schema read: hive-layout files surface partition
             # columns as typed nulls (no inference under recursive
             # lookup), pre-spec-evolution files surface real bytes
@@ -1361,7 +1377,8 @@ class Table:
                 else by_name[f.name]
                 for f in schema.fields
             ]
-            return _reader(rs).parquet(glob), cols
+            rec = bool(pf) if recursive is None else recursive
+            return _reader(rs, rec).parquet(glob), cols
 
         # external (bootstrapped) files form the bootstrap commit's own
         # vintage branch over the SOURCE glob (r13, lifting the v1
@@ -1385,7 +1402,10 @@ class Table:
                 if bsrc.endswith(".parquet")
                 else posixpath.join(bsrc, "*")
             )
-            ext_df, ext_cols = _branch(ext_glob, ext_map, ext_rel)
+            ext_df, ext_cols = _branch(
+                ext_glob, ext_map, ext_rel,
+                recursive=not bsrc.endswith(".parquet"),
+            )
             ext_branch = ext_df.select(*ext_cols)
             if META_COL in schema.fieldNames():
                 ext_branch = ext_branch.withColumn(
@@ -3289,11 +3309,12 @@ class Table:
         for e in self._expression_indexes():
             expr = e.get("expr") or ""
             if word.search(expr):
-                if "'" in expr:
+                if "'" in expr or '"' in expr:
                     # identifier rewrite inside an expr holding string
-                    # literals could corrupt a literal that happens to
-                    # contain the word — the one case that stays
-                    # fail-closed
+                    # literals (single- OR double-quoted — Spark SQL
+                    # accepts both) could corrupt a literal that
+                    # happens to contain the word — the one case that
+                    # stays fail-closed
                     raise ValueError(
                         f"column {old!r} appears in expression index "
                         f"{e.get('name')!r} whose expression contains "
@@ -3312,7 +3333,6 @@ class Table:
             )
             if spec_col == old:
                 migrations.append(("auto_index", spec))
-        word = re.compile(rf"\b{re.escape(old)}\b")
         for cname, cexpr in (self.meta.get("constraints") or {}).items():
             if word.search(str(cexpr)):
                 raise ValueError(
@@ -3346,8 +3366,23 @@ class Table:
         )
         # monotone flag: once set, reads pay the (cheap) vintage-mapping
         # check forever — restore-safe because the mappings themselves
-        # are derived from the timeline, not from this flag
+        # are derived from the timeline, not from this flag. Written
+        # BEFORE the publish on purpose (a spurious flag is harmless;
+        # a missing one mis-reads old files), while the auto_index spec
+        # rewrite waits until AFTER: a lost OCC race or crash between a
+        # pre-publish spec rewrite and the publish would leave meta
+        # naming a column the schema never got (every later write's
+        # index maintenance would fail) — r13 review finding. The
+        # residual crash window (publish lands, spec rewrite doesn't)
+        # degrades to skipped index extension, never a failed write —
+        # see the absent-column guard in _maintain_auto_indexes.
         self.meta["has_renames"] = True
+        write_json(posixpath.join(self.path, "_table.json"), self.meta)
+        commit = self._next_commit()
+        self._publish(
+            commit, "alter_rename_column", [], [], new_schema,
+            field_ids=new_ids,
+        )
         if any(kind == "auto_index" for kind, _ in migrations):
             self.meta["auto_index"] = [
                 f"secondary_index({new})"
@@ -3356,17 +3391,20 @@ class Table:
                 else spec
                 for spec in self.meta["auto_index"]
             ]
-        write_json(posixpath.join(self.path, "_table.json"), self.meta)
-        commit = self._next_commit()
-        self._publish(
-            commit, "alter_rename_column", [], [], new_schema,
-            field_ids=new_ids,
-        )
+            write_json(
+                posixpath.join(self.path, "_table.json"), self.meta
+            )
         for kind, ref in migrations:
             if kind == "secondary":
                 odir, ometa = self._secondary_index_paths(old)
                 ndir, nmeta = self._secondary_index_paths(new)
-                if self.fs.exists(odir):
+                # directory-emptiness probe via list with a trailing
+                # '/', NOT exists(): S3 exists() is head_object and a
+                # prefix is not an object, so an exists() gate would
+                # skip the payload move while the meta migrated —
+                # crashed reads now, silently wrong pruning after the
+                # next incremental build (r13 review finding)
+                if self.fs.list(odir.rstrip("/") + "/"):
                     self.fs.move(odir, ndir)
                 m = read_json(ometa)
                 m["column"] = new
@@ -4745,15 +4783,24 @@ class Table:
 
     def _maintain_auto_indexes(self) -> list[str]:
         svc = TableServices(self)
+        schema = self._schema()
+        names = set(schema.fieldNames()) if schema is not None else set()
         maintained: list[str] = []
         for spec in self.meta.get("auto_index") or []:
             try:
                 if spec == "record_index":
                     svc.build_record_index(incremental=True)
                 else:
-                    svc.build_secondary_index(
-                        spec[len("secondary_index("):-1], incremental=True
-                    )
+                    col = spec[len("secondary_index("):-1]
+                    if names and col not in names:
+                        # spec names a column the current schema lacks
+                        # — the crash window between a rename's publish
+                        # and its spec rewrite (or a manual meta edit).
+                        # Index extension simply skips: the covered
+                        # subset stays valid (staleness contract), the
+                        # WRITE must not fail for it
+                        continue
+                    svc.build_secondary_index(col, incremental=True)
                 maintained.append(spec)
             except Exception as exc:
                 # the manifest is already durable: make it unambiguous
@@ -5819,6 +5866,17 @@ class TableServices:
             return ident
         spark = self.t.spark
         if len(parts) == 2:
+            # Spark resolves the head of a 2-part ident CATALOG-FIRST:
+            # 'prod.t' with a registered catalog 'prod' is catalog
+            # prod's table t, NOT database prod in the session catalog
+            # — prefixing currentCatalog() would collide its watermark
+            # with a genuine 'spark_catalog.prod.t' mirror (one
+            # spelling's sync would mark the other up to date: a
+            # permanently stale mirror, r13 review finding). A
+            # catalog-headed spelling keeps per-spelling tracking.
+            cats = {c.name for c in spark.catalog.listCatalogs()}
+            if parts[0] in cats:
+                return ident
             return f"{spark.catalog.currentCatalog()}.{ident}"
         return (
             f"{spark.catalog.currentCatalog()}."

@@ -384,3 +384,19 @@ def test_watermark_legacy_raw_key_honored_and_migrated(spark, synced):
     assert list(t.meta["catalog_sync"]) == [
         f"spark_catalog.default.{ident}"
     ]
+
+
+def test_canonical_sync_key_is_catalog_first(spark, synced):
+    """r13 review: a 2-part ident resolves CATALOG-FIRST in Spark, so
+    a catalog-headed spelling must NOT be prefixed with the current
+    catalog (it would collide with a genuine db-headed 3-part key);
+    quoted identifiers stay raw."""
+    t, svc, ident, loc = synced
+    key = svc._canonical_sync_key
+    assert key("t") == "spark_catalog.default.t"
+    assert key("default.t") == "spark_catalog.default.t"
+    assert key("spark_catalog.default.t") == "spark_catalog.default.t"
+    # 'spark_catalog' IS a registered catalog: catalog-headed 2-part
+    # spelling keeps per-spelling tracking instead of mislabeling
+    assert key("spark_catalog.t") == "spark_catalog.t"
+    assert key("`a.b`.t") == "`a.b`.t"

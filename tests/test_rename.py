@@ -1259,3 +1259,67 @@ def test_legacy_sink_fallback_bridges_upgrade(spark, tpath):
     assert rows_of(t.snapshot(), "id", "val") == [
         (1, "a"), (2, "b"), (3, "c"), (4, "d")
     ]
+
+
+def test_auto_index_spec_absent_column_skips_not_wedges(spark, tmp_path):
+    """r13 review: a spec naming a column the current schema lacks
+    (the crash window between a rename's publish and its spec rewrite,
+    or a manual meta edit) must degrade to SKIPPED index extension —
+    the write itself must never fail for it."""
+    t = Table.create(
+        spark, str(tmp_path / "ghost"), key="id", precombine="ver",
+        table_name="ghost", auto_index=["secondary_index(tag)"],
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    t.meta["auto_index"] = ["secondary_index(no_such_col)"]
+    # the insert must land; maintenance skips the dangling spec
+    t.insert(df_of(spark, [(2, 1, 20.0, "b")]), dedup_batch=False)
+    assert rows_of(t.snapshot(), "id", "tag") == [(1, "a"), (2, "b")]
+
+
+def test_rename_expression_index_double_quoted_literal_refused(
+    spark, tpath
+):
+    """r13 review: Spark SQL string literals may be double-quoted too —
+    the literal guard must refuse both quote styles, or the identifier
+    rewrite corrupts the stored expression text."""
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
+    TableServices(t).build_expression_index(
+        'concat(tag, "tag")', name="dq"
+    )
+    with pytest.raises(ValueError, match="string literals"):
+        t.alter_rename_column("tag", "label")
+
+
+def test_bootstrap_nested_source_streams_all_files(spark, tmp_path):
+    """r13 review: bootstrap adopts parquet at ANY depth (fs.list is
+    recursive) — the streaming external branch must read recursively
+    too, or it silently emits a subset of the adopted table."""
+    import os as _os
+
+    src = str(tmp_path / "nsrc")
+    spark.createDataFrame(
+        [(1, 1, 10.0, "a")], "id long, ver long, amt double, tag string"
+    ).coalesce(1).write.parquet(src + "/inner/deep")
+    spark.createDataFrame(
+        [(2, 1, 20.0, "b")], "id long, ver long, amt double, tag string"
+    ).coalesce(1).write.parquet(src + "/flat")
+    t = Table.bootstrap(
+        spark, str(tmp_path / "ntbl"), src, key="id", precombine="ver"
+    )
+    assert t.snapshot().count() == 2
+    q = (
+        t.read_stream()
+        .writeStream.format("memory")
+        .queryName("bs_nested")
+        .option("checkpointLocation", str(tmp_path / "ckpt_n"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert rows_of(spark.table("bs_nested"), "id", "tag") == [
+            (1, "a"), (2, "b"),
+        ]
+    finally:
+        q.stop()

@@ -143,3 +143,32 @@ def test_reference_double_encoded_checkpoint_readable(s3_endpoint):
     inner = json.dumps({"last_processed_commit": "5", "table_name": "legacy"})
     fs.write_text(p, json.dumps(inner))  # double-encoded, as the reference does
     assert read_json(p)["last_processed_commit"] == "5"
+
+
+@pytest.mark.s3
+def test_s3fs_move_prefix_does_not_sweep_siblings(s3_endpoint):
+    """r13 review: moving an index payload dir must not sweep sibling
+    keys sharing the raw prefix (the `secondary_tag_meta.json` next to
+    `secondary_tag/`, or a second index `secondary_tagx/`), and moving
+    a nonexistent prefix must be a no-op, not a NoSuchKey copy."""
+    fs = S3FS(endpoint_url=s3_endpoint)
+    root = f"s3a://{BUCKET}/mv/_index"
+    fs.write_text(f"{root}/secondary_tag/part-0.parquet", "payload")
+    fs.write_text(f"{root}/secondary_tag/part-1.parquet", "payload2")
+    fs.write_text(f"{root}/secondary_tag_meta.json", '{"column": "tag"}')
+    fs.write_text(f"{root}/secondary_tagx/part-0.parquet", "other")
+    fs.move(f"{root}/secondary_tag", f"{root}/secondary_label")
+    # payload moved in full
+    moved = fs.list(f"{root}/secondary_label/")
+    assert len(moved) == 2
+    assert fs.list(f"{root}/secondary_tag/") == []
+    # siblings untouched
+    assert fs.exists(f"{root}/secondary_tag_meta.json")
+    assert fs.exists(f"{root}/secondary_tagx/part-0.parquet")
+    # empty-prefix move: no-op
+    fs.move(f"{root}/nothing_here", f"{root}/elsewhere")
+    assert fs.list(f"{root}/elsewhere/") == []
+    # single-object move
+    fs.move(f"{root}/secondary_tag_meta.json", f"{root}/m2.json")
+    assert not fs.exists(f"{root}/secondary_tag_meta.json")
+    assert json.loads(fs.read_text(f"{root}/m2.json"))["column"] == "tag"
