@@ -2472,3 +2472,58 @@ def test_bootstrap_stream_partitioned(spark, tmp_path):
         assert (3, "P") in got and len(got) == 3
     finally:
         q.stop()
+
+
+def test_bootstrap_partitioned_compaction_migrates(spark, tmp_path):
+    """Compaction over a partitioned bootstrap migrates external files
+    into managed hive dirs (snapshot unchanged); the retired externals
+    are never physically deleted (not engine-owned)."""
+    src = str(tmp_path / "csrc")
+    _pdf(
+        spark, [(i, 1, f"v{i}", ["F", "O"][i % 2]) for i in range(20)]
+    ).coalesce(1).write.partitionBy("st").parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "ctbl"), src, key="id", precombine="ver",
+        partition_fields=["st"],
+    )
+    ext_paths = [e["path"] for e in t.current_files()]
+    TableServices(t).compact()
+    assert not any(e.get("external") for e in t.current_files())
+    assert rows_of(t.snapshot(), "id", "st") == [
+        (i, ["F", "O"][i % 2]) for i in range(20)
+    ]
+    for p in ext_paths:
+        assert os.path.exists(p), "externals must survive compaction"
+    # post-compaction partition pruning works off managed stats
+    assert t.snapshot(filters={"st": "F"}).count() == 10
+
+
+def test_bootstrap_partitioned_catalog_sync_incremental(spark, tmp_path):
+    """Catalog sync over a partitioned bootstrap: the first sync CTASes
+    the adopted snapshot; a later partition-local upsert syncs
+    O(changed partitions) — attribution reads the partition dicts the
+    bootstrap parsed from the source layout."""
+    import uuid
+
+    src = str(tmp_path / "ssrc")
+    _pdf(
+        spark, [(i, 1, f"v{i}", ["F", "O"][i % 2]) for i in range(20)]
+    ).coalesce(1).write.partitionBy("st").parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "stbl"), src, key="id", precombine="ver",
+        partition_fields=["st"],
+    )
+    svc = TableServices(t)
+    ident = f"eng_bsync_{uuid.uuid4().hex[:8]}"
+    try:
+        assert svc.sync_spark_catalog(
+            ident, location=str(tmp_path / "mirror")
+        ) == ["*"]
+        assert spark.table(ident).count() == 20
+        t.upsert(_pdf(spark, [(2, 2, "v2b", "F")]))
+        # only the F partition refreshes
+        assert svc.sync_spark_catalog(ident) == ["F"]
+        got = {r["id"]: r["val"] for r in spark.table(ident).collect()}
+        assert got[2] == "v2b" and len(got) == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
