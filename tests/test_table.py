@@ -2313,14 +2313,29 @@ def test_auto_index_typo_column_rejected_at_spec_time(spark, tpath, tmp_path):
     t.bulk_insert(df_of(spark, [(1, 1, "a")]))
     with pytest.raises(ValueError, match="not in the table schema"):
         TableServices(t).set_auto_index(["secondary_index(nope)"])
-    # maintenance failures after a durable publish say so explicitly
-    t.meta["auto_index"] = ["secondary_index(ghost)"]  # bypass validation
-    import re as _re
-
-    with pytest.raises(RuntimeError, match="durably published"):
-        t.upsert(df_of(spark, [(2, 1, "b")]))
-    # the commit IS there; retrying would duplicate — snapshot shows it
+    # a DANGLING spec (reachable only by direct meta mutation or the
+    # rename crash window) degrades to SKIPPED extension (r13): every
+    # user surface validates at spec time above, and failing every
+    # later write for it would wedge the table
+    t.meta["auto_index"] = ["secondary_index(ghost)"]
+    t.upsert(df_of(spark, [(2, 1, "b")]))
     assert t.snapshot().count() == 2
+    # a REAL maintenance failure after the durable publish still says
+    # so explicitly (retrying the write would duplicate rows)
+    t.meta["auto_index"] = ["secondary_index(val)"]
+    orig = TableServices.build_secondary_index
+
+    def _boom(self, *a, **k):
+        raise OSError("disk full")
+
+    TableServices.build_secondary_index = _boom
+    try:
+        with pytest.raises(RuntimeError, match="durably published"):
+            t.upsert(df_of(spark, [(3, 1, "c")]))
+    finally:
+        TableServices.build_secondary_index = orig
+    # the commit IS there; retrying would duplicate — snapshot shows it
+    assert t.snapshot().count() == 3
 
 
 def _pdf(spark, rows):
