@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "dedup_remove_spans",
     "sim_quantized_topk",
+    "sim_outlier_prune",
     "win_gaps_islands",
     "sample_weighted_reservoir",
     "agg_retention_cohorts",
@@ -242,11 +243,14 @@ PRINT_OMIT = {
     "table_sql_merge_by_source",
     "table_sql_alter_column_type",
     "table_sql_show_partitions",
-    # retired with the r13 birth row (table_bootstrap_partitioned) +
-    # the printed per-component drift ratios: q4/q12 got their driver
-    # rows in the r12 gate and the joins family keeps 8+ printed rows
+    # retired with the r13 birth rows (table_bootstrap_partitioned,
+    # table_mor_partial_update, sim_outlier_prune) + the printed
+    # per-component drift ratios: q4/q12 got their driver rows in the
+    # r12 gate, q16 gets one in the r13 gate, and the joins family
+    # keeps 8+ printed rows
     "join_tpch_q4",
     "join_tpch_q12",
+    "join_tpch_q16",
 }
 
 # Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):

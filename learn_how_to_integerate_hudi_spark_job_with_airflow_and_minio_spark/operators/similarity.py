@@ -944,3 +944,78 @@ def ivf_index_probe(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str = "embedding",
+    budget_denom: int = 20,
+) -> DataFrame:
+    """Per-label embedding OUTLIER pruning (corpus-cleaning op): flag
+    the bottom ``1/budget_denom`` of each label's vectors by cosine to
+    the label centroid — the mislabeled/noisy tail a curation pipeline
+    drops before training (the budgeted complement of SemDeDup's
+    near-duplicate prune, which removes the over-dense head).
+
+    Exactness across engines: the centroid is the quantized-integer
+    exact mean per (label, dim) (the ``sim_label_centroid`` kernel —
+    order-independent BIGINT sums, one IEEE division), the per-vector
+    cosine is the engine's left-assoc fold against that centroid array
+    (the IVF literal-centroid contract), and the budget test is
+    integer-scaled (``rank * denom <= n``), so no float fraction
+    crosses the engine boundary.
+
+    Scale shape (100 TB): the centroid build is a map-side posexplode
+    with partial aggregation — the shuffle carries |labels|×|dim|
+    cells, not rows; the scoring join broadcasts the |labels|-row
+    centroid table (hint-free — AQE picks it); the budget rank is one
+    window per label (for a label-skewed corpus swap the exact rank
+    for approx_percentile at the same API — documented trade,
+    exactness kept here for the oracle).
+    """
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(vec_col).alias("_pos", "_x"),
+    )
+    q = F.round(F.col("_x").cast("double") * 1000000.0).cast("long")
+    cent = (
+        ex.groupBy("_lbl", "_pos")
+        .agg(F.sum(q).alias("_qs"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_lbl",
+            "_pos",
+            (
+                F.col("_qs").cast("double")
+                / (F.col("_n").cast("double") * 1000000.0)
+            ).alias("_c"),
+            "_n",
+        )
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cvec"),
+            F.first("_n").alias("_nlbl"),
+        )
+    )
+    scored = df.join(cent, F.col(label_col) == F.col("_lbl")).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias(
+            "cos_centroid"
+        ),
+        F.col("_nlbl"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc("cos_centroid"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") * budget_denom <= F.col("_nlbl"))
+        .drop("_nlbl")
+    )

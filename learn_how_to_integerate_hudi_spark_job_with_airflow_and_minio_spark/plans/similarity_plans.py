@@ -600,3 +600,71 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sim_outlier_prune",
+    # Exactness contract, piece by piece: the centroid is the
+    # quantized-integer exact mean (order-independent BIGINT sums per
+    # (label, dim), one IEEE division — the sim_label_centroid proof),
+    # the cosine folds the same doubles in the same index order on both
+    # engines (ordered unnest ≡ Spark's left-assoc F.aggregate fold,
+    # the sim_ivf _cent_cos contract) and rounds to 6dp, and the 5%
+    # budget is integer-scaled (rank*20 <= n) — no float fraction
+    # crosses the engine boundary.
+    oracle="""
+        WITH ex AS (
+            SELECT label,
+                   unnest([{'pos': i - 1, 'x': embedding[i]}
+                           for i in range(1, len(embedding) + 1)]) AS px
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, px.pos AS pos,
+                   CAST(SUM(CAST(round(CAST(px.x AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * 1000000.0) AS c,
+                   COUNT(*) AS n
+            FROM ex GROUP BY label, px.pos
+        ),
+        ct AS (
+            SELECT label, list(c ORDER BY pos) AS cvec, MAX(n) AS nlbl
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   round(
+                     (SELECT SUM(CAST(x AS DOUBLE) * y)
+                      FROM (SELECT unnest(e.embedding) x,
+                                   unnest(ct.cvec) y))
+                     / (sqrt((SELECT SUM(CAST(x AS DOUBLE)
+                                         * CAST(x AS DOUBLE))
+                              FROM (SELECT unnest(e.embedding) x)))
+                        * sqrt((SELECT SUM(y * y)
+                                FROM (SELECT unnest(ct.cvec) y)))),
+                     6) AS cos_centroid,
+                   ct.nlbl AS nlbl
+            FROM embeddings e JOIN ct ON e.label = ct.label
+        )
+        SELECT vec_id, label, cos_centroid, rank FROM (
+            SELECT vec_id, label, cos_centroid, nlbl,
+                   CAST(row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY cos_centroid ASC, vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM scored
+        )
+        WHERE rank * 20 <= nlbl
+    """,
+    doc="per-label embedding OUTLIER pruning (corpus cleaning): flag "
+    "the bottom 5% of each label's vectors by cosine to the exact "
+    "label centroid — the mislabeled/noisy tail dropped before "
+    "training, the budgeted complement of dedup_semantic_prune (which "
+    "removes the over-dense head). Centroid build is map-side explode "
+    "+ partial agg (the shuffle carries |labels|x|dim| cells, not "
+    "rows); scoring broadcasts the |labels|-row centroid table "
+    "(hint-free, AQE); one rank window per label",
+)
+def sim_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return S.centroid_outliers(e, "vec_id", "label", "embedding", 20)
