@@ -2542,3 +2542,36 @@ def test_bootstrap_partitioned_catalog_sync_incremental(spark, tmp_path):
         assert got[2] == "v2b" and len(got) == 20
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def test_bootstrap_partitioned_special_and_null_values(spark, tmp_path):
+    """Partition-value parse parity with Spark's own hive encoding:
+    url-escaped characters (space, %, =, /) and the null sentinel must
+    round-trip through the bootstrap's segment parse exactly as a
+    plain spark.read of the source does, and the manifest partition
+    dicts must prune correctly on them."""
+    src = str(tmp_path / "wsrc")
+    rows = [
+        (1, 1, "a", "has space"),
+        (2, 1, "b", "pct%val"),
+        (3, 1, "c", "eq=sign"),
+        (4, 1, "d", None),
+        (5, 1, "e", "sl/ash"),
+    ]
+    _pdf(spark, rows).coalesce(1).write.partitionBy("st").parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "wtbl"), src, key="id", precombine="ver",
+        partition_fields=["st"],
+    )
+    expect = sorted((r[0], r[3]) for r in rows)
+    assert rows_of(t.snapshot(), "id", "st") == expect
+    # dict parse matches Spark's decode (incl. the null sentinel)
+    got = {
+        e["partition"]["st"] for e in t.current_files()
+    }
+    assert got == {"has space", "pct%val", "eq=sign", None, "sl/ash"}
+    # manifest-level pruning on an escaped value
+    assert rows_of(
+        t.snapshot(filters={"st": "eq=sign"}).where("st = 'eq=sign'"),
+        "id",
+    ) == [(3,)]
