@@ -970,13 +970,15 @@ def centroid_outliers(
     Scale shape (100 TB): the centroid build is a map-side posexplode
     with partial aggregation — the shuffle carries |labels|×|dim|
     cells, not rows; the scoring join broadcasts the |labels|-row
-    centroid table (hint-free — AQE picks it); the budget rank is one
-    window per label (for a label-skewed corpus swap the exact rank
-    for approx_percentile at the same API — documented trade,
-    exactness kept here for the oracle).
+    centroid table (hint-free — AQE picks it) with the centroid NORM
+    precomputed once per label (not re-folded per corpus row); the
+    budget rank is one window per label (for a label-skewed corpus
+    swap the exact rank for approx_percentile at the same API —
+    documented trade, exactness kept here for the oracle). A NULL
+    score (zero-norm or null vector) ranks LAST and is never flagged —
+    outlierness of a direction-free vector is undefined, and NULLS
+    LAST is also DuckDB's ASC default, so the oracle agrees.
     """
-    from pyspark.sql.window import Window
-
     ex = df.select(
         F.col(label_col).alias("_lbl"),
         F.posexplode(vec_col).alias("_pos", "_x"),
@@ -1000,19 +1002,32 @@ def centroid_outliers(
                 F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
                 lambda s: s["_c"],
             ).alias("_cvec"),
-            F.first("_n").alias("_nlbl"),
+            # max, not first: first() is nondeterministic under the
+            # shuffle and the oracle takes MAX — a ragged label (one
+            # short vector) must not split the budget denominator
+            # across engines or runs (r13 second-review finding)
+            F.max("_n").alias("_nlbl"),
+        )
+        .select(
+            "_lbl", "_cvec", "_nlbl", norm(F.col("_cvec")).alias("_cnorm")
         )
     )
     scored = df.join(cent, F.col(label_col) == F.col("_lbl")).select(
         F.col(id_col),
         F.col(label_col),
-        F.round(cosine(F.col(vec_col), F.col("_cvec")), 6).alias(
-            "cos_centroid"
-        ),
+        # try_divide: a zero-norm vector must score NULL (rank last,
+        # never flagged — DuckDB's x/0 behavior), not raise under ANSI
+        F.round(
+            F.try_divide(
+                dot(F.col(vec_col), F.col("_cvec")),
+                norm(F.col(vec_col)) * F.col("_cnorm"),
+            ),
+            6,
+        ).alias("cos_centroid"),
         F.col("_nlbl"),
     )
     w = Window.partitionBy(label_col).orderBy(
-        F.asc("cos_centroid"), F.asc(id_col)
+        F.asc_nulls_last("cos_centroid"), F.asc(id_col)
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -644,3 +644,49 @@ def test_ivf_incremental_probe_empty_queries(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_centroid_outliers_budget_ties_and_null_scores(spark):
+    """sim_outlier_prune kernel edges (r13 second review): a label
+    below the budget denominator yields nothing; the boundary is exact
+    (n == denom -> exactly one row); rounded-score ties break by id;
+    a zero-norm vector scores NULL, ranks LAST (NULLS LAST on both
+    engines) and is never flagged."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.similarity import (
+        centroid_outliers,
+    )
+    from pyspark.sql import functions as F
+
+    # label 0: 20 unit-ish vectors along +x with one clear outlier
+    # along -x (id 19) and one zero vector (id 18, NULL score);
+    # label 1: only 3 vectors (below the 1/20 budget -> no output)
+    rows = []
+    for i in range(18):
+        rows.append((i, 0, [1.0, float(i) * 1e-7]))
+    rows.append((18, 0, [0.0, 0.0]))
+    rows.append((19, 0, [-1.0, 0.0]))
+    rows += [(100, 1, [1.0, 0.0]), (101, 1, [0.9, 0.1]),
+             (102, 1, [0.8, 0.2])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = centroid_outliers(df, "vec_id", "label", "embedding", 20)
+    got = [(r["vec_id"], r["label"], r["rank"]) for r in out.collect()]
+    # exactly ONE flagged row (n=20, budget 1/20), the true outlier —
+    # never the NULL-scored zero vector, nothing from the small label
+    assert got == [(19, 0, 1)]
+    # the NULL-scored vector ranks LAST within its label
+    scored = centroid_outliers(df, "vec_id", "label", "embedding", 1)
+    by_id = {r["vec_id"]: r["rank"] for r in scored.collect()
+             if r["label"] == 0}
+    assert by_id[18] == 20 and by_id[19] == 1
+    # tie-break by id: two identical vectors share a rounded score —
+    # the smaller id ranks first
+    tie = spark.createDataFrame(
+        [(7, 9, [1.0, 0.0]), (3, 9, [1.0, 0.0]), (5, 9, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    tr = {r["vec_id"]: r["rank"]
+          for r in centroid_outliers(tie, "vec_id", "label",
+                                     "embedding", 1).collect()}
+    assert tr[5] == 1 and tr[3] == 2 and tr[7] == 3
