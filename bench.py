@@ -274,12 +274,28 @@ PRINT_OMIT = {
 # line carries the per-component ratios as an array in THIS dict's
 # order (full named detail in BENCH_SELF.json).
 SENTINEL_REF = {
-    # re-stamped r13 from the BENCH_r12 driver medians (protocol: refs
+    # re-stamped r14 from the BENCH_r13 driver medians (protocol: refs
     # always come from the previous round's driver bench)
-    "q02_flagship_join": 0.62,
-    "win_topk_per_group": 0.42,
-    "text_quality": 0.36,
-    "agg_tpch_q1": 1.28,
+    "q02_flagship_join": 0.53,
+    "win_topk_per_group": 0.34,
+    "text_quality": 0.29,
+    "agg_tpch_q1": 1.24,
+}
+
+# Write-side drift sentinel (r13 verdict item 3). All four SENTINEL_REF
+# components are READ-only, so they cannot see write-path weather: in the
+# r13 driver window the read basket sat at 0.827 while write-heavy rows
+# uniformly read 1.1-1.3x raw — dirty-page/writeback pressure taxes
+# commits but not scans, and a read-only median "corrects" write rows in
+# the wrong direction. One write-heavy, code-stable component
+# (table_upsert_snapshot: mkdtemp table build, two upsert commits,
+# snapshot read-back — the flagship write path since round 2) is stamped
+# the same way and printed as a SEPARATE ``drift_write`` factor, never
+# folded into the read median, so write-row deltas can be window-
+# normalized against write weather specifically.
+WRITE_SENTINEL_REF = {
+    # re-stamped r14 from the BENCH_r13 driver median
+    "table_upsert_snapshot": 1.86,
 }
 
 
@@ -376,9 +392,15 @@ def main() -> None:
     if abs(sf - 0.1) < 1e-9:
         import statistics
 
-        ratios = []
+        # Positional contract (r13 advice): the printed ratios array is
+        # documented as being in SENTINEL_REF order, so a component that
+        # errored out of ``timings`` must leave a None HOLE, not shrink
+        # the array — otherwise positions silently remap to the wrong
+        # queries and the median quietly degrades to fewer components.
+        ratios: list[float | None] = []
         for name, ref in SENTINEL_REF.items():
             if name not in timings:
+                ratios.append(None)
                 continue
             drift_sentinel[name] = {
                 "ref": ref,
@@ -386,11 +408,17 @@ def main() -> None:
                 "ratio": round(timings[name] / ref, 3),
             }
             ratios.append(timings[name] / ref)
-        if ratios:
+        present = [r for r in ratios if r is not None]
+        if present:
             # MEDIAN, not geomean (r13): one machine-state-sensitive
             # component must not skew the whole correction.
-            drift_sentinel["factor"] = round(statistics.median(ratios), 3)
-            drift_sentinel["ratios"] = [round(r, 3) for r in ratios]
+            drift_sentinel["factor"] = round(statistics.median(present), 3)
+            drift_sentinel["ratios"] = [
+                None if r is None else round(r, 3) for r in ratios
+            ]
+        for name, ref in WRITE_SENTINEL_REF.items():
+            if name in timings:
+                drift_sentinel["write_factor"] = round(timings[name] / ref, 3)
 
     result = {
         "metric": "headline_total",
@@ -452,8 +480,13 @@ def main() -> None:
     if drift_sentinel:
         printed["drift"] = drift_sentinel.get("factor")
         # per-component ratios, in SENTINEL_REF order (r12 verdict item
-        # 3: the judge reads these to spot a single skewed component)
+        # 3: the judge reads these to spot a single skewed component);
+        # None marks an errored component so positions never remap
         printed["drift_ratios"] = drift_sentinel.get("ratios")
+        # write-path weather, separate from the read median (r13 verdict
+        # item 3)
+        if "write_factor" in drift_sentinel:
+            printed["drift_write"] = drift_sentinel["write_factor"]
     line = json.dumps(printed, separators=(",", ":"))
     # Future-proofing: as the headline set grows the line will one day
     # outgrow the window again — degrade by omitting the FASTEST rows

@@ -59,70 +59,75 @@ _GATE_WINDOW = 50
 # AFTER a round's rotation goes to the FRONT of the next round's window,
 # so late-round additions can never ship ungated again.
 #
-# Round-13 window (standing rotation, per the r12 verdict's prescription):
-# (0) the 7 round-12 births that have never had a driver row (registered
-#     after the r12 rotation: the CDC tombstone replay, the rename-feed
-#     stream, and the five derived-partsupp TPC-H shapes);
-# (1) the 43 alphabetically-first of the 47 rows whose latest driver row
-#     dates from round 8 — i.e. all of them EXCEPT the alphabetically-last
-#     four (table_sql_ctas, table_sql_ddl_lifecycle,
-#     table_sql_merge_by_source, table_sql_merge_evolution), which lead
-#     the r14 fill per the verdict. Staleness computed from
-#     CORRECTNESS_r0{1..12}.json key sets. The whole catalog stays covered
-#     by tests/test_catalog_oracle.py every round regardless of the window.
+# Round-14 window (standing rotation, per the r13 verdict's prescription):
+# (0) the 3 round-13 births that have never had a driver row (registered
+#     after the r13 rotation: partitioned bootstrap, MOR partial_update,
+#     the per-label centroid-outlier prune);
+# (1) the 4 rows whose latest driver row dates from round 8 (held back
+#     from the r13 fill by name: the CTAS/DDL-lifecycle/merge-by-source/
+#     merge-evolution SQL shapes);
+# (2) the 43 alphabetically-first of the 50 rows whose latest driver row
+#     dates from round 9 — i.e. all of them EXCEPT the alphabetically-last
+#     seven (text_repetition_gopher, unpivot_metrics, win_lag_lead,
+#     win_locf_ignore_nulls, win_ntile_cume_dist, win_range_frame,
+#     win_sessionize), which lead the r15 fill per the verdict. Staleness
+#     computed from CORRECTNESS_r{01..13}.json key sets. The whole catalog
+#     stays covered by tests/test_catalog_oracle.py every round regardless
+#     of the window.
 _ROUND_PRIORITY: list[str] = [
-    # (0) born round 12 (post-rotation) - first driver row ever
-    "table_cdc_tombstone_replay",
-    "stream_rename_feed",
-    "join_tpch_q2",
-    "join_tpch_q9",
-    "join_tpch_q11",
-    "join_tpch_q16",
-    "join_tpch_q20",
-    # (1) latest driver row = round 8 (43 alphabetically-first of 47)
-    "agg_arg_minmax",
-    "agg_filter_clause",
-    "dedup_embedding_cosine",
-    "dedup_exact_substring",
-    "dedup_group_stats",
-    "dedup_minhash_estimate_contract",
-    "incremental_pipeline_gold",
-    "join_anti",
-    "join_asof",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_bands",
-    "join_semi",
-    "join_tpch_q13",
-    "join_tpch_q15",
-    "join_tpch_q17",
-    "join_tpch_q18",
-    "join_tpch_q19",
-    "join_tpch_q22",
-    "join_tpch_q5",
-    "join_tpch_q7",
-    "multimodal_meta",
-    "pandas_grouped_map_rank",
-    "pipeline_llm_corpus_gold",
-    "q01_projection_alias",
-    "q03_distinct_orderby",
-    "q04_minmax_agg",
-    "q05_topk",
-    "q06_latest_per_key",
-    "q07_sql_transformer",
-    "sample_exact_k_per_stratum",
-    "scalar_bitwise_funcs",
-    "setop_union_intersect_except",
-    "sim_ivf_recall",
-    "skew_salted_agg",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "sql_catalog_auto_pruned_join",
-    "sql_catalog_pruned_select",
-    "sql_catalog_time_travel",
-    "sql_session_statement_pipeline",
-    "table_mor_sql_merge_into",
-    "table_sql_call_procedures",
+    # (0) born round 13 (post-rotation) - first driver row ever
+    "table_bootstrap_partitioned",
+    "table_mor_partial_update",
+    "sim_outlier_prune",
+    # (1) latest driver row = round 8 (the 4 held-back names)
+    "table_sql_ctas",
+    "table_sql_ddl_lifecycle",
+    "table_sql_merge_by_source",
+    "table_sql_merge_evolution",
+    # (2) latest driver row = round 9 (43 alphabetically-first of 50)
+    "agg_bitmap_distinct",
+    "agg_grouping_id",
+    "agg_histogram_numeric",
+    "agg_linear_regression",
+    "agg_retention_cohorts",
+    "decontaminate_exact_substring",
+    "dedup_containment",
+    "dedup_embedding_lsh",
+    "dedup_incremental_lsh",
+    "dedup_remove_spans",
+    "funnel_steps",
+    "join_lateral_topk",
+    "join_null_safe_eq",
+    "join_tpch_q14",
+    "join_tpch_q8",
+    "mv_incremental_refresh",
+    "pipeline_span_clean_gold",
+    "q00_inmemory_ingest",
+    "sample_dsir_top_k",
+    "sample_weighted_reservoir",
+    "scalar_collation_lcase",
+    "scalar_try_functions",
+    "scalar_variant_json",
+    "sim_hard_negatives",
+    "sim_ivf_incremental",
+    "sql_catalog_pruned_cte",
+    "sql_catalog_table_changes",
+    "sql_session_cdc_merge_pipeline",
+    "stream_mor_delta_feed",
+    "subquery_correlated",
+    "subquery_in",
+    "subquery_scalar",
+    "table_expression_index_pruning",
+    "table_incremental_between",
+    "table_incremental_read",
+    "table_mor_cdc_changes",
+    "table_mor_incremental",
+    "table_partition_pruning",
+    "table_sql_insert_overwrite",
+    "table_sql_show_partitions",
+    "table_sql_truncate_restore",
+    "table_time_travel",
+    "table_upsert_snapshot",
 ]
 
 
