@@ -977,7 +977,11 @@ def centroid_outliers(
     documented trade, exactness kept here for the oracle). A NULL
     score (zero-norm or null vector) ranks LAST and is never flagged —
     outlierness of a direction-free vector is undefined, and NULLS
-    LAST is also DuckDB's ASC default, so the oracle agrees.
+    LAST is also DuckDB's ASC default, so the oracle agrees. A non-null
+    vector whose length differs from its label centroid fails LOUD per
+    row (the quantized_topk dimensionality contract): engines disagree
+    on NULL-padded dot products, so ragged labels are a corpus bug,
+    not a rankable input.
     """
     ex = df.select(
         F.col(label_col).alias("_lbl"),
@@ -1012,6 +1016,34 @@ def centroid_outliers(
             "_lbl", "_cvec", "_nlbl", norm(F.col("_cvec")).alias("_cnorm")
         )
     )
+    # Ragged labels fail LOUD per row (the quantized_topk contract at
+    # _quantize_checked): the engine's dot() is a left fold over
+    # zip_with, so ONE null padding term (vector shorter/longer than
+    # the label centroid) would poison the sum to NULL and the row
+    # would silently rank last / never flag, while a positional-unnest
+    # oracle SUM skips NULL terms and can flag it — a silent
+    # cross-engine divergence (r13 advice). A length mismatch within a
+    # label is a dimensionality bug in the corpus, not a rankable
+    # vector. NULL vectors stay tolerated: no direction → NULL score →
+    # ranks last, never flagged (size(NULL) is NULL, so the when-chain
+    # must test nullness FIRST or the raise branch would fire).
+    checked_dot = (
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("double"))
+        .when(
+            F.size(vec_col) == F.size("_cvec"),
+            dot(F.col(vec_col), F.col("_cvec")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("centroid_outliers: vector of length "),
+                    F.size(vec_col).cast("string"),
+                    F.lit(" does not match its label centroid length "),
+                    F.size("_cvec").cast("string"),
+                )
+            )
+        )
+    )
     scored = df.join(cent, F.col(label_col) == F.col("_lbl")).select(
         F.col(id_col),
         F.col(label_col),
@@ -1019,7 +1051,7 @@ def centroid_outliers(
         # never flagged — DuckDB's x/0 behavior), not raise under ANSI
         F.round(
             F.try_divide(
-                dot(F.col(vec_col), F.col("_cvec")),
+                checked_dot,
                 norm(F.col(vec_col)) * F.col("_cnorm"),
             ),
             6,

@@ -5874,8 +5874,22 @@ class TableServices:
             # spelling's sync would mark the other up to date: a
             # permanently stale mirror, r13 review finding). A
             # catalog-headed spelling keeps per-spelling tracking.
+            # listCatalogs() alone is NOT enough (r13 advice): on this
+            # PySpark it returns only already-LOADED catalogs plus
+            # spark_catalog, so a catalog registered via
+            # spark.sql.catalog.<name> but never yet referenced would be
+            # invisible on the FIRST sync of 'prod.t' — canonicalized to
+            # 'spark_catalog.prod.t' while every later call (catalog now
+            # loaded) keeps it raw: inconsistent watermark keys, and the
+            # mis-keyed spelling collides with a genuine session-catalog
+            # prod.t mirror. Treat the head as a catalog when it is
+            # CONFIGURED, not just loaded.
             cats = {c.name for c in spark.catalog.listCatalogs()}
-            if parts[0] in cats:
+            if (
+                parts[0] in cats
+                or spark.conf.get(f"spark.sql.catalog.{parts[0]}", None)
+                is not None
+            ):
                 return ident
             return f"{spark.catalog.currentCatalog()}.{ident}"
         return (

@@ -400,3 +400,28 @@ def test_canonical_sync_key_is_catalog_first(spark, synced):
     # spelling keeps per-spelling tracking instead of mislabeling
     assert key("spark_catalog.t") == "spark_catalog.t"
     assert key("`a.b`.t") == "`a.b`.t"
+
+
+def test_canonical_sync_key_sees_configured_unloaded_catalog(
+    spark, synced
+):
+    """r13 advice: listCatalogs() returns only already-LOADED catalogs,
+    so a catalog registered via spark.sql.catalog.<name> but never yet
+    referenced must STILL be treated as a catalog head — otherwise the
+    first sync of 'prodcat.t' in a fresh session canonicalizes to
+    'spark_catalog.prodcat.t' (colliding with a genuine session-catalog
+    prodcat.t mirror) while later calls keep it raw."""
+    t, svc, ident, loc = synced
+    key = svc._canonical_sync_key
+    conf = f"spark.sql.catalog.{'prodcat'}"
+    assert "prodcat" not in {
+        c.name for c in spark.catalog.listCatalogs()
+    }
+    spark.conf.set(conf, "org.example.FakeCatalog")
+    try:
+        # configured-but-unloaded catalog head: keep per-spelling key
+        assert key("prodcat.t") == "prodcat.t"
+    finally:
+        spark.conf.unset(conf)
+    # unconfigured head is a database as before
+    assert key("prodcat.t") == "spark_catalog.prodcat.t"

@@ -690,3 +690,39 @@ def test_centroid_outliers_budget_ties_and_null_scores(spark):
           for r in centroid_outliers(tie, "vec_id", "label",
                                      "embedding", 1).collect()}
     assert tr[5] == 1 and tr[3] == 2 and tr[7] == 3
+
+
+def test_centroid_outliers_ragged_label_fails_loud(spark):
+    """r13 advice: a vector whose length differs from its label
+    centroid must raise, not silently NULL-score (Spark's fold
+    NULL-poisons on the padding term while a positional-unnest oracle
+    skips it — a silent cross-engine divergence). NULL vectors stay
+    tolerated (rank last)."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, [0.8, 0.2])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="does not match its label centroid"):
+        centroid_outliers(ragged, "vec_id", "label", "embedding", 1).collect()
+    # a NULL vector must NOT trip the length check (size(NULL) is NULL):
+    # it scores NULL, ranks last, and is never flagged — it also does
+    # not contribute to the label's exploded count, so _nlbl=2 and the
+    # rank-3 NULL row can never satisfy rank*denom <= n even at denom=1
+    with_null = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, None)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    ranks = {
+        r["vec_id"]: r["rank"]
+        for r in centroid_outliers(
+            with_null, "vec_id", "label", "embedding", 1
+        ).collect()
+    }
+    assert 3 not in ranks
+    assert set(ranks) == {1, 2}
