@@ -42,6 +42,7 @@ InProcessLockProvider setup (``create_hudi_tables.py:181-182``).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import posixpath
 import re
@@ -152,6 +153,29 @@ def _validate_validators(v: dict) -> dict:
 def _norm_file_path(col):
     """Normalize Spark's _metadata.file_path URI to a plain path."""
     return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _bootstrap_listing(src_fs, source_dir: str) -> list[str]:
+    """The bootstrap adoption listing: every parquet file under the
+    source at any depth (or the source itself when it IS a file)."""
+    files = sorted(
+        p for p in src_fs.list(source_dir) if p.endswith(".parquet")
+    )
+    if (
+        not files
+        and source_dir.endswith(".parquet")
+        and src_fs.exists(source_dir)
+    ):
+        files = [source_dir]
+    return files
+
+
+def _bootstrap_fingerprint(files: Sequence[str]) -> dict:
+    """O(1)-meta fingerprint of the adopted source listing (count +
+    sha256 of the sorted paths) — the manifest holds the full list;
+    this is the cheap stream-start probe's comparison key."""
+    digest = hashlib.sha256("\n".join(files).encode("utf-8")).hexdigest()
+    return {"count": len(files), "sha256": digest}
 
 
 class Table:
@@ -344,16 +368,18 @@ class Table:
         bootstrap commit's vintage branch over the source glob. The
         source dir is adopted READ-ONLY — files added to it after
         bootstrap are not table data, but a file stream's glob cannot
-        distinguish them, so mutating the source after bootstrap breaks
-        the streaming contract (document-level requirement, same as
-        Hudi's bootstrap assumption).
+        distinguish them. Mechanically guarded (r14): the bootstrap
+        commit records a count+sha256 fingerprint of the adopted
+        listing and ``read_stream`` re-lists the source at stream
+        start, failing loud on any change. Files added while a stream
+        is already running remain a documented requirement (same as
+        Hudi's bootstrap assumption — a glob source discovers files
+        without re-probing).
         """
         src_root = source_dir.rstrip("/")
         src_fs = fs_for(source_dir)
-        files = sorted(p for p in src_fs.list(source_dir) if p.endswith(".parquet"))
-        if not files and source_dir.endswith(".parquet") and src_fs.exists(source_dir):
-            # a single parquet FILE is a valid (read-only) source too
-            files = [source_dir]
+        # a single parquet FILE is a valid (read-only) source too
+        files = _bootstrap_listing(src_fs, source_dir)
         if not files:
             raise ValueError(f"no parquet files to bootstrap under {source_dir}")
         # schema probe: partitioned sources need Spark's own hive
@@ -437,6 +463,10 @@ class Table:
         )
         t.meta["bootstrap_commit"] = commit
         t.meta["bootstrap_source"] = src_root
+        # count+hash of the adopted listing: read_stream's external
+        # branch probes this before gloming the source (r13 verdict —
+        # the read-only contract was doc-level only)
+        t.meta["bootstrap_fingerprint"] = _bootstrap_fingerprint(files)
         write_json(posixpath.join(path.rstrip("/"), "_table.json"), t.meta)
         t._publish(commit, "bootstrap", entries, [], schema)
         return t
@@ -1391,6 +1421,29 @@ class Table:
         bc = self.meta.get("bootstrap_commit")
         ext_branch = None
         if bsrc and bc:
+            # stream-start probe of the read-only-source contract (r13
+            # verdict): the file stream globs the source dir, so a file
+            # dropped there after bootstrap would silently stream as
+            # table data. Fail loud when the listing differs from the
+            # adopted fingerprint. Engine activity never trips this —
+            # upserts retire externals logically, never delete them.
+            # Files added while a stream is RUNNING remain doc-level
+            # (a glob source discovers them without re-probing).
+            # Pre-fingerprint bootstraps keep the documented contract.
+            fp = self.meta.get("bootstrap_fingerprint")
+            if fp:
+                now = _bootstrap_fingerprint(
+                    _bootstrap_listing(fs_for(bsrc), bsrc)
+                )
+                if now != fp:
+                    raise ValueError(
+                        f"bootstrap source {bsrc} changed since "
+                        f"bootstrap ({now['count']} parquet files vs "
+                        f"{fp['count']} adopted): the source is adopted "
+                        "READ-ONLY — files added to it are not table "
+                        "data, and a file stream's glob cannot exclude "
+                        "them. Write new data through the table."
+                    )
             ext_map = stale_maps.pop(bc, None)
             ext_rel = F.regexp_extract(
                 _file_path,

@@ -2489,6 +2489,31 @@ def test_bootstrap_stream_partitioned(spark, tmp_path):
         q.stop()
 
 
+def test_bootstrap_stream_refuses_mutated_source(spark, tmp_path):
+    """r13 verdict item 5: the read-only-source contract is guarded
+    mechanically — the bootstrap commit records a fingerprint of the
+    adopted listing and read_stream fails loud when the source glob
+    has grown, instead of silently streaming non-table data. Engine
+    activity (upserts retiring externals) must NOT trip the probe."""
+    src = str(tmp_path / "grd_src")
+    df_of(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1).write.parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "grd_tbl"), src, key="id", precombine="ver"
+    )
+    assert t.meta["bootstrap_fingerprint"]["count"] >= 1
+    # engine writes never mutate the source: stream still starts
+    t.upsert(df_of(spark, [(2, 2, "b2")]))
+    t.read_stream()
+    # a file dropped into the source AFTER bootstrap refuses the stream
+    df_of(spark, [(9, 1, "x")]).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="adopted READ-ONLY"):
+        t.read_stream()
+    # pre-r14 bootstraps (no recorded fingerprint) keep the documented
+    # contract: the stream still builds
+    t.meta.pop("bootstrap_fingerprint")
+    t.read_stream()
+
+
 def test_bootstrap_partitioned_compaction_migrates(spark, tmp_path):
     """Compaction over a partitioned bootstrap migrates external files
     into managed hive dirs (snapshot unchanged); the retired externals
