@@ -147,6 +147,38 @@ def contains_subquery(s: str) -> bool:
     return _SUBQ_RX.search(blank_strings(s)) is not None
 
 
+def rewrite_ident(s: str, old: str, new: str) -> str:
+    """``s`` with whole-word occurrences of the identifier ``old``
+    replaced by ``new`` in TEXT segments only — string literals and
+    comments pass through untouched (so ``concat(col, 'col')`` renames
+    the column reference, never the literal), and a backtick segment
+    naming exactly ``old`` is rewritten as ``\\`new\\``` (it IS a
+    column reference, just quoted).
+
+    Raises ``ValueError`` on an unterminated string/backtick segment:
+    the walker would treat the whole tail as a literal and silently
+    skip real references — the one genuinely unparseable case, kept
+    fail-closed by the caller (``alter_rename_column``).
+    """
+    rx = re.compile(rf"\b{re.escape(old)}\b")
+    out = []
+    for kind, a, b in walk(s):
+        seg = s[a:b]
+        if kind in ("string", "backtick") and (
+            len(seg) < 2 or seg[-1] != seg[0]
+        ):
+            raise ValueError(
+                f"unterminated quoted segment in expression: {s!r}"
+            )
+        if kind == "text":
+            out.append(rx.sub(new, seg))
+        elif kind == "backtick" and seg[1:-1] == old:
+            out.append(f"`{new}`")
+        else:
+            out.append(seg)
+    return "".join(out)
+
+
 def split_top(s: str, pattern: str) -> list[str]:
     """Split on top-level matches of ``pattern`` (the separators are
     dropped)."""

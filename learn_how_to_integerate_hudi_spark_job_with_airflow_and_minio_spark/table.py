@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from .sqltext import IDENT as _SQL_IDENT
+from .sqltext import rewrite_ident as _rewrite_ident
 from .sqltext import scan_top as _scan_top
 from .sqltext import split_top as _split_top
 from .storage import create_json, fs_for, read_json, write_json
@@ -3316,10 +3317,12 @@ class Table:
         named index MIGRATE with the rename (r13): the secondary-index
         payload relocates under the new name (its (value, file) content
         is name-independent), expression-index metas get the identifier
-        rewritten, and auto_index specs update — pruning stays exact
-        through the rename with no manual drop/rebuild. The one
-        fail-closed case left: an expression index whose expr contains
-        string literals (identifier rewrite could corrupt a literal).
+        rewritten quote-aware (r14 — literals pass through untouched,
+        so ``concat(col, 'col')`` renames only the reference), and
+        auto_index specs update — pruning stays exact through the
+        rename with no manual drop/rebuild. The one fail-closed case
+        left: an expression whose quoting cannot be lexed (unterminated
+        literal).
         Record/bucket/bloom indexes key on the (structural) table key
         and are unaffected by definition.
         """
@@ -3359,21 +3362,27 @@ class Table:
         if self.fs.exists(self._secondary_index_paths(old)[1]):
             migrations.append(("secondary", old))
         word = re.compile(rf"\b{re.escape(old)}\b")
+        expr_rewrites: dict[str, str] = {}
         for e in self._expression_indexes():
             expr = e.get("expr") or ""
-            if word.search(expr):
-                if "'" in expr or '"' in expr:
-                    # identifier rewrite inside an expr holding string
-                    # literals (single- OR double-quoted — Spark SQL
-                    # accepts both) could corrupt a literal that
-                    # happens to contain the word — the one case that
-                    # stays fail-closed
-                    raise ValueError(
-                        f"column {old!r} appears in expression index "
-                        f"{e.get('name')!r} whose expression contains "
-                        "string literals — drop and recreate it around "
-                        "the rename"
-                    )
+            try:
+                # quote-aware rewrite (r14, lifting the r13 literal
+                # refusal): identifiers rename only in text segments —
+                # a literal that happens to contain the word survives
+                # untouched, and a word appearing ONLY inside literals
+                # needs no migration at all
+                new_expr = _rewrite_ident(expr, old, new)
+            except ValueError:
+                # genuinely unparseable (unterminated quote) — the one
+                # case that stays fail-closed
+                raise ValueError(
+                    f"column {old!r} may appear in expression index "
+                    f"{e.get('name')!r} whose expression "
+                    f"({expr[:60]!r}) cannot be lexed — drop and "
+                    "recreate it around the rename"
+                )
+            if new_expr != expr:
+                expr_rewrites[e["name"]] = new_expr
                 migrations.append(("expression", e["name"]))
         for spec in list(self.meta.get("auto_index") or []):
             # parse the spec like the maintenance loop does — a raw
@@ -3466,7 +3475,7 @@ class Table:
             elif kind == "expression":
                 _, mpath = self._expression_index_paths(ref)
                 m = read_json(mpath)
-                m["expr"] = word.sub(new, m["expr"])
+                m["expr"] = expr_rewrites[ref]
                 write_json(mpath, m)
         return commit
 

@@ -206,7 +206,8 @@ def test_rename_migrates_secondary_index(spark, tpath):
 def test_rename_migrates_expression_index(spark, tpath):
     """Expression indexes are keyed by their own NAME; rename rewrites
     the stored expression text (identifier substitution), payload
-    untouched. Exprs containing string literals stay fail-closed."""
+    untouched. Literal-bearing exprs rewrite quote-aware (r14, lifting
+    the r13 refusal): only the reference renames, never the literal."""
     t = make_table(spark, tpath)
     t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
     TableServices(t).build_expression_index("upper(tag)", name="utag")
@@ -217,13 +218,22 @@ def test_rename_migrates_expression_index(spark, tpath):
         t.current_files(), "upper(label) = 'A'"
     )
     assert len(pruned) < len(t.current_files())
-    # literal-bearing expr: identifier rewrite could corrupt the
-    # literal — this one case remains a refusal
+    # literal-bearing expr: the identifier renames, the literal (which
+    # is the same word) survives untouched, and pruning stays exact
     TableServices(t).build_expression_index(
         "concat(label, 'label')", name="lit"
     )
-    with pytest.raises(ValueError, match="string literals"):
-        t.alter_rename_column("label", "tag2")
+    t.alter_rename_column("label", "tag2")
+    metas = {m["name"]: m["expr"] for m in t._expression_indexes()}
+    assert metas["lit"] == "concat(tag2, 'label')"
+    assert metas["utag"] == "upper(tag2)"
+    pruned = t._prune_by_expression_index(
+        t.current_files(), "concat(tag2, 'label') = 'alabel'"
+    )
+    assert len(pruned) < len(t.current_files())
+    assert rows_of(
+        t.snapshot().where("concat(tag2, 'label') = 'alabel'"), "id"
+    ) == [(1,)]
 
 
 def test_rename_partitioned_non_partition_col(spark, tmp_path):
@@ -1277,19 +1287,41 @@ def test_auto_index_spec_absent_column_skips_not_wedges(spark, tmp_path):
     assert rows_of(t.snapshot(), "id", "tag") == [(1, "a"), (2, "b")]
 
 
-def test_rename_expression_index_double_quoted_literal_refused(
-    spark, tpath
-):
-    """r13 review: Spark SQL string literals may be double-quoted too —
-    the literal guard must refuse both quote styles, or the identifier
-    rewrite corrupts the stored expression text."""
+def test_rename_expression_index_quote_aware_rewrite(spark, tpath):
+    """r13 review + r14 lift: Spark SQL string literals may be double-
+    quoted too — the quote-aware rewrite must leave BOTH quote styles
+    untouched while renaming references outside them; a word appearing
+    ONLY inside literals needs no migration; an unterminated literal
+    stays fail-closed (the walker can't see real references past it)."""
     t = make_table(spark, tpath)
     t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a")]))
     TableServices(t).build_expression_index(
         'concat(tag, "tag")', name="dq"
     )
-    with pytest.raises(ValueError, match="string literals"):
-        t.alter_rename_column("tag", "label")
+    # literal-only mention of a DIFFERENT column: no migration, text
+    # byte-identical after renaming amt
+    TableServices(t).build_expression_index(
+        "concat(tag, 'amt')", name="litonly"
+    )
+    t.alter_rename_column("amt", "amount")
+    metas = {m["name"]: m["expr"] for m in t._expression_indexes()}
+    assert metas["litonly"] == "concat(tag, 'amt')"
+    t.alter_rename_column("tag", "label")
+    metas = {m["name"]: m["expr"] for m in t._expression_indexes()}
+    assert metas["dq"] == 'concat(label, "tag")'
+    assert metas["litonly"] == "concat(label, 'amt')"
+    # unterminated literal: genuinely unparseable, fail-closed
+    _, mpath = t._expression_index_paths("dq")
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.storage import (
+        read_json,
+        write_json,
+    )
+
+    m = read_json(mpath)
+    m["expr"] = "concat(label, 'oops"
+    write_json(mpath, m)
+    with pytest.raises(ValueError, match="cannot be lexed"):
+        t.alter_rename_column("label", "tag3")
 
 
 def test_bootstrap_nested_source_streams_all_files(spark, tmp_path):

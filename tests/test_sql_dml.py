@@ -1475,3 +1475,41 @@ def test_unified_walker_adversarial():
     assert "block" not in sq  # block comment blanked too
     # unterminated string: everything after the open quote is string
     assert blank_strings("SELECT 'oops FROM a").startswith("SELECT")
+
+
+def test_rewrite_ident_quote_aware():
+    """r14: identifier rewrite renames references only in text
+    segments — literals (both quote styles), comments, and unrelated
+    words survive; a backtick-quoted reference renames; unterminated
+    quoting raises (the caller keeps that fail-closed)."""
+    import pytest as _pytest
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sqltext import (
+        rewrite_ident,
+    )
+
+    assert rewrite_ident("concat(col, 'col')", "col", "c2") == (
+        "concat(c2, 'col')"
+    )
+    assert rewrite_ident('concat(col, "col")', "col", "c2") == (
+        'concat(c2, "col")'
+    )
+    # word-boundary: col2 / mycol untouched
+    assert rewrite_ident("col + col2 + mycol", "col", "c2") == (
+        "c2 + col2 + mycol"
+    )
+    # backtick reference renames; backtick NON-match untouched
+    assert rewrite_ident("upper(`col`) || `colx`", "col", "c2") == (
+        "upper(`c2`) || `colx`"
+    )
+    # comments pass through
+    assert rewrite_ident("col -- col\n+ col", "col", "c2") == (
+        "c2 -- col\n+ c2"
+    )
+    # escaped quote inside a literal does not end it early
+    assert rewrite_ident(r"concat(col, 'it\'s col')", "col", "c2") == (
+        r"concat(c2, 'it\'s col')"
+    )
+    with _pytest.raises(ValueError, match="unterminated"):
+        rewrite_ident("concat(col, 'oops", "col", "c2")
+    with _pytest.raises(ValueError, match="unterminated"):
+        rewrite_ident("upper(`col", "col", "c2")
