@@ -1312,15 +1312,17 @@ class Table:
         still the zero-extra-branch path — it migrates files to
         current names and collapses the union.
 
-        ``reader_options`` apply PER BRANCH: on a renamed table the
-        source is a union of one file stream per name vintage, and
-        Spark evaluates rate-limit options independently in each, so
-        e.g. ``maxFilesPerTrigger=N`` bounds a micro-batch at
-        ``(1 + #stale_vintages) × N`` files, not N. Un-renamed tables
-        (the common case) have exactly one branch and the options mean
-        what they say; callers rate-limiting a renamed table should
-        divide by the branch count (``compact()`` collapses the union
-        back to one branch).
+        ``reader_options`` apply PER BRANCH, but integer file-count
+        rate limits DIVIDE across branches (r14, lifting the r13
+        documented-only contract): on a renamed/bootstrapped table the
+        source is a union of one file stream per name vintage (plus
+        the external branch), Spark evaluates rate-limit options
+        independently in each, so ``maxFilesPerTrigger=N`` is split
+        ``max(1, N // branches)`` per branch — the caller's N stays
+        the whole-table micro-batch bound. With ``N < branches`` the
+        effective bound is ``branches`` (Spark rejects 0); other
+        options pass through per branch unchanged. ``compact()``
+        collapses the union back to one branch.
         """
         import re as _re
 
@@ -1353,6 +1355,29 @@ class Table:
                 for v, mp in (vmaps or {}).items()
                 if any(mp.get(n, n) not in (n, None) for n in (mp or {}))
             }
+        # union-branch count, known up front: the open current stream,
+        # one branch per distinct stale-vintage mapping signature, and
+        # the external bootstrap branch — so integer file-count rate
+        # limits can DIVIDE across branches (r13 advice / r14): Spark
+        # evaluates maxFilesPerTrigger independently per file stream,
+        # so an undivided N would admit branches × N files per
+        # micro-batch
+        _has_ext = bool(
+            self.meta.get("bootstrap_source")
+            and self.meta.get("bootstrap_commit")
+        )
+        _bc = self.meta.get("bootstrap_commit")
+        nbranches = (
+            1
+            + len(
+                {
+                    tuple(sorted(mp.items()))
+                    for v, mp in stale_maps.items()
+                    if not (_has_ext and v == _bc)
+                }
+            )
+            + (1 if _has_ext else 0)
+        )
 
         def _reader(read_schema: StructType, recursive: bool):
             r = self.spark.readStream.schema(read_schema)
@@ -1367,7 +1392,17 @@ class Table:
                 # would silently stream a subset (r13 review finding)
                 r = r.option("recursiveFileLookup", "true")
             for k, v in reader_options.items():
-                # e.g. maxFilesPerTrigger=1 to bound micro-batch size
+                # e.g. maxFilesPerTrigger=1 to bound micro-batch size.
+                # File-count limits split across the union branches
+                # (floor, min 1 — Spark rejects 0) so the caller's N
+                # stays the whole-table bound; with N < branches the
+                # effective bound is `branches`, the tightest the
+                # source supports
+                if (
+                    str(k).lower() == "maxfilespertrigger"
+                    and nbranches > 1
+                ):
+                    v = max(1, int(v) // nbranches)
                 r = r.option(k, v)
             return r
 

@@ -1355,3 +1355,50 @@ def test_bootstrap_nested_source_streams_all_files(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_renamed_stream_divides_max_files_per_trigger(spark, tmp_path):
+    """r13 advice item 3 / r14: maxFilesPerTrigger is the WHOLE-TABLE
+    bound on a renamed table — the limit divides across the vintage
+    union branches instead of multiplying by them. 4 one-row files per
+    vintage, N=4 over 2 branches → 2 files per branch per trigger →
+    every micro-batch ≤ 4 rows (undivided it would be one 8-row
+    batch)."""
+    t = Table.create(
+        spark, str(tmp_path / "rl"), key="id", precombine="ver",
+        table_name="rl",
+    )
+    for i in range(4):
+        t.insert(
+            df_of(spark, [(i, 1, float(i), "a")]), dedup_batch=False
+        )
+    t.alter_rename_column("tag", "label")
+    for i in range(4, 8):
+        t.insert(
+            df_of(
+                spark,
+                [(i, 1, float(i), "a")],
+                "id long, ver long, amt double, label string",
+            ),
+            dedup_batch=False,
+        )
+    batches: list[int] = []
+
+    def sink(bdf, eid):
+        n = bdf.count()
+        if n:
+            batches.append(n)
+
+    q = (
+        t.read_stream(maxFilesPerTrigger=4)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(batches) == 8
+    assert len(batches) >= 2
+    assert max(batches) <= 4
