@@ -149,6 +149,10 @@ HEADLINE = [
     "join_tpch_q11",
     "join_tpch_q16",
     "join_tpch_q20",
+    # born round 14
+    "sample_group_split",
+    "sample_token_budget",
+    "ts_cusum_changepoint",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -251,6 +255,15 @@ PRINT_OMIT = {
     "join_tpch_q4",
     "join_tpch_q12",
     "join_tpch_q16",
+    # retired with the r14 birth rows (sample_group_split,
+    # sample_token_budget, ts_cusum_changepoint — the ts family prints
+    # a row again via the new changepoint query): joins keep
+    # q3/q5/q7/q21 + the five r12 shapes printed, the session-SQL
+    # family keeps cdc_merge_pipeline, catalog keeps auto_pruned_join/
+    # table_changes/sync printed
+    "join_tpch_q8",
+    "sql_session_statement_pipeline",
+    "sql_catalog_time_travel",
 }
 
 # Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):

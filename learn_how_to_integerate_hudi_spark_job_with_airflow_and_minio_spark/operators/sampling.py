@@ -16,7 +16,7 @@ of literals. Scale cost is one md5 per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPAN = float(1 << 24)
@@ -113,4 +113,123 @@ def weighted_reservoir_sample(
         .orderBy(F.asc("_es_key"), F.asc(id_col))
         .limit(k)
         .drop("_es_key")
+    )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: Column,
+    splits: list[tuple[str, float]],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/valid/test assignment: the
+    split is a pure function of the GROUP (e.g. the exact-dup cluster
+    key, the source domain), so every member of a group — all
+    near-duplicates of a document, all pages of a site — lands in the
+    SAME split. Splitting by row id instead leaks train content into
+    eval whenever the corpus has duplicates, which is exactly the
+    contamination dedup exists to prevent.
+
+    ``splits`` is an ordered list of ``(name, fraction)``; each group
+    hashes to a uniform md5 fraction (the :func:`hash_fraction`
+    technique — bit-identical across engines) and takes the first
+    split whose cumulative bound exceeds it; the LAST split absorbs
+    any remainder (including rounding slack), and a NULL group hashes
+    NULL and is assigned NULL — surface, don't guess.
+
+    Map-only: one md5 per row, no shuffle, no state.
+    """
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    frac = hash_fraction(
+        F.concat_ws("|", F.lit(str(seed)), group_col.cast("string"))
+    )
+    cum = 0.0
+    case = None
+    for name, share in splits[:-1]:
+        cum += float(share)
+        cond = frac < F.lit(cum)
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    assigned = case.otherwise(splits[-1][0])
+    return df.withColumn(
+        split_col,
+        F.when(group_col.isNull(), F.lit(None).cast("string")).otherwise(
+            assigned
+        ),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    score_col: str,
+    budget: int,
+    score_bands: int = 1000,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: rank documents by quality
+    score (desc, ties by id) and keep the maximal prefix in which every
+    document fits FULLY inside ``budget`` total tokens — the "best N
+    tokens" curation step that turns a scored corpus into a fixed-size
+    training mix.
+
+    Scale shape (100 TB): the global running sum over score order is a
+    distributed two-phase prefix sum (the :func:`..packing.
+    pack_sequences` kernel shape), never a single-partition window —
+    documents bucket into quantized score BANDS (map-only), one narrow
+    aggregate gives per-band token totals, the only unpartitioned
+    window runs over the ≤ ``score_bands`` band totals, and the
+    intra-band cumsum is co-partitioned by band. Bands whose offset
+    already exceeds the budget are dropped BEFORE the expensive
+    intra-band window — at 100 TB with a 10B-token budget that prunes
+    almost the whole corpus from phase 2.
+
+    Rows with NULL score or NULL token count are excluded (they cannot
+    be ranked). Scores are assumed bounded (quality scores in [0, 1];
+    any bounded range works — bands only need monotonicity).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = (
+        df.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("long").alias("_n"),
+            F.col(score_col).cast("double").alias("_s"),
+        )
+        .where(F.col("_s").isNotNull() & F.col("_n").isNotNull())
+        .withColumn(
+            "_band", F.floor(F.col("_s") * float(score_bands)).cast("long")
+        )
+    )
+    totals = b.groupBy("_band").agg(F.sum("_n").alias("_tot"))
+    w_off = Window.orderBy(F.desc("_band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        totals.withColumn(
+            "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+        )
+        # a band that STARTS past the budget cannot contribute a row
+        .where(F.col("_off") <= F.lit(int(budget)))
+        .select("_band", "_off")
+    )
+    w_cum = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc("_s"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offs), "_band")
+        .withColumn(
+            "_start",
+            F.col("_off") + F.coalesce(F.sum("_n").over(w_cum), F.lit(0)),
+        )
+        .where(F.col("_start") + F.col("_n") <= F.lit(int(budget)))
+        .select(
+            F.col(id_col),
+            F.col("_s").alias(score_col),
+            F.col("_n").alias("n_tokens"),
+            (F.col("_start") + F.col("_n")).alias("cum_tokens"),
+        )
     )

@@ -392,6 +392,100 @@ def sample_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_md5_frac_of(inner: str) -> str:
+    """The portable md5-fraction polynomial over an arbitrary DuckDB
+    string expression (the ``_DUCK_MD5_FRAC`` technique generalized)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({inner}), {k + 1}, 1)) - 1)"
+            f" * {16 ** (5 - k)}"
+            for k in range(6)
+        )
+        + ") / 16777216.0"
+    )
+
+
+@register(
+    "sample_group_split",
+    oracle=f"""
+        SELECT doc_id, md5(text) AS dup_group,
+               CASE WHEN {_duck_md5_frac_of("'0|' || md5(text)")} < 0.8
+                    THEN 'train'
+                    WHEN {_duck_md5_frac_of("'0|' || md5(text)")} < 0.9
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+        WHERE text IS NOT NULL
+    """,
+    doc="leakage-safe train/valid/test split (80/10/10): the split is "
+    "a pure md5-fraction function of the exact-dup GROUP (md5 of the "
+    "text), so byte-identical documents always land in the same split "
+    "— row-id splits leak train content into eval through duplicates. "
+    "Map-only, one md5 per row, reproducible across runs and engines",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import group_split
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return group_split(
+        d.where(F.col("text").isNotNull()),
+        F.md5(F.col("text")),
+        [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+    ).select("doc_id", F.md5(F.col("text")).alias("dup_group"), "split")
+
+
+@register(
+    "sample_token_budget",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   round(CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                         6) AS score
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        c AS (
+            SELECT doc_id, n_tokens, score,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS strt
+            FROM t
+        )
+        SELECT doc_id, score, n_tokens,
+               strt + n_tokens AS cum_tokens
+        FROM c WHERE strt + n_tokens <= 10000
+    """,
+    doc="token-budget corpus selection: keep the highest-quality "
+    "documents (unique-token ratio, ties by id) whose tokens fit "
+    "fully inside a 10k budget — the fixed-size training-mix carve. "
+    "Scale: distributed two-phase prefix sum over quantized score "
+    "bands (the pack_sequences kernel shape) with pre-window budget "
+    "pruning of whole bands; never a single-partition corpus window",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_select
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.col("text"), " ")
+    scored = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    return token_budget_select(
+        scored, "doc_id", "n_tokens", "score", budget=10_000
+    )
+
+
 _DSIR_SQL = r"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w

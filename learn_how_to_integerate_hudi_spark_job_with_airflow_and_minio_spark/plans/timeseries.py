@@ -382,3 +382,84 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    # Exactness: everything is INTEGER until the output — value has 2
+    # fractional digits, so vi = round(value*100) is lossless BIGINT;
+    # the CUSUM statistic is |n·S_i − i·T| (the mean-shift CUSUM
+    # multiplied through by n to avoid the one division that would
+    # differ across engines), all BIGINT arithmetic with no float
+    # association anywhere. Ties break on earliest (ts, event_id).
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS vi
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,  event_id,
+                   CAST(SUM(vi) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS BIGINT) AS si,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS BIGINT) AS i,
+                   CAST(SUM(vi) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n
+            FROM v
+        ),
+        st AS (
+            SELECT user_id, ts, n,
+                   abs(n * si - i * t) AS stat,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY abs(n * si - i * t) DESC,
+                                ts ASC, event_id ASC
+                   ) AS rk
+            FROM s
+        )
+        SELECT user_id, ts AS cp_ts,
+               CAST(stat AS BIGINT) AS cusum_stat,
+               n AS n_events
+        FROM st WHERE rk = 1
+    """,
+    doc="CUSUM change-point detection per series: the point maximizing "
+    "the cumulative deviation from the series mean — the standard "
+    "level-shift detector for telemetry and drift monitoring (Page "
+    "1954). Scale shape: one hash shuffle on the key, two in-partition "
+    "window passes (prefix sum + argmax rank), no UDF, no global "
+    "window; per-series state is O(1) in whole-stage codegen",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_cum = W.partitionBy("user_id").orderBy(*order)
+    w_all = W.partitionBy("user_id")
+    vi = F.round(F.col("value") * 100).cast("long")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(vi).over(w_cum).alias("si"),
+        F.row_number().over(w_cum).cast("long").alias("i"),
+        F.sum(vi).over(w_all).alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    stat = F.abs(F.col("n") * F.col("si") - F.col("i") * F.col("t"))
+    w_rk = W.partitionBy("user_id").orderBy(
+        stat.desc(), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("cp_ts"),
+            stat.alias("cusum_stat"),
+            F.col("n").alias("n_events"),
+        )
+    )

