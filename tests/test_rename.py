@@ -1402,3 +1402,46 @@ def test_renamed_stream_divides_max_files_per_trigger(spark, tmp_path):
     assert sum(batches) == 8
     assert len(batches) >= 2
     assert max(batches) <= 4
+
+
+def test_vacuum_orphan_indexes_sweeps_half_migrated(spark, tpath):
+    """r13 verdict (latent #3): a crash inside the rename's index
+    migration leaves split payloads — the sweep reclaims dead-column
+    payloads/metas and meta-less partial copies, leaves healthy
+    indexes untouched, and the age guard protects in-flight builds."""
+    import os
+
+    t = make_table(spark, tpath)
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    TableServices(t).build_secondary_index("tag")
+    base = os.path.join(tpath, "_index")
+    # fabricate crash states: (1) payload + meta for a column the
+    # schema does not have (crash after publish, before old-name
+    # cleanup); (2) a partial payload copy with NO meta (crash mid-move)
+    ghost_dir = os.path.join(base, "secondary_ghost")
+    os.makedirs(ghost_dir)
+    open(os.path.join(ghost_dir, "part-0.parquet"), "w").write("x")
+    open(os.path.join(base, "secondary_ghost_meta.json"), "w").write(
+        '{"column": "ghost"}'
+    )
+    partial_dir = os.path.join(base, "secondary_amt")
+    os.makedirs(partial_dir)
+    open(os.path.join(partial_dir, "part-0.parquet"), "w").write("x")
+    svc = TableServices(t)
+    # age guard first: nothing young is swept
+    assert svc.vacuum_orphan_indexes() == []
+    deleted = svc.vacuum_orphan_indexes(older_than_seconds=0)
+    assert any("secondary_ghost" in p for p in deleted)
+    assert any("secondary_amt" in p for p in deleted)
+    assert not os.path.exists(ghost_dir)
+    assert not os.path.exists(partial_dir)
+    assert not os.path.exists(
+        os.path.join(base, "secondary_ghost_meta.json")
+    )
+    # the healthy index survives and still prunes
+    assert t.fs.exists(t._secondary_index_paths("tag")[1])
+    pruned = t._prune_by_secondary_index(t.current_files(), "tag", "a")
+    assert len(pruned) <= len(t.current_files())
+    assert rows_of(
+        t.snapshot(filters={"tag": "a"}).where("tag = 'a'"), "id"
+    ) == [(1,)]
