@@ -142,6 +142,16 @@ def group_split(
     """
     if len(splits) < 2:
         raise ValueError("need at least two splits")
+    shares = [float(s) for _, s in splits]
+    if any(s <= 0 for s in shares) or sum(shares) > 1.0 + 1e-9:
+        # fail loud, same posture as the NULL-group rule: a share set
+        # summing past 1 silently starves the later splits (an asked-for
+        # 10% test split deterministically comes back empty) and a
+        # non-positive share is always a typo (r14 review finding)
+        raise ValueError(
+            f"split fractions must be positive and sum to <= 1, got "
+            f"{shares}"
+        )
     frac = hash_fraction(
         F.concat_ws("|", F.lit(str(seed)), group_col.cast("string"))
     )

@@ -59,6 +59,20 @@ class LocalFS:
     def glob(self, pattern: str) -> list[str]:
         return sorted(_glob.glob(pattern))
 
+    def mtime(self, path: str) -> float | None:
+        """Last-modified epoch seconds, or None when unstat-able —
+        age-guarded sweeps treat None as 'never delete'."""
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
+    def size(self, path: str) -> int | None:
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
+
     def delete(self, path: str) -> None:
         if os.path.exists(path):
             os.remove(path)
@@ -157,6 +171,29 @@ class S3FS:
             for obj in page.get("Contents", []):
                 out.append(f"s3a://{b}/{obj['Key']}")
         return sorted(out)
+
+    def mtime(self, path: str) -> float | None:
+        """LastModified epoch seconds via head_object, or None —
+        age-guarded sweeps treat None as 'never delete'. This is what
+        makes vacuum sweeps WORK on S3 (os.path.getmtime cannot stat an
+        s3a:// path, so an os-level age guard would silently skip every
+        object forever)."""
+        b, k = self._split(path)
+        try:
+            return self.client.head_object(Bucket=b, Key=k)[
+                "LastModified"
+            ].timestamp()
+        except Exception:
+            return None
+
+    def size(self, path: str) -> int | None:
+        b, k = self._split(path)
+        try:
+            return self.client.head_object(Bucket=b, Key=k)[
+                "ContentLength"
+            ]
+        except Exception:
+            return None
 
     def delete(self, path: str) -> None:
         b, k = self._split(path)

@@ -171,11 +171,22 @@ def _bootstrap_listing(src_fs, source_dir: str) -> list[str]:
     return files
 
 
-def _bootstrap_fingerprint(files: Sequence[str]) -> dict:
+def _bootstrap_fingerprint(files: Sequence[str], src_fs) -> dict:
     """O(1)-meta fingerprint of the adopted source listing (count +
-    sha256 of the sorted paths) — the manifest holds the full list;
-    this is the cheap stream-start probe's comparison key."""
-    digest = hashlib.sha256("\n".join(files).encode("utf-8")).hexdigest()
+    sha256 over sorted ``path\\0size`` lines) — the manifest holds the
+    full list; this is the cheap stream-start probe's comparison key.
+    Sizes are part of the hash so an IN-PLACE overwrite of an adopted
+    file (same name, new bytes — an upstream job re-run) trips the
+    probe too, not just listing growth (r14 review finding). A
+    same-size in-place rewrite remains undetectable at this cost tier
+    — documented residual, same posture as Hudi's bootstrap
+    assumption. Unstat-able sizes hash as -1 (consistently on both the
+    stamp and probe sides)."""
+    lines = [
+        f"{p}\0{-1 if (sz := src_fs.size(p)) is None else sz}"
+        for p in files
+    ]
+    digest = hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()
     return {"count": len(files), "sha256": digest}
 
 
@@ -371,11 +382,13 @@ class Table:
         bootstrap are not table data, but a file stream's glob cannot
         distinguish them. Mechanically guarded (r14): the bootstrap
         commit records a count+sha256 fingerprint of the adopted
-        listing and ``read_stream`` re-lists the source at stream
-        start, failing loud on any change. Files added while a stream
-        is already running remain a documented requirement (same as
-        Hudi's bootstrap assumption — a glob source discovers files
-        without re-probing).
+        listing WITH per-file sizes, and ``read_stream`` re-lists the
+        source at stream start, failing loud on any listing or size
+        change (an in-place overwrite trips the probe too; a same-size
+        rewrite is the documented residual). Files added while a
+        stream is already running remain a documented requirement
+        (same as Hudi's bootstrap assumption — a glob source discovers
+        files without re-probing).
         """
         src_root = source_dir.rstrip("/")
         src_fs = fs_for(source_dir)
@@ -467,7 +480,9 @@ class Table:
         # count+hash of the adopted listing: read_stream's external
         # branch probes this before gloming the source (r13 verdict —
         # the read-only contract was doc-level only)
-        t.meta["bootstrap_fingerprint"] = _bootstrap_fingerprint(files)
+        t.meta["bootstrap_fingerprint"] = _bootstrap_fingerprint(
+            files, src_fs
+        )
         write_json(posixpath.join(path.rstrip("/"), "_table.json"), t.meta)
         t._publish(commit, "bootstrap", entries, [], schema)
         return t
@@ -1468,8 +1483,9 @@ class Table:
             # Pre-fingerprint bootstraps keep the documented contract.
             fp = self.meta.get("bootstrap_fingerprint")
             if fp:
+                probe_fs = fs_for(bsrc)
                 now = _bootstrap_fingerprint(
-                    _bootstrap_listing(fs_for(bsrc), bsrc)
+                    _bootstrap_listing(probe_fs, bsrc), probe_fs
                 )
                 if now != fp:
                     raise ValueError(
@@ -5543,10 +5559,11 @@ class TableServices:
         has files on disk before its manifest exists, indistinguishable
         from garbage — a threshold comfortably above any write duration
         (default 24 h, Delta VACUUM's posture) makes the race
-        impossible. Returns deleted paths. Ages come from local-fs
-        mtimes; on object stores the equivalent is a LastModified check
-        or a bucket lifecycle rule on un-referenced prefixes (files a
-        getmtime can't stat are skipped, never deleted).
+        impossible. Returns deleted paths. Ages come from ``fs.mtime``
+        (local stat, or S3 LastModified — r14: previously an os-level
+        stat, which returns nothing for s3a:// objects and silently
+        skipped every file on object stores); files without a readable
+        mtime are skipped, never deleted.
         """
         import os as _os
         import time as _time
@@ -5567,11 +5584,10 @@ class TableServices:
             rel = posixpath.join("data", _os.path.relpath(p, data_root))
             if rel in referenced or not p.endswith(".parquet"):
                 continue
-            try:
-                age = now - _os.path.getmtime(p)
-            except OSError:
-                continue  # already gone (concurrent vacuum)
-            if age >= older_than_seconds:
+            mt = t.fs.mtime(p)
+            if mt is None:
+                continue  # already gone (concurrent vacuum) / unstat-able
+            if now - mt >= older_than_seconds:
                 t.fs.delete(p)
                 deleted.append(rel)
         return deleted
@@ -5595,22 +5611,32 @@ class TableServices:
         - ``secondary_<col>`` payloads AND metas whose column is not in
           the current schema are deleted (the rename's publish is the
           source of truth; recovery is a rebuild under the new name);
-        - payload files with NO meta json are deleted (a crashed move's
-          partial copy — that index never became visible to pruners);
-        - expression metas are left alone even when their payload is
-          missing (the meta alone is harmless and an incremental build
-          can re-extend it); a stale expr meta still naming a pre-rename
-          identifier simply never matches a predicate.
+        - ``secondary_*`` / ``expr_*`` payload files with NO meta json
+          are deleted (a crashed move's partial copy — that index never
+          became visible to pruners);
+        - everything else under ``_index/`` is UNTOUCHED: the sweep is
+          scoped to the two name-keyed families the rename migration
+          moves. Bloom/record/bucket sidecars live in meta-less dirs by
+          design (``_index/bloom/<token>.json``) and are never
+          migration debris (r14 review finding — the first cut's
+          generic no-meta rule would have destroyed a healthy bloom
+          index). Expression metas are also left alone when only their
+          payload is missing (the meta alone is harmless and an
+          incremental build can re-extend it); a stale expr meta still
+          naming a pre-rename identifier simply never matches.
 
         The age guard is the same correctness boundary as
         :meth:`vacuum_orphans`: an in-flight build/migration has payload
         files on disk before its meta publishes, so only files older
-        than ``older_than_seconds`` (default 24 h) are eligible; files
-        whose mtime cannot be stat'd are skipped, never deleted.
-        Returns deleted paths; rebuild swept indexes with
-        :meth:`build_secondary_index` / :meth:`build_expression_index`.
+        than ``older_than_seconds`` (default 24 h) are eligible. Ages
+        come from ``fs.mtime`` (LastModified on S3 — an os-level stat
+        would return None for every s3a:// object and silently no-op
+        the sweep on exactly the store whose non-atomic move motivates
+        it, r14 review finding); files without a readable mtime are
+        skipped, never deleted. Returns deleted paths; rebuild swept
+        indexes with :meth:`build_secondary_index` /
+        :meth:`build_expression_index`.
         """
-        import os as _os
         import time as _time
 
         t = self.t
@@ -5624,14 +5650,9 @@ class TableServices:
         now = _time.time()
         deleted: list[str] = []
 
-        def _old_enough(p: str) -> bool:
-            try:
-                return now - _os.path.getmtime(p) >= older_than_seconds
-            except OSError:
-                return False
-
         def _rm(p: str) -> None:
-            if _old_enough(p):
+            age = t.fs.mtime(p)
+            if age is not None and now - age >= older_than_seconds:
                 t.fs.delete(p)
                 deleted.append(p)
 
@@ -5639,6 +5660,8 @@ class TableServices:
         for p in files:
             rel = p[len(base):].lstrip("/")
             seg = rel.split("/")[0]
+            if not seg.startswith(("secondary_", "expr_")):
+                continue  # bloom/record/bucket families: never debris
             if seg.endswith("_meta.json"):
                 # dead secondary meta: its column left the schema
                 if seg.startswith("secondary_") and cols:

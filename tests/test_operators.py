@@ -761,6 +761,15 @@ def test_group_split_co_locates_groups_and_handles_nulls(spark):
     assert sorted(map(str, out)) == sorted(map(str, out2))
     with pytest.raises(ValueError, match="at least two"):
         group_split(df, F.col("grp"), [("all", 1.0)])
+    # r14 review finding: shares summing past 1 silently starve later
+    # splits; non-positive shares are typos — both fail loud
+    with pytest.raises(ValueError, match="sum to"):
+        group_split(
+            df, F.col("grp"),
+            [("train", 0.8), ("valid", 0.3), ("test", 0.1)],
+        )
+    with pytest.raises(ValueError, match="positive"):
+        group_split(df, F.col("grp"), [("train", 0.9), ("valid", -0.1)])
 
 
 def test_token_budget_select_matches_naive_prefix(spark):

@@ -1445,3 +1445,27 @@ def test_vacuum_orphan_indexes_sweeps_half_migrated(spark, tpath):
     assert rows_of(
         t.snapshot(filters={"tag": "a"}).where("tag = 'a'"), "id"
     ) == [(1,)]
+
+
+def test_vacuum_orphan_indexes_spares_meta_less_families(spark, tpath):
+    """r14 review finding: bloom/record/bucket sidecars live in
+    meta-less dirs BY DESIGN (_index/bloom/<token>.json) — the no-meta
+    sweep rule must be scoped to the secondary_*/expr_* families the
+    rename migration actually moves, or it destroys a healthy bloom
+    index."""
+    import os
+
+    t = Table.create(
+        spark, tpath, key="id", precombine="ver", table_name="bl",
+        index_type="bloom",
+    )
+    t.bulk_insert(df_of(spark, [(1, 1, 10.0, "a"), (2, 1, 20.0, "b")]))
+    base = os.path.join(tpath, "_index")
+    bloom_files = [
+        p for p in TableServices(t).t.fs.list(base) if "/bloom/" in p
+    ]
+    assert bloom_files, "bloom index should have sidecars"
+    deleted = TableServices(t).vacuum_orphan_indexes(older_than_seconds=0)
+    assert deleted == []
+    for p in bloom_files:
+        assert os.path.exists(p)

@@ -172,3 +172,22 @@ def test_s3fs_move_prefix_does_not_sweep_siblings(s3_endpoint):
     fs.move(f"{root}/secondary_tag_meta.json", f"{root}/m2.json")
     assert not fs.exists(f"{root}/secondary_tag_meta.json")
     assert json.loads(fs.read_text(f"{root}/m2.json"))["column"] == "tag"
+
+
+@pytest.mark.s3
+def test_s3fs_mtime_and_size(s3_endpoint):
+    """r14 review finding: age-guarded sweeps must read LastModified /
+    ContentLength through the fs (an os-level stat returns nothing for
+    s3a:// paths, silently no-op'ing vacuum on exactly the store whose
+    non-atomic move motivates it); missing keys read None, never 0."""
+    import time
+
+    fs = S3FS(endpoint_url=s3_endpoint)
+    p = f"s3a://{BUCKET}/mt/obj.json"
+    assert fs.mtime(p) is None
+    assert fs.size(p) is None
+    fs.write_text(p, "x" * 17)
+    mt = fs.mtime(p)
+    assert mt is not None and abs(time.time() - mt) < 300
+    assert fs.size(p) == 17
+    fs.delete(p)

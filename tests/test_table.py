@@ -2600,3 +2600,28 @@ def test_bootstrap_partitioned_special_and_null_values(spark, tmp_path):
         t.snapshot(filters={"st": "eq=sign"}).where("st = 'eq=sign'"),
         "id",
     ) == [(3,)]
+
+
+def test_bootstrap_stream_refuses_in_place_overwrite(spark, tmp_path):
+    """r14 review finding: the fingerprint hashes per-file SIZES too,
+    so an in-place overwrite of an adopted file (same path, new bytes)
+    refuses the stream — not just listing growth."""
+    import glob as _glob
+    import os
+
+    src = str(tmp_path / "ow_src")
+    df_of(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1).write.parquet(src)
+    t = Table.bootstrap(
+        spark, str(tmp_path / "ow_tbl"), src, key="id", precombine="ver"
+    )
+    t.read_stream()
+    # overwrite an adopted parquet IN PLACE with different-size content
+    victim = _glob.glob(os.path.join(src, "*.parquet"))[0]
+    tmp_out = str(tmp_path / "ow_newfile")
+    df_of(
+        spark, [(1, 2, "a-rewritten-much-longer-value"), (2, 2, "bb")]
+    ).coalesce(1).write.parquet(tmp_out)
+    new_part = _glob.glob(os.path.join(tmp_out, "*.parquet"))[0]
+    os.replace(new_part, victim)
+    with pytest.raises(ValueError, match="adopted READ-ONLY"):
+        t.read_stream()
