@@ -153,6 +153,7 @@ HEADLINE = [
     "sample_group_split",
     "sample_token_budget",
     "ts_cusum_changepoint",
+    "pipeline_train_split_gold",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -264,6 +265,10 @@ PRINT_OMIT = {
     "join_tpch_q8",
     "sql_session_statement_pipeline",
     "sql_catalog_time_travel",
+    # retired with the 4th r14 birth row (pipeline_train_split_gold;
+    # streams keep stream_rename_feed printed, multimodal keeps
+    # multimodal_features)
+    "stream_multimodal_feed",
 }
 
 # Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):

@@ -277,3 +277,90 @@ def pipeline_semantic_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gold.bulk_insert(kept)
     return gold.snapshot().drop(META_COL)
+
+
+@register(
+    "pipeline_train_split_gold",
+    # Chains the r14 births' proven oracles: the unique-token-ratio
+    # quality score, the greedy token-budget prefix (integer window
+    # sums — association-safe), and the md5-fraction group split over
+    # the exact-dup key — a green row certifies the COMPOSITION of the
+    # curation tail (score -> carve -> split), per the pipeline-family
+    # pattern.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                   round(CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE),
+                         6) AS score
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        c AS (
+            SELECT doc_id, text, n_tokens, score,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS strt
+            FROM t
+        ),
+        sel AS (
+            SELECT doc_id, text, score, n_tokens,
+                   strt + n_tokens AS cum_tokens
+            FROM c WHERE strt + n_tokens <= 10000
+        )
+        SELECT doc_id, score, n_tokens, cum_tokens,
+               CASE WHEN ("""
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('0|' || md5(text)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (5 - k)}"
+        for k in range(6)
+    )
+    + """) / 16777216.0 < 0.8 THEN 'train'
+                    WHEN ("""
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('0|' || md5(text)), {k + 1}, 1)) - 1)"
+        f" * {16 ** (5 - k)}"
+        for k in range(6)
+    )
+    + """) / 16777216.0 < 0.9 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM sel
+    """,
+    doc="the curation TAIL as one checked composition: unique-token-"
+    "ratio quality score -> greedy 10k-token budget carve (banded "
+    "two-phase prefix sum) -> leakage-safe 80/10/10 split keyed on "
+    "the exact-dup group — the score->carve->split chain every "
+    "training-mix build ends with; oracle chains all three stages' "
+    "proven SQL",
+)
+def pipeline_train_split_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import group_split, token_budget_select
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    sel = token_budget_select(
+        scored, "doc_id", "n_tokens", "score", budget=10_000
+    )
+    # re-attach text for the group key: the carve output is budget-
+    # bounded (small), so AQE broadcasts it against the documents scan
+    with_text = sel.join(d.select("doc_id", "text"), "doc_id")
+    return group_split(
+        with_text,
+        F.md5(F.col("text")),
+        [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+    ).select("doc_id", "score", "n_tokens", "cum_tokens", "split")
