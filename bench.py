@@ -154,6 +154,7 @@ HEADLINE = [
     "sample_token_budget",
     "ts_cusum_changepoint",
     "pipeline_train_split_gold",
+    "text_novelty_fraction",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -269,6 +270,9 @@ PRINT_OMIT = {
     # streams keep stream_rename_feed printed, multimodal keeps
     # multimodal_features)
     "stream_multimodal_feed",
+    # retired with the 5th r14 birth row (text_novelty_fraction; dedup
+    # keeps minhash/ngram/incremental_lsh/semantic_prune printed)
+    "dedup_semantic_incremental",
 }
 
 # Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):

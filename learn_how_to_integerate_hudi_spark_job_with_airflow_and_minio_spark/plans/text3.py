@@ -398,3 +398,71 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (logit >= 0).alias("keep"),
         )
     )
+
+
+@register(
+    "text_novelty_fraction",
+    oracle=r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, g AS shingle FROM (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE len(w) >= 3
+            )
+        ),
+        first AS (
+            SELECT shingle, MIN(doc_id) AS first_id
+            FROM sh GROUP BY shingle
+        )
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) FILTER (first.first_id = sh.doc_id)
+                    AS BIGINT) AS n_novel,
+               round(CAST(COUNT(*) FILTER (first.first_id = sh.doc_id)
+                          AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM sh JOIN first USING (shingle)
+        GROUP BY sh.doc_id
+    """,
+    doc="per-document NOVELTY: the fraction of a doc's distinct word "
+    "3-grams whose corpus-wide FIRST occurrence (min doc_id, the "
+    "deterministic corpus order) is this doc — the dedup-aware "
+    "curation signal that separates original content from recombined "
+    "boilerplate before any pair-level dedup runs. Scale shape: one "
+    "shingle explode, a partial-aggregated min per shingle (map-side "
+    "combine keeps hot stop-grams benign — a window min would put "
+    "every occurrence of a mega-shingle in one partition), one "
+    "shuffle join back on shingle, one doc_id agg; no all-pairs path",
+)
+def text_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import exploded_shingles
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].where(
+        F.col("text").isNotNull()
+    )
+    sh = exploded_shingles(d, "doc_id", "text", 3, id_out="doc_id")
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
+    novel = F.sum(
+        F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
