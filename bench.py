@@ -186,7 +186,12 @@ PRINT_OMIT = {
     "win_gaps_islands",
     "sample_weighted_reservoir",
     "table_delete_where",
-    "multimodal_features",
+    # multimodal_features UN-retired r14 (second review pass): with
+    # ahash_pairs and stream_multimodal_feed also omitted, the
+    # multimodal family had ZERO printed rows, breaking this set's
+    # families-keep->=1-printed invariant; decontaminate family funds
+    # the slot (decontaminate_incremental stays printed)
+    "decontaminate_substring_incremental",
     # retired with the 8th-10th r10 birth rows (dedup family keeps
     # minhash, ngram, incremental, remove_spans, semantic_* printed;
     # stream family keeps tumbling + multimodal; text family keeps

@@ -27,7 +27,7 @@ from ..session import load_tables
 from ..table import META_COL
 from .catalog import register
 from .dedup_plans import _REMOVE_SPANS_SQL
-from .text2 import _DUCK_MD5_FRAC
+from .text2 import _DUCK_MD5_FRAC, _duck_md5_frac_of, token_budget_ctes
 
 _CORPUS_GOLD_SQL = (
     # The prelude mirrors the bronze KEYED ingest (key=doc_id,
@@ -281,52 +281,20 @@ def pipeline_semantic_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_train_split_gold",
-    # Chains the r14 births' proven oracles: the unique-token-ratio
-    # quality score, the greedy token-budget prefix (integer window
-    # sums — association-safe), and the md5-fraction group split over
-    # the exact-dup key — a green row certifies the COMPOSITION of the
-    # curation tail (score -> carve -> split), per the pipeline-family
-    # pattern.
-    oracle="""
-        WITH t AS (
-            SELECT doc_id, text,
-                   CAST(len(string_split(text, ' ')) AS BIGINT)
-                       AS n_tokens,
-                   round(CAST(len(list_distinct(string_split(text, ' ')))
-                              AS DOUBLE)
-                         / CAST(len(string_split(text, ' ')) AS DOUBLE),
-                         6) AS score
-            FROM documents
-            WHERE text IS NOT NULL
-        ),
-        c AS (
-            SELECT doc_id, text, n_tokens, score,
-                   CAST(COALESCE(SUM(n_tokens) OVER (
-                       ORDER BY score DESC, doc_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS BIGINT) AS strt
-            FROM t
-        ),
-        sel AS (
-            SELECT doc_id, text, score, n_tokens,
-                   strt + n_tokens AS cum_tokens
-            FROM c WHERE strt + n_tokens <= 10000
-        )
+    # Chains the r14 births' proven SQL VERBATIM (r14 second-review
+    # finding: the first cut copy-pasted it): the score+carve CTEs come
+    # from text2.token_budget_ctes (shared with sample_token_budget)
+    # and the split CASE reuses text2._duck_md5_frac_of (shared with
+    # sample_group_split) — a green row certifies the COMPOSITION of
+    # the curation tail (score -> carve -> split), and the shared
+    # fragments make divergence from the stage queries impossible.
+    oracle=token_budget_ctes(extra_cols=", text")
+    + f"""
         SELECT doc_id, score, n_tokens, cum_tokens,
-               CASE WHEN ("""
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('0|' || md5(text)), {k + 1}, 1)) - 1)"
-        f" * {16 ** (5 - k)}"
-        for k in range(6)
-    )
-    + """) / 16777216.0 < 0.8 THEN 'train'
-                    WHEN ("""
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5('0|' || md5(text)), {k + 1}, 1)) - 1)"
-        f" * {16 ** (5 - k)}"
-        for k in range(6)
-    )
-    + """) / 16777216.0 < 0.9 THEN 'valid'
+               CASE WHEN {_duck_md5_frac_of("'0|' || md5(text)")} < 0.8
+                    THEN 'train'
+                    WHEN {_duck_md5_frac_of("'0|' || md5(text)")} < 0.9
+                    THEN 'valid'
                     ELSE 'test' END AS split
         FROM sel
     """,
@@ -335,26 +303,19 @@ def pipeline_semantic_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-phase prefix sum) -> leakage-safe 80/10/10 split keyed on "
     "the exact-dup group — the score->carve->split chain every "
     "training-mix build ends with; oracle chains all three stages' "
-    "proven SQL",
+    "proven SQL through the SAME shared fragments the stage queries "
+    "use",
 )
 def pipeline_train_split_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import group_split, token_budget_select
+    from .text2 import unique_ratio_scored
 
     d = load_tables(spark, sf_dir, "documents")["documents"].where(
         F.col("text").isNotNull()
     )
-    toks = F.split(F.col("text"), " ")
-    scored = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double"),
-            6,
-        ).alias("score"),
-    )
     sel = token_budget_select(
-        scored, "doc_id", "n_tokens", "score", budget=10_000
+        unique_ratio_scored(d), "doc_id", "n_tokens", "score",
+        budget=10_000,
     )
     # re-attach text for the group key: the carve output is budget-
     # bounded (small), so AQE broadcasts it against the documents scan

@@ -435,11 +435,16 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.md5(F.col("text")).alias("dup_group"), "split")
 
 
-@register(
-    "sample_token_budget",
-    oracle="""
+def token_budget_ctes(extra_cols: str = "") -> str:
+    """The unique-token-ratio score + greedy 10k-token budget carve as
+    DuckDB CTEs (``t`` → ``c`` → ``sel``), shared VERBATIM between
+    ``sample_token_budget`` and ``pipeline_train_split_gold`` so the
+    composition query can never drift from the stage it certifies (r14
+    second-review finding — they were copy-pasted). ``extra_cols``
+    (e.g. ``", text"``) threads passthrough columns to ``sel``."""
+    return f"""
         WITH t AS (
-            SELECT doc_id,
+            SELECT doc_id{extra_cols},
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    round(CAST(len(list_distinct(string_split(text, ' ')))
                               AS DOUBLE)
@@ -449,17 +454,42 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE text IS NOT NULL
         ),
         c AS (
-            SELECT doc_id, n_tokens, score,
+            SELECT doc_id{extra_cols}, n_tokens, score,
                    CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY score DESC, doc_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) AS BIGINT) AS strt
             FROM t
+        ),
+        sel AS (
+            SELECT doc_id{extra_cols}, score, n_tokens,
+                   strt + n_tokens AS cum_tokens
+            FROM c WHERE strt + n_tokens <= 10000
         )
-        SELECT doc_id, score, n_tokens,
-               strt + n_tokens AS cum_tokens
-        FROM c WHERE strt + n_tokens <= 10000
-    """,
+    """
+
+
+def unique_ratio_scored(d: DataFrame) -> DataFrame:
+    """Spark side of ``token_budget_ctes``'s ``t`` stage: (doc_id,
+    n_tokens, unique-token-ratio score) over non-null texts — shared so
+    the pipeline composition and the stage query stay provably
+    identical."""
+    toks = F.split(F.col("text"), " ")
+    return d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("score"),
+    )
+
+
+@register(
+    "sample_token_budget",
+    oracle=token_budget_ctes()
+    + "SELECT doc_id, score, n_tokens, cum_tokens FROM sel",
     doc="token-budget corpus selection: keep the highest-quality "
     "documents (unique-token ratio, ties by id) whose tokens fit "
     "fully inside a 10k budget — the fixed-size training-mix carve. "
@@ -471,18 +501,9 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import token_budget_select
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = F.split(F.col("text"), " ")
-    scored = d.where(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double"),
-            6,
-        ).alias("score"),
-    )
     return token_budget_select(
-        scored, "doc_id", "n_tokens", "score", budget=10_000
+        unique_ratio_scored(d), "doc_id", "n_tokens", "score",
+        budget=10_000,
     )
 
 

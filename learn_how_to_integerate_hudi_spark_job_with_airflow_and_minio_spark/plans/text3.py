@@ -419,9 +419,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT sh.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_shingles,
-               CAST(COUNT(*) FILTER (first.first_id = sh.doc_id)
+               CAST(COUNT(*) FILTER (WHERE first.first_id = sh.doc_id)
                     AS BIGINT) AS n_novel,
-               round(CAST(COUNT(*) FILTER (first.first_id = sh.doc_id)
+               round(CAST(COUNT(*) FILTER (WHERE first.first_id = sh.doc_id)
                           AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
         FROM sh JOIN first USING (shingle)
@@ -440,10 +440,19 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import exploded_shingles
 
+    from pyspark.storagelevel import StorageLevel
+
     d = load_tables(spark, sf_dir, "documents")["documents"].where(
         F.col("text").isNotNull()
     )
-    sh = exploded_shingles(d, "doc_id", "text", 3, id_out="doc_id")
+    # consumed twice (first-occurrence agg + the join back): persist
+    # the exploded rows — NOT the documents — so the corpus split +
+    # shingle explode runs once (the operators/dedup.py persist
+    # discipline); MEMORY_AND_DISK spills gracefully at scale and the
+    # ContextCleaner drops the blocks once the plan is unreferenced
+    sh = exploded_shingles(d, "doc_id", "text", 3, id_out="doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_id"))
     novel = F.sum(
         F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
