@@ -155,6 +155,7 @@ HEADLINE = [
     "ts_cusum_changepoint",
     "pipeline_train_split_gold",
     "text_novelty_fraction",
+    "table_shallow_clone",
 ]
 
 # Rows timed every run but omitted from the printed driver line (see
@@ -278,6 +279,10 @@ PRINT_OMIT = {
     # retired with the 5th r14 birth row (text_novelty_fraction; dedup
     # keeps minhash/ngram/incremental_lsh/semantic_prune printed)
     "dedup_semantic_incremental",
+    # retired with the 6th r14 birth row (table_shallow_clone; SQL-DML
+    # keeps merge_into/subquery-DML/insert_overwrite printed, restore
+    # semantics stay covered by table_cdc_tombstone_replay's replay row)
+    "table_sql_truncate_restore",
 }
 
 # Drift sentinel (r6 verdict item 8; widened r13 per the r12 verdict):

@@ -3088,3 +3088,33 @@ def table_mor_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.partial_update(updates.unionByName(inserts))
     return t.snapshot().drop(META_COL)
+
+
+@register(
+    "table_shallow_clone",
+    oracle=_UPSERTED_SQL,
+    doc="zero-copy SHALLOW CLONE (Delta clone shape over the engine's "
+    "bootstrap kernel): the source table loads orders, the clone's "
+    "first commit adopts the source's live files as external entries "
+    "with stats copied verbatim (zero bytes moved), and the mod-5 "
+    "update batch upserted to the CLONE rewrites only affected rows "
+    "into clone-managed files — the clone snapshot equals source-with-"
+    "updates while the source is never touched (divergence pinned by "
+    "tests/test_table.py::test_shallow_clone_diverges...)",
+)
+def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(*_COLS)
+    src = Table.create(
+        spark,
+        tempfile.mkdtemp(prefix="engine_clsrc_"),
+        key="o_orderkey",
+        precombine="o_orderdate",
+        table_name="orders_clone_src",
+    )
+    src.bulk_insert(orders)
+    clone = Table.shallow_clone(
+        spark, tempfile.mkdtemp(prefix="engine_clone_"), src,
+        table_name="orders_clone",
+    )
+    clone.upsert(_update_batch(orders))
+    return clone.snapshot().select(*_COLS)

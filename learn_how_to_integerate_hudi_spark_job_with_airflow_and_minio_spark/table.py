@@ -487,6 +487,105 @@ class Table:
         t._publish(commit, "bootstrap", entries, [], schema)
         return t
 
+    @classmethod
+    def shallow_clone(
+        cls,
+        spark: SparkSession,
+        path: str,
+        source: "Table",
+        table_name: str | None = None,
+        max_records_per_file: int = 0,
+    ) -> "Table":
+        """Zero-copy table CLONE (the Delta ``SHALLOW CLONE`` shape,
+        re-expressed over the engine's bootstrap kernel): a new,
+        INDEPENDENT table whose first commit adopts the source's
+        current live files in place — external entries with the
+        source's own per-file stats copied verbatim, zero bytes moved.
+        At 100 TB this turns "give me a dev copy of prod" from a
+        day-long rewrite into a metadata commit.
+
+        Divergence is the bootstrap contract: an upsert whose keys hit
+        an adopted file rewrites only the AFFECTED rows into
+        clone-managed files and retires the external from the clone's
+        live set; the SOURCE is never touched (its cleaner also never
+        deletes the shared files for readers of the source — externals
+        are not clone-owned, and the source still owns them). Cloned
+        rows keep their source ``_commit_time`` values (the bytes are
+        the source's files — provenance-preserving), so the clone's
+        incremental feeds start EMPTY and grow only with post-clone
+        commits; snapshot/time-travel over the clone's own timeline
+        work from the clone commit forward.
+
+        v1 scope, all fail-loud: COW, unpartitioned, never-renamed
+        sources whose live set is fully managed (no chained clones /
+        bootstraps — an adopted-of-adopted file would need the
+        SOURCE's meta-coalesce context the clone doesn't carry).
+        ``read_stream`` over a clone streams post-clone commits only
+        (the adopted files predate every stream start by construction;
+        unlike a raw-dir bootstrap there is no source glob to guard).
+
+        One caveat the docstring owes the operator: the clone pins
+        BYTES, not the source's retention policy — a source
+        ``clean()`` can physically delete a file the clone still
+        references once it ages out of the SOURCE's window (the same
+        hazard as Delta shallow clones; Hudi has no clone at all).
+        Freeze the source's cleaner for cloned-from commits (savepoint
+        the clone-time commit on the source) or ``compact()`` the
+        clone to migrate externals into clone-owned files.
+        """
+        src_schema = source._schema()
+        if src_schema is None:
+            raise ValueError("cannot clone a table with no commits yet")
+        if source.table_type != "cow":
+            raise ValueError(
+                "shallow_clone v1 supports COW sources only (a MOR live "
+                "set mixes base and delta roles the clone's merge view "
+                "would misread)"
+            )
+        if source.meta.get("partition_fields"):
+            raise ValueError(
+                "shallow_clone v1 supports unpartitioned sources only "
+                "(external partitioned scans assume ONE hive basePath; "
+                "a source's live set spans many commit dirs)"
+            )
+        if source.meta.get("has_renames"):
+            raise ValueError(
+                "shallow_clone v1 refuses renamed sources: adopted "
+                "files carry pre-rename physical column names the "
+                "clone's manifests could not vintage-resolve"
+            )
+        entries = source.current_files()
+        if any(e.get("external") for e in entries):
+            raise ValueError(
+                "shallow_clone v1 refuses sources with external live "
+                "files (chained clone/bootstrap would need the source's "
+                "meta-coalesce context); compact() the source first"
+            )
+        t = cls.create(
+            spark,
+            path,
+            key=source.key,
+            precombine=source.precombine,
+            table_name=table_name,
+            max_records_per_file=max_records_per_file
+            or source.meta.get("max_records_per_file", 0),
+        )
+        commit = t._next_commit()
+        new_entries = [
+            {**e, "path": source._abs(e["path"]), "external": True}
+            for e in entries
+        ]
+        t.meta["clone_source"] = source.path.rstrip("/")
+        # bootstrap_commit backs the scan-path meta coalesce; adopted
+        # engine files carry real _commit_time bytes, so it only ever
+        # fills a hypothetical null — set for contract symmetry. NOT
+        # bootstrap_source: there is no raw source glob to stream or
+        # fingerprint-guard.
+        t.meta["bootstrap_commit"] = commit
+        write_json(posixpath.join(path.rstrip("/"), "_table.json"), t.meta)
+        t._publish(commit, "shallow_clone", new_entries, [], src_schema)
+        return t
+
     @property
     def key(self) -> str:
         return self.meta["record_key"]

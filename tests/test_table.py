@@ -2625,3 +2625,80 @@ def test_bootstrap_stream_refuses_in_place_overwrite(spark, tmp_path):
     os.replace(new_part, victim)
     with pytest.raises(ValueError, match="adopted READ-ONLY"):
         t.read_stream()
+
+
+def test_shallow_clone_diverges_without_touching_source(spark, tmp_path):
+    """r14: zero-copy clone — the clone commit adopts the source's live
+    files as externals (stats copied, zero bytes moved); upserts to the
+    clone rewrite only affected rows into clone-managed files while the
+    source snapshot stays byte-identical; source writes after the clone
+    are invisible to the clone."""
+    src = Table.create(
+        spark, str(tmp_path / "src"), key="id", precombine="ver",
+        table_name="clone_src",
+    )
+    src.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]))
+    clone = Table.shallow_clone(spark, str(tmp_path / "cl"), src)
+    assert all(e.get("external") for e in clone.current_files())
+    assert rows_of(clone.snapshot(), "id", "val") == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # cloned rows keep SOURCE commit times (provenance)
+    src_commit = src.commits()[-1]
+    assert {r["_commit_time"] for r in clone.snapshot().collect()} == {
+        src_commit
+    }
+    # divergent write: clone changes, source does not
+    clone.upsert(df_of(spark, [(2, 2, "b2"), (4, 1, "d")]))
+    assert rows_of(clone.snapshot(), "id", "val") == [
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d"),
+    ]
+    assert rows_of(src.snapshot(), "id", "val") == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # source write after the clone: invisible to the clone
+    src.upsert(df_of(spark, [(9, 1, "z")]))
+    assert rows_of(clone.snapshot(), "id") == [(1,), (2,), (3,), (4,)]
+    # clone incremental feed starts EMPTY (adopted rows predate it)
+    inc = clone.incremental(clone.commits()[0])
+    assert rows_of(inc, "id") == [(2,), (4,)]
+    # clone cleaner never deletes the shared (source-owned) files
+    TableServices(clone).clean(retain_commits=0)
+    assert rows_of(src.snapshot(), "id", "val") == [
+        (1, "a"), (2, "b"), (3, "c"), (9, "z"),
+    ]
+
+
+def test_shallow_clone_v1_refusals(spark, tmp_path):
+    """Fail-loud scope: MOR, partitioned, renamed, and external-bearing
+    sources are refused with actionable messages."""
+    mor = Table.create(
+        spark, str(tmp_path / "m"), key="id", precombine="ver",
+        table_name="m", table_type="mor",
+    )
+    mor.bulk_insert(df_of(spark, [(1, 1, "a")]))
+    with pytest.raises(ValueError, match="COW"):
+        Table.shallow_clone(spark, str(tmp_path / "c1"), mor)
+    ren = Table.create(
+        spark, str(tmp_path / "r"), key="id", precombine="ver",
+        table_name="r",
+    )
+    ren.bulk_insert(df_of(spark, [(1, 1, "a")]))
+    ren.alter_rename_column("val", "v2")
+    with pytest.raises(ValueError, match="renamed"):
+        Table.shallow_clone(spark, str(tmp_path / "c2"), ren)
+    empty = Table.create(
+        spark, str(tmp_path / "e"), key="id", precombine="ver",
+        table_name="e",
+    )
+    with pytest.raises(ValueError, match="no commits"):
+        Table.shallow_clone(spark, str(tmp_path / "c3"), empty)
+    # a clone of a clone (external live files) is refused
+    srcx = Table.create(
+        spark, str(tmp_path / "sx"), key="id", precombine="ver",
+        table_name="sx",
+    )
+    srcx.bulk_insert(df_of(spark, [(1, 1, "a")]))
+    c = Table.shallow_clone(spark, str(tmp_path / "c4"), srcx)
+    with pytest.raises(ValueError, match="external live"):
+        Table.shallow_clone(spark, str(tmp_path / "c5"), c)
