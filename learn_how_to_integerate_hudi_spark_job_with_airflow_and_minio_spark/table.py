@@ -494,7 +494,7 @@ class Table:
         path: str,
         source: "Table",
         table_name: str | None = None,
-        max_records_per_file: int = 0,
+        max_records_per_file: int | None = None,
     ) -> "Table":
         """Zero-copy table CLONE (the Delta ``SHALLOW CLONE`` shape,
         re-expressed over the engine's bootstrap kernel): a new,
@@ -511,10 +511,15 @@ class Table:
         deletes the shared files for readers of the source — externals
         are not clone-owned, and the source still owns them). Cloned
         rows keep their source ``_commit_time`` values (the bytes are
-        the source's files — provenance-preserving), so the clone's
-        incremental feeds start EMPTY and grow only with post-clone
-        commits; snapshot/time-travel over the clone's own timeline
-        work from the clone commit forward.
+        the source's files — provenance-preserving); commit ids are
+        per-table counters, so the clone's timeline is SEEDED above the
+        pinned source commit — every adopted stamp sorts strictly
+        before the clone commit, the clone's incremental feeds start
+        EMPTY and grow only with post-clone commits, and snapshot/
+        time-travel over the clone's own timeline work from the clone
+        commit forward. Behavioral config carries over (constraints,
+        pre-commit validators, tombstone retention, index config) —
+        index PAYLOADS do not; they rebuild lazily on the clone.
 
         v1 scope, all fail-loud: COW, unpartitioned, never-renamed
         sources whose live set is fully managed (no chained clones /
@@ -533,7 +538,13 @@ class Table:
         the clone-time commit on the source) or ``compact()`` the
         clone to migrate externals into clone-owned files.
         """
-        src_schema = source._schema()
+        # pin ONE source state: schema and live set must come from the
+        # same commit, or a concurrent source writer between the two
+        # reads hands the clone a mixed schema/file view (r14 review)
+        pin = source.latest_commit()
+        if pin is None:
+            raise ValueError("cannot clone a table with no commits yet")
+        src_schema = source._schema(as_of=pin)
         if src_schema is None:
             raise ValueError("cannot clone a table with no commits yet")
         if source.table_type != "cow":
@@ -554,7 +565,7 @@ class Table:
                 "files carry pre-rename physical column names the "
                 "clone's manifests could not vintage-resolve"
             )
-        entries = source.current_files()
+        entries = source.current_files(as_of=pin)
         if any(e.get("external") for e in entries):
             raise ValueError(
                 "shallow_clone v1 refuses sources with external live "
@@ -567,10 +578,35 @@ class Table:
             key=source.key,
             precombine=source.precombine,
             table_name=table_name,
-            max_records_per_file=max_records_per_file
-            or source.meta.get("max_records_per_file", 0),
+            max_records_per_file=source.meta.get(
+                "max_records_per_file", 0
+            )
+            if max_records_per_file is None
+            else max_records_per_file,
         )
-        commit = t._next_commit()
+        # a dev copy of prod must BEHAVE like prod: constraints,
+        # pre-commit validators, tombstone retention, and index config
+        # carry over (r14 review — silently dropping them would let the
+        # clone commit rows prod quarantines). auto_index is validated
+        # config, copied verbatim; payloads are NOT copied (indexes
+        # rebuild lazily on the clone, the staleness contract).
+        for k in (
+            "constraints",
+            "pre_commit_validators",
+            "cdc_tombstone_hours",
+            "index_type",
+            "bucket_count",
+            "auto_index",
+        ):
+            if source.meta.get(k):
+                t.meta[k] = source.meta[k]
+        # commit ids are per-table COUNTERS and adopted bytes carry the
+        # SOURCE's counter stamps — a clone timeline restarting at 1
+        # would make source stamps > the clone commit read as phantom
+        # post-clone changes in incremental() (r14 review). Seed the
+        # clone's timeline ABOVE the pinned source commit so every
+        # adopted stamp sorts strictly before the clone commit.
+        commit = f"{int(pin) + 1:020d}"
         new_entries = [
             {**e, "path": source._abs(e["path"]), "external": True}
             for e in entries

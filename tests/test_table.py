@@ -2702,3 +2702,59 @@ def test_shallow_clone_v1_refusals(spark, tmp_path):
     c = Table.shallow_clone(spark, str(tmp_path / "c4"), srcx)
     with pytest.raises(ValueError, match="external live"):
         Table.shallow_clone(spark, str(tmp_path / "c5"), c)
+
+
+def test_shallow_clone_multi_commit_source_no_phantom_incrementals(
+    spark, tmp_path
+):
+    """r14 review (top finding): commit ids are per-table counters —
+    with a 2-commit source, adopted bytes carry stamp 2, and a clone
+    timeline restarting at 1 would surface them as phantom post-clone
+    changes. The clone timeline seeds above the pinned source commit."""
+    src = Table.create(
+        spark, str(tmp_path / "ms"), key="id", precombine="ver",
+        table_name="ms",
+    )
+    src.bulk_insert(df_of(spark, [(1, 1, "a"), (2, 1, "b")]))
+    src.upsert(df_of(spark, [(2, 2, "b2")]))  # commit 2: stamps '...2'
+    clone = Table.shallow_clone(spark, str(tmp_path / "mc"), src)
+    first = clone.commits()[0]
+    assert int(first) > int(src.commits()[-1])
+    # incremental from the clone's first commit: EMPTY, no phantoms
+    assert clone.incremental(first).count() == 0
+    clone.upsert(df_of(spark, [(3, 1, "c")]))
+    assert rows_of(clone.incremental(first), "id") == [(3,)]
+    # behavioral config carries over; explicit 0 means unlimited, not
+    # inherit (None inherits)
+    src2 = Table.create(
+        spark, str(tmp_path / "cfg"), key="id", precombine="ver",
+        table_name="cfg", constraints={"pos": "amt > 0"},
+        max_records_per_file=1000,
+    )
+    src2.bulk_insert(spark.createDataFrame(
+        [(1, 1, 10.0, "a")],
+        "id long, ver long, amt double, tag string"))
+    c2 = Table.shallow_clone(spark, str(tmp_path / "cfgc"), src2)
+    assert c2.meta["constraints"] == {"pos": "amt > 0"}
+    assert c2.meta["max_records_per_file"] == 1000
+    c2.upsert(spark.createDataFrame(
+        [(9, 1, -5.0, "x")],
+        "id long, ver long, amt double, tag string"))
+    # violating row is quarantined (prod behavior), not committed
+    assert rows_of(c2.snapshot().where("id = 9"), "id") == []
+    assert rows_of(c2.quarantine(), "id") == [(9,)]
+    c3 = Table.shallow_clone(
+        spark, str(tmp_path / "cfgc0"), src2, max_records_per_file=0
+    )
+    assert c3.meta["max_records_per_file"] == 0
+    # partitioned sources are refused (the one v1 guard previously
+    # untested)
+    p = Table.create(
+        spark, str(tmp_path / "ps"), key="id", precombine="ver",
+        table_name="ps", partition_fields=["tag"],
+    )
+    p.bulk_insert(spark.createDataFrame(
+        [(1, 1, 10.0, "x")],
+        "id long, ver long, amt double, tag string"))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        Table.shallow_clone(spark, str(tmp_path / "pc"), p)
