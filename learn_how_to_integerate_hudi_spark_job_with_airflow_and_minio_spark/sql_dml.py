@@ -745,6 +745,11 @@ def call_procedure(
       already folded out of the active window.
     - ``commits_compare(table, other => '<name>')`` — commit-depth
       delta vs another attached table (replication monitoring).
+    - ``shallow_clone(table, location => '<path>'[, clone_name])`` —
+      zero-copy clone (:meth:`Table.shallow_clone`): the clone commit
+      adopts the source's live files in place and the clone is
+      ATTACHED to the session under ``clone_name`` (default
+      ``<table>_clone``) so later statements can query/write it.
     """
     name, args = _parse_call(stmt)
     t = _call_target(args, tables)
@@ -759,6 +764,7 @@ def call_procedure(
         "rollback_to_savepoint", "rollback_to_instant", "run_compaction",
         "run_clustering", "run_clean", "archive_commits",
         "show_archived_commits", "commits_compare", "show_rollbacks",
+        "shallow_clone",
     }
     if name not in known:
         raise ValueError(f"unknown CALL procedure {name!r}")
@@ -808,6 +814,31 @@ def call_procedure(
             rows,
             "commit string, action string, ts string, "
             "n_files_added long, n_files_removed long",
+        )
+    if name == "shallow_clone":
+        # _call_target already popped `table` from args
+        kw = _take("location", "clone_name")
+        loc = kw.get("location")
+        if loc is None:
+            raise ValueError("shallow_clone needs location => '<path>'")
+        src_name = next((k for k, v in tables.items() if v is t), "src")
+        cname = kw.get("clone_name") or f"{src_name}_clone"
+        if cname in tables:
+            raise ValueError(
+                f"clone_name {cname!r} is already an attached table"
+            )
+        clone = Table.shallow_clone(spark, loc, t, table_name=cname)
+        # attach so subsequent session statements can query/write it
+        tables[cname] = clone
+        return _df(
+            [(
+                cname,
+                loc,
+                clone.commits()[0],
+                len(clone.current_files()),
+            )],
+            "clone_name string, location string, clone_commit string, "
+            "n_adopted_files long",
         )
     if name == "commits_compare":
         # Hudi's commits_compare: how far this table's timeline is

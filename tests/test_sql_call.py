@@ -368,3 +368,50 @@ def test_show_rollbacks(spark, t):
         spark, "CALL show_rollbacks(table => 't')", tabs
     ).collect()
     assert len(rows) == 1 and rows[0]["action"] == "restore"
+
+
+def test_call_shallow_clone_attaches_queryable_clone(spark, tmp_path):
+    """r14: CALL shallow_clone adopts the source's live files and
+    attaches the clone to the session — later statements query and
+    write it independently of the source."""
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.sql_session import (
+        SqlSession,
+    )
+    from learn_how_to_integerate_hudi_spark_job_with_airflow_and_minio_spark.table import (
+        Table,
+    )
+
+    src = Table.create(
+        spark, str(tmp_path / "s"), key="id", precombine="ver",
+        table_name="s",
+    )
+    src.bulk_insert(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")],
+                              "id long, ver long, val string")
+    )
+    sess = SqlSession(spark, tables={"s": src})
+    out = sess.sql(
+        f"CALL shallow_clone(table => 's', location => "
+        f"'{tmp_path / 'c'}')"
+    ).collect()
+    assert out[0]["clone_name"] == "s_clone"
+    assert out[0]["n_adopted_files"] >= 1
+    got = sess.sql("SELECT id, val FROM s_clone ORDER BY id").collect()
+    assert [(r["id"], r["val"]) for r in got] == [(1, "a"), (2, "b")]
+    # writes to the attached clone leave the source untouched
+    sess.sql("UPDATE s_clone SET val = 'zz' WHERE id = 1")
+    assert [
+        r["val"] for r in sess.sql(
+            "SELECT val FROM s_clone WHERE id = 1").collect()
+    ] == ["zz"]
+    assert [
+        r["val"] for r in sess.sql(
+            "SELECT val FROM s WHERE id = 1").collect()
+    ] == ["a"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already an attached"):
+        sess.sql(
+            f"CALL shallow_clone(table => 's', location => "
+            f"'{tmp_path / 'c2'}', clone_name => 's_clone')"
+        )
