@@ -722,9 +722,20 @@ _IVF_QUANT = 1_000_000.0
 def _stored_centroids(centroids_table) -> list[tuple[int, list[float]]]:
     """(cell, centroid) pairs from the persisted quantizer — a
     metadata-plane collect bounded by the cell count (≤ 2^bits rows by
-    construction), never corpus data."""
+    construction), never corpus data.
+
+    Memoized on the table handle, invalidated by the latest commit id:
+    centroids are frozen at build, but append paths can land new cells
+    in principle, so the cache key is the commit — one snapshot collect
+    per table STATE instead of one per build/append/probe call."""
+    key = centroids_table.latest_commit()
+    cached = getattr(centroids_table, "_ivf_centroid_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     rows = centroids_table.snapshot().select("cell", "centroid").collect()
-    return sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+    cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
+    centroids_table._ivf_centroid_cache = (key, cents)
+    return cents
 
 
 def _cell_score_array(
@@ -907,8 +918,12 @@ def ivf_index_probe(
         ),
     )
     # the probed-cell SET is bounded by 2^bits — collect it and read
-    # each cell as its own manifest-pruned snapshot (partition stats
-    # admit exactly one cell directory per read)
+    # all probed cells in ONE manifest-pruned snapshot (a value-SET
+    # stats filter: partition stats admit exactly the probed cell
+    # directories' files). One relation instead of an nprobe-branch
+    # union — same file set read, ~1/nprobe the plan size and scan
+    # relations (the per-cell union paid plan+listing constants per
+    # probed cell).
     probed = sorted(
         r["cell"] for r in q.select("cell").distinct().collect()
     )
@@ -919,18 +934,10 @@ def ivf_index_probe(
             [],
             "query_id long, neighbor_id long, cosine double, rank int",
         )
-    from functools import reduce
-
-    corpus = reduce(
-        DataFrame.unionAll,
-        (
-            index_table.snapshot(filters={"cell": c}).select(
-                "cell",
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("_nv"),
-            )
-            for c in probed
-        ),
+    corpus = index_table.snapshot(filters={"cell": frozenset(probed)}).select(
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
     )
     cand = q.join(corpus, "cell").where(
         F.col("query_id") != F.col("neighbor_id")

@@ -819,7 +819,9 @@ class Table:
                 filters = {k: v for k, v in filters.items() if k in allowed}
             entries = [e for e in entries if _stats_match(e, filters)]
             kv = filters.get(self.key)
-            if kv is not None and not isinstance(kv, (tuple, bool)):
+            if kv is not None and not isinstance(
+                kv, (tuple, bool, set, frozenset)
+            ):
                 # bucket point-lookup prune: MOR- and time-travel-safe
                 # (a key's bucket is version-invariant); no-op unless
                 # the table is bucket-indexed
@@ -830,7 +832,7 @@ class Table:
                 # scattered values); time-traveled reads skip it — the
                 # index describes current coverage, not historic states
                 for col, v in filters.items():
-                    if not isinstance(v, tuple):
+                    if not isinstance(v, (tuple, set, frozenset)):
                         entries = self._prune_by_secondary_index(
                             entries, col, v
                         )
@@ -2046,7 +2048,11 @@ class Table:
             self._publish(commit, "deltacommit", added, [], None)
             return commit
         commit = self._next_commit()
-        keys = keys_df.select(self.key).distinct()
+        # no .distinct(): the COW consumers (envelope agg, semi-join,
+        # anti-join, membership probes) are all duplicate-tolerant, so
+        # the exchange it costs buys nothing (the MOR tombstone branch
+        # above keeps its distinct — tomb ROWS must be one per key)
+        keys = keys_df.select(self.key)
         entries = self.current_files()
         candidates = self._prune_by_keys(entries, keys)
         if not candidates:
@@ -2643,8 +2649,10 @@ class Table:
         commit = self._next_commit()
         batch = upserts.withColumn(META_COL, F.lit(commit))
         all_keys = (
-            source.select(self.key).distinct()
-        )  # both update and delete keys affect files
+            # both update and delete keys affect files; no .distinct()
+            # — every consumer is duplicate-tolerant (see _merge_write)
+            source.select(self.key)
+        )
         entries = self.current_files()
         out = batch
         removed: list[str] = []
@@ -3081,7 +3089,9 @@ class Table:
                         on, self._mi_on_key_col(on, ta, sa), not_matched,
                         ta, sa,
                     ):
-                        ins_keys = ins_part.select(self.key).distinct()
+                        # no .distinct(): the LEFT ANTI consumers below
+                        # are duplicate-tolerant
+                        ins_keys = ins_part.select(self.key)
                         parts = [
                             p.join(ins_keys, self.key, "left_anti")
                             for p in parts
@@ -3131,9 +3141,10 @@ class Table:
             # a NOT MATCHED BY SOURCE clause may claim ANY target row —
             # key pruning (which reasons only about rows the source CAN
             # match) would skip files holding claimable unmatched rows
+            # no .distinct(): _prune_by_keys is duplicate-tolerant
             src_keys = source.select(
                 F.col(on_key_col).alias(self.key)
-            ).distinct()
+            )
             candidates = self._prune_by_keys(entries, src_keys)
         affected: list[str] = []
         if candidates and matched:
@@ -3277,7 +3288,8 @@ class Table:
             if not self._mi_inserts_collision_free(
                 on, on_key_col, not_matched, ta, sa
             ):
-                ins_keys = ins.select(self.key).distinct()
+                # dedup output is unique per key already
+                ins_keys = ins.select(self.key)
                 if out_parts:
                     out_parts[0] = out_parts[0].join(
                         ins_keys, self.key, "left_anti"
@@ -3714,7 +3726,11 @@ class Table:
             self._publish(commit, "partial_update", added, [], stamped.schema)
             return commit
         update_cols = [c for c in batch.columns if c != self.key]
-        keys = batch.select(self.key).distinct()
+        # key multiset from the raw gated frame (see _merge_write): all
+        # consumers (prune agg, semi/anti joins, membership probes) are
+        # duplicate-tolerant, and deriving from ``batch`` would replay
+        # the dedup groupBy per consumer
+        keys = df.select(self.key)
         out = None
         removed: list[str] = []
         candidates = self._prune_by_keys(entries, keys)
@@ -3989,7 +4005,21 @@ class Table:
         out = batch
         removed: list[str] = []
         if entries:
-            keys = batch.select(self.key).distinct()
+            # Key set from the RAW gated frame, not the deduped batch,
+            # and with no .distinct(): every consumer below is
+            # duplicate-tolerant — min/max envelope agg, bloom/record-
+            # index membership, the affected-files LEFT SEMI join and
+            # the survivors LEFT ANTI join all give identical results on
+            # a multiset of keys. Deriving keys from ``batch`` instead
+            # made each of those consumers replay the full-width dedup
+            # groupBy shuffle (measured: 3 extra dedup executions per
+            # merge commit); from ``df`` they replay only a column-
+            # pruned scan, and dropping the distinct removes one
+            # exchange from every consumer. (An explicit persist of the
+            # deduped batch was also tried: the cache write + static-
+            # partition cache reads cost MORE than the recomputation at
+            # every probed size — 1.05-1.35x slower, reverted.)
+            keys = df.select(self.key)
             candidates = self._prune_by_keys(entries, keys)
             if candidates:
                 existing = self._with_file(candidates)
@@ -4201,16 +4231,34 @@ class Table:
         sc = self.spark.sparkContext
         bc = sc.broadcast(decoded)
 
-        def probe(rows):
-            vals = [r[0] for r in rows]
-            if not vals:
-                return
-            h1, h2 = hash_pairs_array(vals)
-            yield from files_hit(h1, h2, bc.value)
+        def probe(batches):
+            import pyarrow as pa
 
-        hit = set(
-            keys.select(self.key).rdd.mapPartitions(probe).distinct().collect()
+            hits: set[int] = set()
+            for b in batches:
+                vals = b.column(0).to_pylist()
+                if not vals:
+                    continue
+                h1, h2 = hash_pairs_array(vals)
+                hits.update(files_hit(h1, h2, bc.value))
+            if hits:
+                yield pa.RecordBatch.from_pydict(
+                    {"_f": pa.array(sorted(hits), type=pa.int32())}
+                )
+
+        # mapInArrow (not .rdd.mapPartitions): keys cross the boundary
+        # as Arrow batches instead of pickled Rows, and the per-task hit
+        # sets fold through a partial-aggregated collect_set — one
+        # map-side-combined job instead of an RDD distinct shuffle
+        # (guide §4.1/§1.4: .rdd converts every row to external objects
+        # and hides the query from the SQL tab).
+        row = (
+            keys.select(self.key)
+            .mapInArrow(probe, "_f int")
+            .agg(F.collect_set("_f"))
+            .collect()[0]
         )
+        hit = set(row[0] or [])
         covered_set = set(covered)
         kept = [
             e
@@ -4810,13 +4858,20 @@ class Table:
                     st["bloom"] = b
             return st
 
-        if len(files) <= 64 and not bloom_key:
+        if len(files) <= (16 if bloom_key else 64):
             # small commit: footer reads are microseconds each — a cluster
-            # job would cost more in scheduling than it saves (bloom
-            # builds DO read a data column, so they always distribute)
+            # job would cost more in scheduling than it saves. Bloom
+            # builds DO read a data column, so their driver-side gate is
+            # tighter (~5 ms/file measured at the bench file sizes: 16
+            # files ≈ 80 ms driver-side vs ~300 ms job overhead)
             return {p: one(p) for p in files}
         sc = self.spark.sparkContext
-        nslices = max(1, min(len(files), 256))
+        # ≥8 files per slice: one-file tasks made the stats pass pay one
+        # Python-worker round trip per FILE (measured 300 files: 256
+        # single-file tasks ≈ 2.5-3 s vs 0.45-0.5 s at 8 files/slice —
+        # guide §2.2, fewer/larger tasks); the 256 cap still bounds the
+        # job at manifest scale (10⁵ files → 256 slices of ~400)
+        nslices = max(1, min(256, len(files) // 8))
         pairs = (
             sc.parallelize(files, nslices).map(lambda p: (p, one(p))).collect()
         )
@@ -5338,7 +5393,18 @@ def _stats_match(entry: dict, filters: dict[str, Any]) -> bool:
         if col not in stats:
             continue  # no stats → can't prune this file
         lo, hi = stats[col]
-        if isinstance(cond, tuple):
+        if isinstance(cond, (set, frozenset)):
+            # value-SET membership: keep the file iff ANY wanted value
+            # can live in its [lo, hi] (exact for partition-derived
+            # stats, where lo == hi == the value; conservative — never
+            # mis-pruning — for data-column ranges). One snapshot with a
+            # set filter replaces N per-value snapshot∪unions (the IVF
+            # probe's shape), collapsing N relations to one.
+            if lo is not None and hi is not None and not any(
+                lo <= v <= hi for v in cond
+            ):
+                return False
+        elif isinstance(cond, tuple):
             flo, fhi = cond
             if flo is not None and hi is not None and hi < flo:
                 return False
