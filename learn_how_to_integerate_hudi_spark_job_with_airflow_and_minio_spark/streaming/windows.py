@@ -46,19 +46,42 @@ def run_stream_to_memory(
     df: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion via the memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    Stateful-operator partitioning: ``spark.sql.shuffle.partitions`` at
+    stream START fixes the state-store count for the checkpoint's whole
+    lifetime, and EVERY micro-batch then pays a fixed per-store I/O
+    (delta file + commit marker per partition per batch) regardless of
+    state size. The batch session default (one partition per core) is
+    the wrong default for streams whose keyed state is small: measured
+    at sf0.1, the stateful window rows run 0.41-0.67x with 8 stores vs
+    32. ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` overrides for
+    deployments whose state cardinality/throughput needs more; this
+    helper always starts a FRESH query (new checkpoint), so the pinned
+    count never conflicts with an existing checkpoint's layout."""
+    import os
+
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    spark = df.sparkSession
+    n_state = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        # restore immediately after start — the stream captured the
+        # value at start; the session's batch queries keep theirs
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def tumbling_counts(

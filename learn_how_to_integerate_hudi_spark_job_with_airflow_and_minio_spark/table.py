@@ -75,6 +75,10 @@ CHECKPOINT_EVERY = 10
 # prune's one-job min/max agg exceeds what an unpruned (column-pruned)
 # affected-files scan costs. See Table._prune_by_keys.
 PRUNE_MIN_FILES = 16
+# sentinel prefix for the CDC op-code raise_error gate: apply_cdc_feed
+# matches it in the captured Spark exception text to re-raise the
+# documented ValueError at the API boundary
+_CDC_BAD_OP_MARKER = "unknown CDC op code"
 
 
 def _utcnow() -> str:
@@ -2390,23 +2394,25 @@ class Table:
 
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            # bounded probe: fail loud on unknown OR NULL change codes
-            # rather than silently treating them as upserts (a bare
-            # ~isin is NULL for a NULL code and where() drops it)
-            bad = (
-                events.where(
-                    ops.isNull() | ~ops.isin("C", "R", "I", "U", "D")
-                )
-                .select(op_col)
-                .limit(1)
-                .collect()
-            )
-            if bad:
-                raise ValueError(
-                    f"unknown CDC op code {bad[0][0]!r} — expected one of "
-                    "c/r/i/u (upsert) or d (delete), any case"
-                )
+            # fail loud on unknown OR NULL change codes rather than
+            # silently treating them as upserts (a bare ~isin is NULL
+            # for a NULL code and where() drops it). The check is
+            # FOLDED into the resolution scan as a raise_error column
+            # on the per-row ordering struct (every event row is
+            # evaluated exactly once by the max_by aggregation), so it
+            # costs zero extra passes — the previous dedicated
+            # limit(1) probe paid one full scan of the batch per apply.
+            # The Spark-side error is re-raised as the documented
+            # ValueError at this API boundary.
             return self._apply_cdc_resolved(events, op_col, ops, tie)
+        except ValueError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — unwrap raise_error
+            if _CDC_BAD_OP_MARKER in str(exc):
+                msg = str(exc)
+                start = msg.find(_CDC_BAD_OP_MARKER)
+                raise ValueError(msg[start:].splitlines()[0]) from None
+            raise
         finally:
             events.unpersist()
 
@@ -2418,9 +2424,28 @@ class Table:
         # precombine go to delete (the safe side), then to feed order,
         # so equal-timestamp update pairs resolve deterministically.
         row = F.struct(*[F.col(c) for c in events.columns])
+        # per-row op-code gate, riding the ordering struct the max_by
+        # evaluates for EVERY event row: an unknown/NULL code aborts the
+        # job via raise_error (unwrapped to the documented ValueError by
+        # apply_cdc_feed) instead of paying a dedicated probe pass
+        checked_is_delete = F.when(
+            ops.isNull() | ~ops.isin("C", "R", "I", "U", "D"),
+            F.raise_error(
+                F.concat(
+                    F.lit(_CDC_BAD_OP_MARKER + " '"),
+                    F.coalesce(
+                        F.col(op_col).cast("string"), F.lit("None")
+                    ),
+                    F.lit(
+                        "' — expected one of c/r/i/u (upsert) or d "
+                        "(delete), any case"
+                    ),
+                )
+            ).cast("int"),
+        ).otherwise((ops == "D").cast("int"))
         order = F.struct(
             F.col(self.precombine),
-            (ops == "D").cast("int"),
+            checked_is_delete,
             F.col(tie),
         )
         last = (
