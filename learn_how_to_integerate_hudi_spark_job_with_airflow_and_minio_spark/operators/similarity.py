@@ -730,12 +730,18 @@ def _stored_centroids(centroids_table) -> list[tuple[int, list[float]]]:
     per table STATE instead of one per build/append/probe call."""
     key = centroids_table.latest_commit()
     cached = getattr(centroids_table, "_ivf_centroid_cache", None)
-    if cached is not None and cached[0] == key:
-        return cached[1]
-    rows = centroids_table.snapshot().select("cell", "centroid").collect()
-    cents = sorted((int(r["cell"]), list(r["centroid"])) for r in rows)
-    centroids_table._ivf_centroid_cache = (key, cents)
-    return cents
+    if cached is None or cached[0] != key:
+        rows = centroids_table.snapshot().select(
+            "cell", "centroid"
+        ).collect()
+        cached = (
+            key,
+            sorted((int(r["cell"]), list(r["centroid"])) for r in rows),
+        )
+        centroids_table._ivf_centroid_cache = cached
+    # copy-on-return: callers must not be able to mutate the cached
+    # centroid set in place (the vectors are lists)
+    return [(cell, list(vec)) for cell, vec in cached[1]]
 
 
 def _cell_score_array(

@@ -14,10 +14,15 @@ can run the batch equivalent).
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# serializes the set-conf → start-stream → restore-conf window in
+# run_stream_to_memory (the shuffle-partition flip is session-global)
+_STREAM_START_LOCK = threading.Lock()
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,19 +69,27 @@ def run_stream_to_memory(
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
     spark = df.sparkSession
     n_state = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n_state)
-    try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-    finally:
-        # restore immediately after start — the stream captured the
-        # value at start; the session's batch queries keep theirs
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the conf flip is session-global: serialize concurrent helper
+    # callers so an interleaved set/restore can never pin the wrong
+    # value into another stream's checkpoint (threads planning BATCH
+    # queries in this window would also see the stream value — callers
+    # sharing one session across threads should start streams from one
+    # thread, which this lock enforces for the helper itself)
+    with _STREAM_START_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n_state)
+        try:
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+        finally:
+            # restore immediately after start — the stream captured
+            # the value at start; the session's batch queries keep
+            # theirs
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:

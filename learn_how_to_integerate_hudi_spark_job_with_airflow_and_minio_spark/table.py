@@ -3298,9 +3298,10 @@ class Table:
             # gate applies to them (the rewrite rows above stay
             # ungated — quarantining rows the table already owns on a
             # rewrite would be spurious data loss).
-            ins = self._dedup_batch(
-                self._gate_constraints(_insert_rows(unmatched))
-            ).withColumn(META_COL, F.lit(commit))
+            ins_src = self._gate_constraints(_insert_rows(unmatched))
+            ins = self._dedup_batch(ins_src).withColumn(
+                META_COL, F.lit(commit)
+            )
             # Keyed-table semantics for colliding inserts: when ON is
             # not pure key equality (or INSERT VALUES computes a fresh
             # key), an unmatched source row can insert a key the table
@@ -3313,8 +3314,12 @@ class Table:
             if not self._mi_inserts_collision_free(
                 on, on_key_col, not_matched, ta, sa
             ):
-                # dedup output is unique per key already
-                ins_keys = ins.select(self.key)
+                # key multiset from the gated PRE-dedup frame (the
+                # _merge_write discipline): the anti-join/prune/semi-
+                # join consumers are duplicate-tolerant, and deriving
+                # from ``ins`` would replay the dedup groupBy per
+                # consumer
+                ins_keys = ins_src.select(self.key)
                 if out_parts:
                     out_parts[0] = out_parts[0].join(
                         ins_keys, self.key, "left_anti"
@@ -4883,20 +4888,26 @@ class Table:
                     st["bloom"] = b
             return st
 
-        if len(files) <= (16 if bloom_key else 64):
+        if len(files) <= (4 if bloom_key else 64):
             # small commit: footer reads are microseconds each — a cluster
             # job would cost more in scheduling than it saves. Bloom
             # builds DO read a data column, so their driver-side gate is
-            # tighter (~5 ms/file measured at the bench file sizes: 16
-            # files ≈ 80 ms driver-side vs ~300 ms job overhead)
+            # much tighter (4 files keeps the driver loop ~20 ms at
+            # bench file sizes while the typical small merge commit
+            # still avoids a job; anything larger distributes so big
+            # files never serialize through the driver)
             return {p: one(p) for p in files}
         sc = self.spark.sparkContext
-        # ≥8 files per slice: one-file tasks made the stats pass pay one
-        # Python-worker round trip per FILE (measured 300 files: 256
-        # single-file tasks ≈ 2.5-3 s vs 0.45-0.5 s at 8 files/slice —
-        # guide §2.2, fewer/larger tasks); the 256 cap still bounds the
-        # job at manifest scale (10⁵ files → 256 slices of ~400)
-        nslices = max(1, min(256, len(files) // 8))
+        # Fewer/larger tasks (guide §2.2): one-file tasks made the
+        # stats pass pay one Python-worker round trip per FILE
+        # (measured 300 files: 256 single-file tasks ≈ 2.5-3 s vs
+        # 0.45-0.5 s at 8 files/slice). Footer-only passes pack 8
+        # files/slice; bloom passes read a full key column per file, so
+        # they pack only 2/slice to keep reader parallelism at
+        # production file sizes. The 256 cap still bounds the job at
+        # manifest scale (10⁵ files → 256 slices of ~400).
+        per_slice = 2 if bloom_key else 8
+        nslices = max(1, min(256, len(files) // per_slice))
         pairs = (
             sc.parallelize(files, nslices).map(lambda p: (p, one(p))).collect()
         )
